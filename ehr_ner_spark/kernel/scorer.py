@@ -1,0 +1,104 @@
+"""Pluggable batched QA-scorer kernel.
+
+The reference scores each (query, passage) pair with a BERT-QASL forward pass
+producing ``(seq_len, 3)`` logits over the ``{B, I, O}`` QASL label space
+(/root/reference/models/bert_qasl.py:15-74), then softmax + top-k
+(/root/reference/api/bert_qasl_predictor.py:73-77), re-attaching the query's
+type at decode time via ``f"{lp}-{query_tag}"`` (bert_qasl_predictor.py:92-98).
+
+This sandbox has no torch/transformers, so the default scorer is a
+**deterministic NumPy QA-tagger** with the exact same interface and batch
+shape: per-token 3-logit emissions derived from a CRC32 hash of
+``(query_tag, token)`` with a previous-token interaction term (so multi-token
+B→I spans occur), softmax, top-k.  Because the kernel is pure and shared by
+the Spark UDF and the single-node oracle, the P/R≥0.95 parity gate is exact.
+A real HF checkpoint can replace :class:`DeterministicQAScorer` unchanged —
+the Spark plan (Arrow-batched iterator UDF) does not care what produces the
+logits.
+
+Label space (QASL): ``id2label = {0: "B", 1: "I", 2: "O"}``; class weights
+``[0.11, 1, 0.16]`` are carried as config for the CRF decode path parity
+(bert_qasl_predictor.py:31,67) but — exactly like the reference's softmax
+path — are NOT applied in softmax decoding.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+ID2LABEL = {0: "B", 1: "I", 2: "O"}
+CLASS_WEIGHTS = np.array([0.11, 1.0, 0.16])  # B, I, O (simqasl_config.json)
+
+
+def _token_hashes(query_tag: str, tokens: Sequence[str]) -> np.ndarray:
+    """Stable per-(query_tag, token) 32-bit hashes (CRC32: C-speed, seed-free,
+    stable across processes — unlike Python ``hash``)."""
+    prefix = (query_tag + "|").encode("utf-8")
+    return np.fromiter(
+        (zlib.crc32(prefix + t.encode("utf-8")) for t in tokens),
+        dtype=np.uint32,
+        count=len(tokens),
+    )
+
+
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+class DeterministicQAScorer:
+    """Query-conditioned per-token 3-logit emitter (B, I, O).
+
+    Emission design (arbitrary but fixed — it plays the role of trained
+    weights): ``u1 = h % 997 / 997`` drives B, ``u2 = (h >> 10) % 991 / 991``
+    drives I, O gets a constant bias.  I is additionally boosted when the
+    *previous* token was B-favourable, so contiguous B I I ... runs (and
+    hence multi-token entities) occur, like a real tagger's transitions.
+    """
+
+    B_GAIN, B_BIAS = 10.0, -9.0
+    I_GAIN, I_BIAS = 10.0, -8.5
+    I_PREV_BOOST = 4.0
+    O_BIAS = 2.5
+
+    def logits(self, query_tag: str, tokens: Sequence[str]) -> np.ndarray:
+        n = len(tokens)
+        if n == 0:
+            return np.zeros((0, 3), dtype=np.float64)
+        h = _token_hashes(query_tag, tokens)
+        u1 = (h % 997).astype(np.float64) / 997.0
+        u2 = ((h >> 10) % 991).astype(np.float64) / 991.0
+        l_b = self.B_GAIN * u1 + self.B_BIAS
+        # previous token B-favourable -> boost I here (vectorized via shift)
+        prev_hot = np.zeros(n, dtype=np.float64)
+        hot = (u1 > 0.985) | (u2 > 0.93)
+        prev_hot[1:] = hot[:-1].astype(np.float64)
+        l_i = self.I_GAIN * u2 + self.I_BIAS + self.I_PREV_BOOST * prev_hot
+        l_o = np.full(n, self.O_BIAS)
+        return np.stack([l_b, l_i, l_o], axis=1)
+
+    def predict_topk(
+        self, query_tag: str, tokens: Sequence[str], top_k: int = 1
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """softmax + top-k per token (bert_qasl_predictor.py:73-77).
+
+        Returns ``(indices, probs)`` of shape ``(n, top_k)``, ordered by
+        descending probability.
+        """
+        probs = softmax(self.logits(query_tag, tokens))
+        order = np.argsort(-probs, axis=1, kind="stable")[:, :top_k]
+        return order, np.take_along_axis(probs, order, axis=1)
+
+    def predict_labels(self, query_tag: str, tokens: Sequence[str]) -> List[str]:
+        """Top-1 labels with the query type re-attached:
+        ``f"{lp}-{query_tag}"`` unless O (bert_qasl_predictor.py:92-98)."""
+        idx, _ = self.predict_topk(query_tag, tokens, top_k=1)
+        out = []
+        for i in idx[:, 0].tolist():
+            lp = ID2LABEL[i]
+            out.append(f"{lp}-{query_tag}" if lp != "O" else lp)
+        return out

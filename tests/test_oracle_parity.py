@@ -1,0 +1,93 @@
+"""Mimics the driver's correctness gate: run every ``queries()`` entry under
+Spark AND its ``oracle_sql()`` twin under DuckDB on the same parquet tables;
+compare row count, column names, and order-insensitive values.
+
+Runs at sf0.001 in CI for speed (the driver uses sf0.01; set
+SPARK_GRAFT_TEST_SF_DIR to override).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def all_oracle_cases():
+    import __spark_entry__ as se
+
+    q = se.queries()
+    o = se.oracle_sql()
+    return [(name, q[name], o[name]) for name in sorted(o)]
+
+
+@pytest.mark.parametrize(
+    "name,fn,sql", all_oracle_cases(), ids=[n for n, _, _ in all_oracle_cases()]
+)
+def test_query_matches_oracle(spark, sf_dir, name, fn, sql):
+    sdf = fn(spark, sf_dir)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(sql)
+    d_cols = [c[0].lower() for c in res.description]
+    d_rows = res.fetchall()
+    con.close()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: columns {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), f"{name}: rows {len(s_rows)} vs {len(d_rows)}"
+    assert _rowset(s_cols, s_rows) == _rowset(d_cols, d_rows), f"{name}: value mismatch"
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    """Queries without an oracle still must run and return a stable schema."""
+    import __spark_entry__ as se
+
+    q = se.queries()
+    o = se.oracle_sql()
+    for name in sorted(set(q) - set(o)):
+        df = q[name](spark, sf_dir)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as se
+
+    df = se.entry(spark)
+    assert df.count() > 0
+    assert set(["subj", "pred", "obj"]) <= set(df.columns)
