@@ -24,11 +24,11 @@ QUERIES_REGISTRY: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_REGISTRY: Dict[str, str] = {}
 
 
-def _register(name: str, oracle: str | None = None):
+def _register(name: str, oracle=None):
     def deco(fn):
         QUERIES_REGISTRY[name] = fn
         if oracle is not None:
-            ORACLE_REGISTRY[name] = oracle
+            ORACLE_REGISTRY[name] = oracle() if callable(oracle) else oracle
         return fn
 
     return deco
@@ -74,6 +74,184 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("kg_triples")  # rows-only (depends on scorer kernel)
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(spark, sf_dir).select("subj", "pred", "obj")
+
+
+# ---------------------------------------------------------------------------
+# Span algebra on the SQL-expressible gold annotator (D1/D2/D4/D5, J2, A1/A2)
+# ---------------------------------------------------------------------------
+
+def _gold_prelude() -> str:
+    from .operators.gold import gold_mentions_sql
+
+    return gold_mentions_sql(CORPUS_SQL)
+
+
+def _gold_prio_case() -> str:
+    from .operators.gold import GOLD_PRIORITY
+
+    whens = " ".join(
+        f"WHEN '{t}' THEN {p}" for t, p in GOLD_PRIORITY.items()
+    )
+    return f"CASE type {whens} ELSE -1.0 END"
+
+
+_FLAT_SQL_BODY = """
+dedup AS (SELECT DISTINCT pid, type, start_pos, end_pos, text FROM gold),
+ranked AS (
+  SELECT pid, type, start_pos, end_pos, text,
+         ROW_NUMBER() OVER (PARTITION BY pid, start_pos, end_pos
+                            ORDER BY {prio} DESC, type ASC) AS rk
+  FROM dedup),
+flat AS (SELECT pid, type, start_pos, end_pos, text FROM ranked WHERE rk = 1)
+"""
+
+
+def _spans_long(df: DataFrame) -> DataFrame:
+    return df.select(
+        "pid", "type",
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("end_pos").cast("long").alias("end_pos"),
+        "text",
+    )
+
+
+@_register(
+    "kg_gold_mentions",
+    oracle=lambda: _gold_prelude()
+    + "SELECT pid, type, start_pos, end_pos, text FROM gold",
+)
+def kg_gold_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/W2 analog: token-class annotator -> exploded span rows."""
+    from .operators.gold import gold_mentions
+
+    return _spans_long(gold_mentions(corpus(spark, sf_dir)))
+
+
+@_register(
+    "kg_priority_flat",
+    oracle=lambda: _gold_prelude().rstrip()
+    + ",\n"
+    + _FLAT_SQL_BODY.format(prio=_gold_prio_case())
+    + "SELECT pid, type, start_pos, end_pos, text FROM flat",
+)
+def kg_priority_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 dedup + D4 priority overlap resolution (window rank)."""
+    from .operators.gold import GOLD_PRIORITY, gold_mentions
+    from .operators.priority import flat_projection
+
+    return _spans_long(
+        flat_projection(gold_mentions(corpus(spark, sf_dir)), GOLD_PRIORITY)
+    )
+
+
+@_register(
+    "kg_nested_minus_flat",
+    oracle=lambda: _gold_prelude().rstrip()
+    + ",\n"
+    + _FLAT_SQL_BODY.format(prio=_gold_prio_case())
+    + """
+SELECT pid, type, start_pos, end_pos, text
+FROM (SELECT DISTINCT pid, type, start_pos, end_pos, text FROM gold)
+EXCEPT
+SELECT pid, type, start_pos, end_pos, text FROM flat""",
+)
+def kg_nested_minus_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: nested − flat set difference (left_anti join)."""
+    from .operators.gold import GOLD_PRIORITY, gold_mentions
+    from .operators.priority import flat_projection, nested_minus_flat
+
+    g = gold_mentions(corpus(spark, sf_dir))
+    return _spans_long(nested_minus_flat(g, flat_projection(g, GOLD_PRIORITY)))
+
+
+@_register(
+    "kg_metrics_micro",
+    oracle=lambda: _gold_prelude().rstrip()
+    + ",\n"
+    + _FLAT_SQL_BODY.format(prio=_gold_prio_case())
+    + """,
+g AS (SELECT DISTINCT pid, type, start_pos, end_pos, text FROM gold),
+p AS (SELECT DISTINCT pid, type, start_pos, end_pos, text FROM flat),
+c AS (SELECT * FROM p INTERSECT SELECT * FROM g),
+n AS (SELECT (SELECT COUNT(*) FROM c) AS nb_correct,
+             (SELECT COUNT(*) FROM p) AS nb_pred,
+             (SELECT COUNT(*) FROM g) AS nb_true)
+SELECT nb_correct, nb_pred, nb_true,
+       ROUND(CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END, 6) AS precision,
+       ROUND(CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END, 6) AS recall,
+       ROUND(CASE WHEN (CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END
+                      + CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END) > 0
+             THEN 2 * (CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END)
+                    * (CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END)
+                    / ((CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END)
+                     + (CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END))
+             ELSE 0 END, 6) AS f1
+FROM n""",
+)
+def kg_metrics_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: seqeval micro P/R/F1 of the flat projection vs the nested gold."""
+    from .operators.gold import GOLD_PRIORITY, gold_mentions
+    from .operators.metrics import micro_prf
+    from .operators.priority import flat_projection
+
+    g = gold_mentions(corpus(spark, sf_dir))
+    return micro_prf(g, flat_projection(g, GOLD_PRIORITY))
+
+
+@_register(
+    "kg_type_report",
+    oracle=lambda: _gold_prelude().rstrip()
+    + ",\n"
+    + _FLAT_SQL_BODY.format(prio=_gold_prio_case())
+    + """,
+g AS (SELECT DISTINCT pid, type, start_pos, end_pos, text FROM gold),
+p AS (SELECT DISTINCT pid, type, start_pos, end_pos, text FROM flat),
+c AS (SELECT * FROM p INTERSECT SELECT * FROM g),
+per AS (
+  SELECT t.type,
+         COALESCE(tc.n, 0) AS nb_true,
+         COALESCE(pc.n, 0) AS nb_pred,
+         COALESCE(cc.n, 0) AS nb_correct
+  FROM (SELECT type FROM g UNION SELECT type FROM p) t
+  LEFT JOIN (SELECT type, COUNT(*) n FROM g GROUP BY 1) tc USING (type)
+  LEFT JOIN (SELECT type, COUNT(*) n FROM p GROUP BY 1) pc USING (type)
+  LEFT JOIN (SELECT type, COUNT(*) n FROM c GROUP BY 1) cc USING (type)),
+scored AS (
+  SELECT type, nb_true, nb_pred, nb_correct,
+         CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END AS p_raw,
+         CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END AS r_raw
+  FROM per),
+scored2 AS (
+  SELECT *, CASE WHEN p_raw + r_raw > 0 THEN 2 * p_raw * r_raw / (p_raw + r_raw) ELSE 0 END AS f_raw
+  FROM scored)
+SELECT type AS label, ROUND(p_raw, 6) AS precision, ROUND(r_raw, 6) AS recall,
+       ROUND(f_raw, 6) AS f1, nb_true AS support
+FROM scored2
+UNION ALL
+SELECT 'micro avg',
+       ROUND(CASE WHEN SUM(nb_pred) > 0 THEN SUM(nb_correct) / CAST(SUM(nb_pred) AS DOUBLE) ELSE 0 END, 6),
+       ROUND(CASE WHEN SUM(nb_true) > 0 THEN SUM(nb_correct) / CAST(SUM(nb_true) AS DOUBLE) ELSE 0 END, 6),
+       ROUND(CASE WHEN (CASE WHEN SUM(nb_pred) > 0 THEN SUM(nb_correct) / CAST(SUM(nb_pred) AS DOUBLE) ELSE 0 END
+                      + CASE WHEN SUM(nb_true) > 0 THEN SUM(nb_correct) / CAST(SUM(nb_true) AS DOUBLE) ELSE 0 END) > 0
+             THEN 2 * (CASE WHEN SUM(nb_pred) > 0 THEN SUM(nb_correct) / CAST(SUM(nb_pred) AS DOUBLE) ELSE 0 END)
+                    * (CASE WHEN SUM(nb_true) > 0 THEN SUM(nb_correct) / CAST(SUM(nb_true) AS DOUBLE) ELSE 0 END)
+                    / ((CASE WHEN SUM(nb_pred) > 0 THEN SUM(nb_correct) / CAST(SUM(nb_pred) AS DOUBLE) ELSE 0 END)
+                     + (CASE WHEN SUM(nb_true) > 0 THEN SUM(nb_correct) / CAST(SUM(nb_true) AS DOUBLE) ELSE 0 END))
+             ELSE 0 END, 6),
+       SUM(nb_true)
+FROM scored2
+UNION ALL
+SELECT 'macro avg', ROUND(AVG(p_raw), 6), ROUND(AVG(r_raw), 6), ROUND(AVG(f_raw), 6), SUM(nb_true)
+FROM scored2""",
+)
+def kg_type_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-type classification report with micro/macro rollup rows."""
+    from .operators.gold import GOLD_PRIORITY, gold_mentions
+    from .operators.metrics import classification_report
+    from .operators.priority import flat_projection
+
+    g = gold_mentions(corpus(spark, sf_dir))
+    return classification_report(g, flat_projection(g, GOLD_PRIORITY))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,135 @@
+"""seqeval-semantics span metrics as DataFrame aggregations.
+
+Reference semantics (/root/reference/utils/seqhelper/src/eval.py):
+
+* entities are SETS of ``(pid, type, start_pos, end_pos, text)`` tuples
+  (eval.py:124-143 ``_toSet``) — so both sides are deduped before counting;
+* micro: ``nb_correct = |true ∩ pred|``, ``p = correct/pred``,
+  ``r = correct/true``, ``f1 = 2pr/(p+r)``, zero-denominator -> 0
+  (eval.py:16-36, 94-99);
+* per-type report + micro/macro rollup (eval.py:50-92 ``classification_report``;
+  macro = unweighted mean over types present in either side).
+
+The set intersection is an inner equi-join on the full span tuple (J2);
+Spark's partial+final hash aggregation replaces the Python set machinery.
+Zero-division handling deviates from NumPy nan-propagation deliberately:
+0/0 -> 0 on BOTH the Spark and oracle side (documented; the reference's
+published test values are unaffected, see tests/test_metrics.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPAN_KEY = ["pid", "type", "start_pos", "end_pos", "text"]
+
+
+def _as_sets(gold: DataFrame, pred: DataFrame):
+    g = gold.select(*SPAN_KEY).dropDuplicates(SPAN_KEY)
+    p = pred.select(*SPAN_KEY).dropDuplicates(SPAN_KEY)
+    return g, p
+
+
+def micro_prf(gold: DataFrame, pred: DataFrame, digits: int = 6) -> DataFrame:
+    """A1: corpus micro precision/recall/F1 (eval.py:16-36)."""
+    g, p = _as_sets(gold, pred)
+    correct = p.join(g, SPAN_KEY, "inner")
+    counts = (
+        g.agg(F.count(F.lit(1)).alias("nb_true"))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("nb_pred")))
+        .crossJoin(correct.agg(F.count(F.lit(1)).alias("nb_correct")))
+    )
+    pr = F.when(F.col("nb_pred") > 0, F.col("nb_correct") / F.col("nb_pred")).otherwise(F.lit(0.0))
+    rc = F.when(F.col("nb_true") > 0, F.col("nb_correct") / F.col("nb_true")).otherwise(F.lit(0.0))
+    out = counts.select(
+        "nb_correct", "nb_pred", "nb_true",
+        pr.alias("p_raw"), rc.alias("r_raw"),
+    ).select(
+        "nb_correct", "nb_pred", "nb_true",
+        F.round("p_raw", digits).alias("precision"),
+        F.round("r_raw", digits).alias("recall"),
+        F.round(
+            F.when(
+                (F.col("p_raw") + F.col("r_raw")) > 0,
+                2 * F.col("p_raw") * F.col("r_raw") / (F.col("p_raw") + F.col("r_raw")),
+            ).otherwise(F.lit(0.0)),
+            digits,
+        ).alias("f1"),
+    )
+    return out
+
+
+def classification_report(gold: DataFrame, pred: DataFrame, digits: int = 6) -> DataFrame:
+    """A2: per-type rows + 'micro avg' + 'macro avg' rollup rows
+    (eval.py:50-92).  Types are the union of gold/pred types; support is the
+    gold count (eval.py:64)."""
+    g, p = _as_sets(gold, pred)
+    correct = p.join(g, SPAN_KEY, "inner")
+
+    per = (
+        g.groupBy("type").agg(F.count(F.lit(1)).alias("nb_true"))
+        .join(p.groupBy("type").agg(F.count(F.lit(1)).alias("nb_pred")), "type", "full")
+        .join(correct.groupBy("type").agg(F.count(F.lit(1)).alias("nb_correct")), "type", "left")
+        .na.fill(0, ["nb_true", "nb_pred", "nb_correct"])
+    )
+    pr = F.when(F.col("nb_pred") > 0, F.col("nb_correct") / F.col("nb_pred")).otherwise(F.lit(0.0))
+    rc = F.when(F.col("nb_true") > 0, F.col("nb_correct") / F.col("nb_true")).otherwise(F.lit(0.0))
+    per = per.select(
+        "type", "nb_correct", "nb_pred", "nb_true",
+        pr.alias("p_raw"), rc.alias("r_raw"),
+    ).withColumn(
+        "f_raw",
+        F.when(
+            (F.col("p_raw") + F.col("r_raw")) > 0,
+            2 * F.col("p_raw") * F.col("r_raw") / (F.col("p_raw") + F.col("r_raw")),
+        ).otherwise(F.lit(0.0)),
+    )
+
+    type_rows = per.select(
+        F.col("type").alias("label"),
+        F.round("p_raw", digits).alias("precision"),
+        F.round("r_raw", digits).alias("recall"),
+        F.round("f_raw", digits).alias("f1"),
+        F.col("nb_true").alias("support"),
+    )
+
+    totals = per.agg(
+        F.sum("nb_correct").alias("c"),
+        F.sum("nb_pred").alias("pn"),
+        F.sum("nb_true").alias("tn"),
+        F.avg("p_raw").alias("mp"),
+        F.avg("r_raw").alias("mr"),
+        F.avg("f_raw").alias("mf"),
+    )
+    mp = F.when(F.col("pn") > 0, F.col("c") / F.col("pn")).otherwise(F.lit(0.0))
+    mr = F.when(F.col("tn") > 0, F.col("c") / F.col("tn")).otherwise(F.lit(0.0))
+    micro = totals.select(
+        F.lit("micro avg").alias("label"),
+        F.round(mp, digits).alias("precision"),
+        F.round(mr, digits).alias("recall"),
+        F.round(
+            F.when((mp + mr) > 0, 2 * mp * mr / (mp + mr)).otherwise(F.lit(0.0)), digits
+        ).alias("f1"),
+        F.col("tn").alias("support"),
+    )
+    macro = totals.select(
+        F.lit("macro avg").alias("label"),
+        F.round("mp", digits).alias("precision"),
+        F.round("mr", digits).alias("recall"),
+        F.round("mf", digits).alias("f1"),
+        F.col("tn").alias("support"),
+    )
+    return type_rows.unionByName(micro).unionByName(macro)
+
+
+def token_accuracy(gold_tokens: DataFrame, pred_tokens: DataFrame) -> DataFrame:
+    """A3 (eval.py:39-47): elementwise label equality ratio after explode.
+    Inputs: (pid, pos, label) frames."""
+    j = gold_tokens.alias("g").join(
+        pred_tokens.alias("p"), ["pid", "pos"], "inner"
+    )
+    return j.agg(
+        F.round(F.avg((F.col("g.label") == F.col("p.label")).cast("double")), 6).alias("accuracy"),
+        F.count(F.lit(1)).alias("nb_tokens"),
+    )
