@@ -1,0 +1,185 @@
+"""Minimal Iceberg-layout snapshot table (no Iceberg jar in the sandbox —
+same on-disk concepts, swappable for real Iceberg where the runtime exists).
+
+Layout::
+
+    <root>/
+      data/<stage>/bucket=<i>/part-*.parquet     (bucket-partitioned data)
+      snapshots/snap-<seq>.json                  (manifest: per-bucket files,
+                                                  row counts, lineage, metrics)
+      CURRENT                                    (name of live snapshot;
+                                                  atomically replaced)
+
+Reference analog: the FileLock-guarded feature cache keyed by stage
+parameters (/root/reference/utils/feaproducer.py:57-99) and the
+every-10-rows incremental sink (dataTransformer.py:130-132).  Here the unit
+of commit is a *bucket* (hash(doc_id) % n_buckets): a stage that dies mid-run
+resumes by recomputing only the buckets absent from the live manifest
+(anti-join semantics on the bucket manifest), with full per-bucket lineage +
+metrics retained across snapshots — the north rule's "resumable from
+checkpoint with per-partition lineage + metrics".
+
+Commit protocol (single-writer, crash-safe):
+  1. job writes data files under data/<stage>/bucket=<i>/
+  2. a new snapshot JSON (parent -> previous) is written to a temp name
+  3. ``os.replace`` moves it into place, then CURRENT is atomically replaced
+A reader only trusts files listed in the CURRENT manifest, so partially
+written data from a crash is invisible until committed (Iceberg's core
+invariant).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Dict, Optional
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "icetable_bucket"
+
+
+class IceTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- snapshot plumbing --------------------------------------------------
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current_snapshot(self) -> Optional[dict]:
+        cur = self._current_path()
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.root, "snapshots", name)) as f:
+            return json.load(f)
+
+    def _commit(self, snapshot: dict) -> None:
+        seq = snapshot["seq"]
+        name = f"snap-{seq:06d}-{uuid.uuid4().hex[:8]}.json"
+        tmp = os.path.join(self.root, "snapshots", f".tmp-{name}")
+        with open(tmp, "w") as f:
+            json.dump(snapshot, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.root, "snapshots", name))
+        tmp_cur = self._current_path() + ".tmp"
+        with open(tmp_cur, "w") as f:
+            f.write(name)
+        os.replace(tmp_cur, self._current_path())
+
+    # -- stage state --------------------------------------------------------
+    def committed_buckets(self, stage: str) -> Dict[int, dict]:
+        snap = self.current_snapshot()
+        if not snap:
+            return {}
+        st = snap.get("stages", {}).get(stage, {})
+        return {int(k): v for k, v in st.get("buckets", {}).items()}
+
+    def stage_complete(self, stage: str, n_buckets: int) -> bool:
+        return len(self.committed_buckets(stage)) == n_buckets
+
+    # -- write / read -------------------------------------------------------
+    def write_stage(
+        self,
+        df: DataFrame,
+        stage: str,
+        bucket_key: str = "doc_id",
+        n_buckets: int = 16,
+        fail_after_buckets: Optional[int] = None,
+    ) -> dict:
+        """Materialize ``df`` bucket-partitioned; resume-aware.
+
+        Already-committed buckets are pruned from the input (the anti-join on
+        the manifest) and never recomputed.  ``fail_after_buckets`` simulates
+        a mid-stage crash after committing k buckets (test hook: commits a
+        PARTIAL manifest, like a job that died between bucket commits).
+        """
+        t0 = time.time()
+        done = self.committed_buckets(stage)
+        pending = [b for b in range(n_buckets) if b not in done]
+        if not pending:
+            return self.current_snapshot()
+
+        stage_dir = os.path.join(self.root, "data", stage)
+        bucketed = df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int"),
+        ).where(F.col(BUCKET_COL).isin(pending))
+        # one output dir per bucket; Spark writes buckets in parallel
+        tmp_dir = os.path.join(stage_dir, f".job-{uuid.uuid4().hex[:8]}")
+        bucketed.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(tmp_dir)
+
+        wall_ms = int((time.time() - t0) * 1000)
+        new_buckets: Dict[int, dict] = {}
+        for b in pending:
+            src = os.path.join(tmp_dir, f"{BUCKET_COL}={b}")
+            dst = os.path.join(stage_dir, f"bucket={b}")
+            files, rows = [], 0
+            if os.path.isdir(src):
+                os.makedirs(dst, exist_ok=True)
+                for fn in sorted(os.listdir(src)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    os.replace(os.path.join(src, fn), os.path.join(dst, fn))
+                    fp = os.path.join(dst, fn)
+                    rows += pq.ParquetFile(fp).metadata.num_rows
+                    files.append(os.path.relpath(fp, self.root))
+            else:  # empty bucket: still committed (zero rows)
+                os.makedirs(dst, exist_ok=True)
+            new_buckets[b] = {
+                "files": files,
+                "rows": rows,
+                "wall_ms": wall_ms // max(len(pending), 1),
+            }
+            if fail_after_buckets is not None and len(new_buckets) >= fail_after_buckets:
+                break
+        # clean temp job dir remnants
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+        prev = self.current_snapshot() or {"seq": -1, "stages": {}}
+        stages = dict(prev.get("stages", {}))
+        st = dict(stages.get(stage, {"buckets": {}}))
+        buckets = dict(st.get("buckets", {}))
+        buckets.update({str(k): v for k, v in new_buckets.items()})
+        st["buckets"] = buckets
+        st["n_buckets"] = n_buckets
+        st["bucket_key"] = bucket_key
+        stages[stage] = st
+        snapshot = {
+            "seq": prev["seq"] + 1,
+            "parent_seq": prev["seq"],
+            "stages": stages,
+            "lineage": (prev.get("lineage") or [])
+            + [
+                {
+                    "stage": stage,
+                    "committed_buckets": sorted(new_buckets),
+                    "rows": sum(v["rows"] for v in new_buckets.values()),
+                    "wall_ms": wall_ms,
+                }
+            ],
+        }
+        self._commit(snapshot)
+        return snapshot
+
+    def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
+        """Read only the files listed in the CURRENT manifest."""
+        snap = self.current_snapshot()
+        if not snap or stage not in snap.get("stages", {}):
+            raise FileNotFoundError(f"stage {stage} has no committed snapshot")
+        files = []
+        for b in snap["stages"][stage]["buckets"].values():
+            files.extend(os.path.join(self.root, f) for f in b["files"])
+        if not files:
+            raise FileNotFoundError(f"stage {stage} committed but empty")
+        return spark.read.parquet(*files).drop(BUCKET_COL)

@@ -1,0 +1,281 @@
+"""Entity linking + LSH canonicalization (north-rule stages on top of the
+reference's mention stream).
+
+Reference analogs (SURVEY.md §2.10): exact-dup merge = D1
+(dataAugmentator.py:59-69); cross-source conflict resolution = D4; canonical
+naming = the demo's code->name projection (demo/app.py:86-92).  The
+similarity machinery itself is new design, built Spark-first:
+
+  mentions
+    -> distinct surface forms + frequency            (groupBy, map-side combine)
+    -> char 3-gram shingles -> MinHash signatures    (Arrow-batched pandas UDF;
+                                                      k=32 universal hashes over
+                                                      crc32(shingle))
+    -> LSH bands (b=8, r=4) -> posexplode            (band bucket key)
+    -> per-bucket candidate pairs                    (groupBy band key;
+                                                      **skew-safe**: buckets up
+                                                      to PAIR_CAP emit all
+                                                      pairs, oversized buckets
+                                                      emit a sorted chain of
+                                                      consecutive pairs — O(n)
+                                                      edges that preserve
+                                                      connectivity for the
+                                                      connected-components pass,
+                                                      instead of O(n^2) pair
+                                                      blow-up on head surfaces)
+    -> Jaccard verification join (>= threshold)      (array_intersect/union on
+                                                      exact shingle sets)
+    -> connected components                          (iterative min-component
+                                                      propagation, bounded)
+    -> canonical election                            (max mention count, then
+                                                      lexicographically min
+                                                      surface — total order, so
+                                                      partition-order
+                                                      independent)
+
+Surface ids are ``xxhash64(text)`` (stable across runs and cluster sizes —
+``monotonically_increasing_id`` would NOT be resume-safe).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # MINHASH_K == LSH_BANDS * LSH_ROWS
+SHINGLE_N = 3
+PAIR_CAP = 64  # buckets beyond this emit chain pairs (skew guard)
+_P = (1 << 61) - 1  # Mersenne prime for universal hashing
+
+# deterministic hash-family parameters (seeded, fixed)
+_rng = np.random.RandomState(20210823)
+_A = _rng.randint(1, _P, size=MINHASH_K, dtype=np.int64)
+_B = _rng.randint(0, _P, size=MINHASH_K, dtype=np.int64)
+
+
+def shingles(text: str, n: int = SHINGLE_N) -> List[str]:
+    t = text if len(text) >= n else text + "\x00" * (n - len(text))
+    return list({t[i : i + n] for i in range(len(t) - n + 1)})
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    sh = shingles(text)
+    x = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in sh), dtype=np.int64, count=len(sh)
+    )
+    # h_i(x) = (a_i * x + b_i) mod P, min over shingles
+    vals = (_A[None, :] * x[:, None] + _B[None, :]) % _P
+    return vals.min(axis=0)
+
+
+_SIG_SCHEMA = StructType(
+    [
+        StructField("surface_id", LongType()),
+        StructField("text", StringType()),
+        StructField("n_mentions", LongType()),
+        StructField("sig", ArrayType(LongType())),
+        StructField("shingle_hashes", ArrayType(LongType())),
+    ]
+)
+
+
+def surface_signatures(mentions: DataFrame) -> DataFrame:
+    """Distinct surfaces with frequency, MinHash signature, shingle set."""
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(mentions.sparkSession)
+
+    surfaces = (
+        mentions.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .withColumn("surface_id", F.xxhash64("text"))
+    )
+
+    def add_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs, shs = [], []
+            for t in pdf["text"]:
+                sh = shingles(t)
+                x = np.fromiter(
+                    (zlib.crc32(s.encode("utf-8")) for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                vals = (_A[None, :] * x[:, None] + _B[None, :]) % _P
+                sigs.append(vals.min(axis=0).tolist())
+                shs.append(sorted(int(v) for v in set(x.tolist())))
+            yield pd.DataFrame(
+                {
+                    "surface_id": pdf["surface_id"],
+                    "text": pdf["text"],
+                    "n_mentions": pdf["n_mentions"],
+                    "sig": sigs,
+                    "shingle_hashes": shs,
+                }
+            )
+
+    return surfaces.mapInPandas(add_sig, _SIG_SCHEMA)
+
+
+def candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banding -> (band, band_hash) buckets -> skew-capped pair emission."""
+    bands = sigs.select(
+        "surface_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("sig", 1 + b * LSH_ROWS, LSH_ROWS))
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    grouped = bands.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_set("surface_id")).alias("members")
+    ).where(F.size("members") > 1)
+
+    # small buckets: all pairs; oversized buckets: consecutive chain pairs
+    # (connectivity-preserving O(n) fallback for skewed head buckets)
+    all_pairs = (
+        grouped.where(F.size("members") <= PAIR_CAP)
+        .select(F.explode(_pairs_expr()).alias("pr"))
+        .select(F.col("pr.a").alias("src"), F.col("pr.b").alias("dst"))
+    )
+    chain_pairs = (
+        grouped.where(F.size("members") > PAIR_CAP)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("members", 1, F.size("members") - 1),
+                    F.slice("members", 2, F.size("members") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.a").alias("src"), F.col("pr.b").alias("dst"))
+    )
+    return all_pairs.unionByName(chain_pairs).dropDuplicates(["src", "dst"])
+
+
+def _pairs_expr():
+    # all i<j pairs from the sorted members array, as SQL higher-order fns
+    return F.expr(
+        """
+        flatten(transform(members, (x, i) ->
+          transform(slice(members, i + 2, size(members)), y ->
+            named_struct('a', x, 'b', y))))
+        """
+    )
+
+
+def verified_edges(sigs: DataFrame, pairs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over shingle-hash sets for candidate pairs (J2-style
+    equi-joins; the shingle arrays ride along, no re-tokenization)."""
+    s = sigs.select("surface_id", "shingle_hashes")
+    j = (
+        pairs.join(s.withColumnRenamed("surface_id", "src").withColumnRenamed("shingle_hashes", "sh_a"), "src")
+        .join(s.withColumnRenamed("surface_id", "dst").withColumnRenamed("shingle_hashes", "sh_b"), "dst")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 12
+) -> DataFrame:
+    """Iterative min-id propagation (deterministic; clusters here are small,
+    so convergence is fast; localCheckpoint bounds lineage growth).
+
+    vertices: (surface_id); edges: (src, dst) undirected.
+    Returns (surface_id, component).
+    """
+    bidir = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = vertices.select(
+        "surface_id", F.col("surface_id").alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _i in range(max_iter):
+        neighbor_min = (
+            bidir.join(labels, bidir.src == labels.surface_id, "inner")
+            .groupBy(F.col("dst").alias("surface_id"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "surface_id", "left")
+            .select(
+                "surface_id",
+                F.least(
+                    F.col("component"), F.coalesce("n_comp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "surface_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(mentions: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """Full linking stage: mentions -> (text, canonical_text, component).
+
+    Canonical election is a total order (mention count desc, surface asc) so
+    the result is independent of partitioning and cluster size.
+    """
+    sigs = surface_signatures(mentions)
+    pairs = candidate_pairs(sigs)
+    edges = verified_edges(sigs, pairs, jaccard_threshold)
+    comps = connected_components(sigs.select("surface_id"), edges)
+
+    labeled = sigs.select("surface_id", "text", "n_mentions").join(
+        comps, "surface_id", "left"
+    ).withColumn("component", F.coalesce("component", F.col("surface_id")))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_mentions"), F.asc("text")
+    )
+    canon = (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(F.col("component"), F.col("text").alias("canonical_text"))
+    )
+    return labeled.join(canon, "component").select(
+        "text", "canonical_text", "component", "n_mentions"
+    )
+
+
+def canonical_triples(mentions: DataFrame, canon_map: DataFrame) -> DataFrame:
+    """Graph materialization: (doc:<id>, hasEntityType:<type>, canonical)."""
+    m = mentions.join(canon_map.select("text", "canonical_text"), "text", "left")
+    return m.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.concat(F.lit("hasEntityType:"), F.col("type")).alias("pred"),
+        F.coalesce("canonical_text", "text").alias("obj"),
+        "doc_id", "repo", "content_sha", "type", "start_pos", "end_pos",
+        F.col("text").alias("surface"),
+    )

@@ -1,0 +1,141 @@
+"""Entity linking + canonicalization tests: recall of the LSH blocking vs a
+brute-force oracle, determinism under different partitioning, and canonical
+election total-ordering."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from ehr_ner_spark.operators.linking import (
+    canonical_triples,
+    canonicalize,
+    candidate_pairs,
+    connected_components,
+    minhash_signature,
+    shingles,
+    surface_signatures,
+    verified_edges,
+)
+
+
+def _mentions_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, repo string, content_sha string, type string,"
+        " start_pos int, end_pos int, text string"
+    )
+
+
+SURFACES = [
+    # alias cluster 1: shared long prefix -> high jaccard
+    "aspirin100mg", "aspirin100mgx", "aspirin100m",
+    # alias cluster 2
+    "chemotherapy", "chemotherapyy",
+    # singletons
+    "sort", "window", "value",
+]
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    rows = []
+    for i, s in enumerate(SURFACES):
+        # vary frequency: earlier surfaces more frequent
+        for k in range(len(SURFACES) - i):
+            rows.append((100 + k, "repo_1", "sha", "DTN", i, i, s))
+    return _mentions_df(spark, rows)
+
+
+def _uf_clusters(surfaces, threshold=0.5):
+    parent = {s: s for s in surfaces}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    def jac(a, b):
+        sa, sb = set(shingles(a)), set(shingles(b))
+        return len(sa & sb) / len(sa | sb)
+
+    for a, b in itertools.combinations(surfaces, 2):
+        if jac(a, b) >= threshold:
+            union(a, b)
+    out = {}
+    for s in surfaces:
+        out.setdefault(find(s), set()).add(s)
+    return {frozenset(v) for v in out.values()}
+
+
+def test_canonicalize_matches_bruteforce(spark, mentions):
+    canon = canonicalize(mentions).collect()
+    got = {}
+    for r in canon:
+        got.setdefault(r.component, set()).add(r.text)
+    got_clusters = {frozenset(v) for v in got.values()}
+    expected = _uf_clusters(SURFACES)
+    assert got_clusters == expected
+
+
+def test_canonical_is_most_frequent_then_lexmin(spark, mentions):
+    canon = {r.text: r.canonical_text for r in canonicalize(mentions).collect()}
+    # cluster 1: 'aspirin100mg' is the most frequent member
+    assert canon["aspirin100mgx"] == "aspirin100mg"
+    assert canon["aspirin100m"] == "aspirin100mg"
+    assert canon["chemotherapyy"] == "chemotherapy"
+    assert canon["sort"] == "sort"
+
+
+def test_determinism_across_partitioning(spark, mentions):
+    a = sorted(
+        (r.text, r.canonical_text)
+        for r in canonicalize(mentions.repartition(1)).collect()
+    )
+    b = sorted(
+        (r.text, r.canonical_text)
+        for r in canonicalize(mentions.repartition(7, "text")).collect()
+    )
+    assert a == b
+
+
+def test_minhash_lsh_recall():
+    """Identical signatures for identical strings; near-dups collide in at
+    least one band with overwhelming probability at J>=0.8."""
+    import numpy as np
+
+    a = minhash_signature("aspirin100mg")
+    b = minhash_signature("aspirin100mg")
+    assert (a == b).all()
+    c = minhash_signature("aspirin100mgx")
+    agree = float((a == c).mean())
+    assert agree > 0.5  # J(a, c) ~ 11/13
+
+
+def test_connected_components_chain(spark):
+    v = spark.createDataFrame([(i,) for i in range(6)], "surface_id long")
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "src long, dst long"
+    )
+    comps = {r.surface_id: r.component for r in connected_components(v, e).collect()}
+    assert comps[0] == comps[1] == comps[2] == 0
+    assert comps[3] == comps[4] == 3
+    assert comps[5] == 5
+
+
+def test_canonical_triples_shape(spark, mentions):
+    cm = canonicalize(mentions)
+    t = canonical_triples(mentions, cm)
+    rows = t.collect()
+    assert len(rows) == mentions.count()
+    assert all(r.subj.startswith("doc:") for r in rows)
+    assert all(r.pred == "hasEntityType:DTN" for r in rows)
+    m = {r.surface: r.obj for r in rows}
+    assert m["aspirin100m"] == "aspirin100mg"

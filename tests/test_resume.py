@@ -1,0 +1,77 @@
+"""Checkpoint/resume gate (north rule): kill mid-stage, resume, and the final
+triples must be byte-identical to an uninterrupted run; already-committed
+buckets must not be recomputed."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ehr_ner_spark.io.icetable import IceTable
+from ehr_ner_spark.pipeline import run_pipeline
+
+
+def _triples_set(df):
+    return {
+        (r.subj, r.pred, r.obj, r.start_pos, r.end_pos, r.content_sha)
+        for r in df.collect()
+    }
+
+
+def test_kill_resume_identical(spark, sf_dir, tmp_path):
+    clean_root = str(tmp_path / "clean")
+    crash_root = str(tmp_path / "crash")
+
+    golden = _triples_set(
+        run_pipeline(spark, sf_dir, clean_root, n_buckets=8, num_partitions=4)
+    )
+    assert golden
+
+    # crash after 3 of 8 mention buckets
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(
+            spark, sf_dir, crash_root, n_buckets=8, num_partitions=4,
+            fail_after={"mentions": 3},
+        )
+    t = IceTable(crash_root)
+    committed = set(t.committed_buckets("mentions"))
+    assert len(committed) == 3
+    snap_seq_after_crash = t.current_snapshot()["seq"]
+
+    # crash again later, in the canon stage
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(
+            spark, sf_dir, crash_root, n_buckets=8, num_partitions=4,
+            fail_after={"canon": 2},
+        )
+    t2 = IceTable(crash_root)
+    assert len(t2.committed_buckets("mentions")) == 8
+    assert len(t2.committed_buckets("canon")) == 2
+    # the 3 pre-crash mention buckets were NOT rewritten: their manifest
+    # entries (file lists) survive unchanged in the lineage chain
+    assert set(t2.committed_buckets("mentions")) >= committed
+
+    # final resume completes the run
+    resumed = _triples_set(
+        run_pipeline(spark, sf_dir, crash_root, n_buckets=8, num_partitions=4)
+    )
+    assert resumed == golden
+
+    # lineage recorded one entry per (re)start of each stage
+    lineage = IceTable(crash_root).current_snapshot()["lineage"]
+    stages = [e["stage"] for e in lineage]
+    assert stages.count("mentions") == 2  # partial + completion
+    assert stages.count("canon") == 2
+    assert all("rows" in e and "wall_ms" in e for e in lineage)
+    assert IceTable(crash_root).current_snapshot()["seq"] > snap_seq_after_crash
+
+
+def test_rerun_is_noop(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "noop")
+    first = run_pipeline(spark, sf_dir, root, n_buckets=4, num_partitions=4)
+    seq1 = IceTable(root).current_snapshot()["seq"]
+    second = run_pipeline(spark, sf_dir, root, n_buckets=4, num_partitions=4)
+    seq2 = IceTable(root).current_snapshot()["seq"]
+    assert seq1 == seq2  # nothing recomputed, no new snapshot
+    assert _triples_set(first) == _triples_set(second)
