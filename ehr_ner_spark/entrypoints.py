@@ -71,6 +71,25 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("kg_augment")  # scorer kernel (top-2 get-back): rows-only
+def kg_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/D3: top-2 'get-back' corpus augmentation (dataAugmentator.py)."""
+    from .operators.augment import augment_corpus
+
+    return augment_corpus(corpus(spark, sf_dir), p_times=1.1, num_partitions=8)
+
+
+@_register("kg_featurize")  # hash-vocab featurizer: rows-only
+def kg_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6: (doc x query) InputFeatures table (512-length invariants)."""
+    from .operators.featurize import featurize_corpus
+    from .operators.gold import gold_mentions
+
+    c = corpus(spark, sf_dir)
+    # 128 keeps the registry run light; tests cover the 512 contract
+    return featurize_corpus(c, gold_spans=gold_mentions(c), max_seq_length=128)
+
+
 @_register("kg_triples")  # rows-only (depends on scorer kernel)
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(spark, sf_dir).select("subj", "pred", "obj")
@@ -252,6 +271,199 @@ def kg_type_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = gold_mentions(corpus(spark, sf_dir))
     return classification_report(g, flat_projection(g, GOLD_PRIORITY))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / text analysis / similarity / mm)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ds_exact_dedup",
+    oracle="""
+    SELECT d.doc_id, g.canonical_doc_id, g.group_size
+    FROM documents d
+    JOIN (SELECT text, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS group_size
+          FROM documents GROUP BY text) g USING (text)
+    """,
+)
+def ds_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ds_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(len(string_split(text, ' ')) - 2),
+                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
+               )) AS shingle
+        FROM documents)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT src, dst,
+           ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = src
+    JOIN sizes sb ON sb.doc_id = dst
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def ds_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@_register(
+    "ds_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+'))                       AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           length(text)                                                     AS n_chars
+    FROM documents
+    """,
+)
+def ds_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@_register(
+    "ds_quality",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS words,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             ROUND(n_chars / CAST(len(words) AS DOUBLE), 6) AS mean_word_len,
+             ROUND(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+                   / CAST(len(words) AS DOUBLE), 6) AS stopword_ratio,
+             ROUND(n_digit / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
+             ROUND(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio
+      FROM base)
+    SELECT *,
+           ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+               + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+               + (1.0 - LEAST(digit_ratio * 10.0, 1.0)) * 0.15
+               + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.15, 6) AS quality
+    FROM feat
+    """,
+)
+def ds_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents")).withColumn(
+        "n_words", F.col("n_words").cast("long")
+    )
+
+
+@_register(
+    "ds_fingerprint",
+    oracle=r"""
+    SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS md5_fp
+    FROM documents
+    """,
+)
+def ds_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "md5_fp")
+
+
+_ANN_QUERY_IDS = list(range(10))
+
+
+@_register(
+    "ds_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.q_emb AS DOUBLE[])) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, vec_id, ROUND(cos, 3) AS score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ds_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    return brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@_register("ds_lsh_ann")  # approximate; recall gate lives in pytest
+def ds_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+@_register("ds_minhash_dedup")  # CRC/MinHash kernel: pytest parity
+def ds_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@_register("ds_simhash_pairs")  # bit kernel: pytest parity
+def ds_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_dedup
+
+    return simhash_dedup(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@_register("ds_lang_id")  # heuristic scorer: rows-only
+def ds_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_register("mm_features")  # stub decoder: rows-only (plumbing check)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 48))
+
+
+@_register("mm_frames")  # stub decoder: rows-only (plumbing check)
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 48))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,95 @@
+"""CRF Viterbi decode kernel (W4) with class-weight emission scaling (W6).
+
+Reference: the BiLSTM-CRF model variants decode with
+``crf.decode(emissions = logits * class_weights)``
+(/root/reference/api/bert_qasl_predictor.py:66-69); the Viterbi itself is the
+standard max-product DP with start/end/transition scores and backtrace
+(/root/reference/models/crf_layer.py:264-340).  Training-time forward/
+log-likelihood (crf_layer.py:60-262) is a non-goal — the engine consumes
+fixed parameters.
+
+Parameters here are deterministic stand-ins for trained weights (seeded),
+shaped exactly like torchcrf's: ``start_transitions (T,)``,
+``end_transitions (T,)``, ``transitions (T, T)`` over the QASL tag space
+``{B, I, O}``."""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from .scorer import CLASS_WEIGHTS
+
+N_TAGS = 3  # B, I, O
+
+_rng = np.random.RandomState(11)
+START_TRANSITIONS = _rng.uniform(-0.1, 0.1, N_TAGS)
+END_TRANSITIONS = _rng.uniform(-0.1, 0.1, N_TAGS)
+TRANSITIONS = _rng.uniform(-0.1, 0.1, (N_TAGS, N_TAGS))
+# encode IOB2 structure the way a trained CRF would: O->I strongly penalized,
+# B->I / I->I favored (values fixed, deterministic)
+TRANSITIONS[2, 1] -= 3.0   # O -> I
+TRANSITIONS[0, 1] += 1.5   # B -> I
+TRANSITIONS[1, 1] += 1.0   # I -> I
+START_TRANSITIONS[1] -= 3.0  # can't start with I
+
+
+def viterbi_decode(
+    emissions: np.ndarray,
+    mask: Sequence[bool] | None = None,
+    class_weights: np.ndarray | None = CLASS_WEIGHTS,
+) -> List[int]:
+    """Single-sequence Viterbi over ``(seq_len, N_TAGS)`` emissions.
+
+    ``class_weights`` multiplies emissions first (W6,
+    bert_qasl_predictor.py:67); pass None to skip."""
+    em = np.asarray(emissions, dtype=np.float64)
+    if class_weights is not None:
+        em = em * np.asarray(class_weights, dtype=np.float64)
+    n = em.shape[0]
+    if mask is not None:
+        keep = np.asarray(mask, dtype=bool)
+        em = em[keep]
+        n = em.shape[0]
+    if n == 0:
+        return []
+
+    score = START_TRANSITIONS + em[0]
+    history = np.zeros((n - 1, N_TAGS), dtype=np.int64) if n > 1 else None
+    for i in range(1, n):
+        # broadcast: score[prev] + transitions[prev, cur] + emission[cur]
+        combined = score[:, None] + TRANSITIONS + em[i][None, :]
+        best_prev = combined.argmax(axis=0)
+        score = combined[best_prev, np.arange(N_TAGS)]
+        history[i - 1] = best_prev
+    score = score + END_TRANSITIONS
+
+    best_last = int(score.argmax())
+    path = [best_last]
+    for i in range(n - 2, -1, -1):
+        path.append(int(history[i][path[-1]]))
+    path.reverse()
+    return path
+
+
+def viterbi_decode_bruteforce(
+    emissions: np.ndarray,
+    class_weights: np.ndarray | None = CLASS_WEIGHTS,
+) -> List[int]:
+    """Exponential-time oracle for tests: enumerate every tag sequence."""
+    import itertools
+
+    em = np.asarray(emissions, dtype=np.float64)
+    if class_weights is not None:
+        em = em * np.asarray(class_weights, dtype=np.float64)
+    n = em.shape[0]
+    best, best_score = None, -np.inf
+    for seq in itertools.product(range(N_TAGS), repeat=n):
+        s = START_TRANSITIONS[seq[0]] + em[0, seq[0]]
+        for i in range(1, n):
+            s += TRANSITIONS[seq[i - 1], seq[i]] + em[i, seq[i]]
+        s += END_TRANSITIONS[seq[-1]]
+        if s > best_score:
+            best, best_score = list(seq), s
+    return best

@@ -1,0 +1,109 @@
+"""Dedup family correctness: exact groups, MinHash-LSH vs brute force,
+SimHash Hamming pairs vs brute force."""
+
+from __future__ import annotations
+
+import itertools
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ehr_ner_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup,
+)
+from ehr_ner_spark.operators.linking import shingles
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),     # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),     # near dup
+    (3, "spark window functions shuffle partitions nicely"),
+    (4, "spark window functions shuffle partitions nicely today"),  # near dup of 3
+    (5, "completely different content about databases"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.doc_id: (r.canonical_doc_id, r.group_size) for r in exact_dedup(docs).collect()}
+    assert out[0] == (0, 2) and out[1] == (0, 2)
+    assert out[3] == (3, 1)
+    assert len(out) == 6
+
+
+def test_minhash_clusters_match_bruteforce(spark, docs):
+    threshold = 0.6
+
+    def jac(a, b):
+        sa, sb = set(shingles(a)), set(shingles(b))
+        return len(sa & sb) / len(sa | sb)
+
+    # brute-force union-find over doc texts
+    parent = {i: i for i, _ in DOCS}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for (i, a), (j, b) in itertools.combinations(DOCS, 2):
+        if jac(a, b) >= threshold:
+            parent[max(find(i), find(j))] = min(find(i), find(j))
+    expected = {}
+    for i, _ in DOCS:
+        expected.setdefault(find(i), set()).add(i)
+    expected_clusters = {frozenset(v) for v in expected.values()}
+
+    got = {}
+    for r in minhash_lsh_dedup(docs, threshold=threshold).collect():
+        got.setdefault(r.component, set()).add(r.doc_id)
+    got_clusters = {frozenset(v) for v in got.values()}
+    assert got_clusters == expected_clusters
+
+
+def test_simhash_pairs_match_bruteforce(spark, docs):
+    max_h = 8
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    def pop(x):
+        return bin(x & ((1 << 64) - 1)).count("1")
+
+    # brute force: pairs within Hamming<=max_h whose simhashes share a 16-bit band
+    expected = set()
+    for i, j in itertools.combinations(sorted(sh), 2):
+        h = pop(sh[i] ^ sh[j])
+        shares_band = any(
+            ((sh[i] >> (16 * b)) & 0xFFFF) == ((sh[j] >> (16 * b)) & 0xFFFF)
+            for b in range(4)
+        )
+        if h <= max_h and shares_band:
+            expected.add((i, j, h))
+    got = {(r.src, r.dst, r.hamming) for r in simhash_dedup(docs, max_hamming=max_h).collect()}
+    assert got == expected
+    # identical docs: Hamming 0, always found
+    assert (0, 1, 0) in got
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {r.doc_id: r.simhash for r in simhash(docs.repartition(1)).collect()}
+    b = {r.doc_id: r.simhash for r in simhash(docs.repartition(5)).collect()}
+    assert a == b
+
+
+def test_ngram_jaccard_values(spark, docs):
+    got = {(r.src, r.dst): r.jaccard for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    # exact dups: J=1.0
+    assert got[(0, 1)] == 1.0
+    # doc 3 vs 4: 4 shingles vs 5, 4 common -> J = 4/5 = 0.8
+    assert got[(3, 4)] == 0.8
+    assert (0, 5) not in got

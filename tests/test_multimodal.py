@@ -1,0 +1,45 @@
+"""Multimodal plumbing: schema/batch shape of the decode -> feature and
+frame-sampling UDFs (the decoder itself is a documented deterministic stub)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ehr_ner_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+
+
+def test_feature_extraction_shape(spark):
+    media = synth_media(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.feat) == 16
+        assert 0.0 <= r.mean_luma <= 255.0
+
+
+def test_feature_determinism(spark):
+    media = synth_media(spark, 12)
+    a = sorted((r.media_id, tuple(r.feat)) for r in extract_features(media).collect())
+    b = sorted(
+        (r.media_id, tuple(r.feat))
+        for r in extract_features(media.repartition(5)).collect()
+    )
+    assert a == b
+
+
+def test_frame_sampling(spark):
+    media = synth_media(spark, 30)
+    frames = sample_frames(media, every_ms=500).collect()
+    videos = {r.media_id: r.duration_ms for r in media.collect() if r.kind == "video"}
+    assert {r.media_id for r in frames} == set(videos)
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        assert len(rows) == len(range(0, videos[mid], 500))
+        assert sorted(r.frame_idx for r in rows) == list(range(len(rows)))
+        assert len({r.frame_sha for r in rows}) == len(rows)

@@ -1,0 +1,71 @@
+"""Structured Streaming: the batch operators running incrementally
+(file source + availableNow trigger), with results equal to the batch run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ehr_ner_spark.streaming.jobs import streaming_event_counts, streaming_mentions
+
+
+def test_streaming_event_counts_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "events_src")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.write.parquet(src)
+
+    out = streaming_event_counts(spark, src, events.schema)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evt_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM evt_counts").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): r.n_events
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_mentions_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    docs.write.parquet(src)
+
+    batches = []
+
+    def sink(df, batch_id):
+        batches.append(
+            {(r.doc_id, r.type, r.start_pos, r.end_pos, r.text) for r in df.collect()}
+        )
+
+    q = streaming_mentions(spark, src, docs.schema, sink)
+    q.awaitTermination(300)
+
+    got = set().union(*batches) if batches else set()
+
+    from ehr_ner_spark.operators.mention_detect import detect_mentions
+
+    corpus_like = spark.read.parquet(src).select(
+        "doc_id",
+        F.lit("stream").alias("repo"),
+        F.sha2("text", 256).alias("content_sha"),
+        F.col("text").alias("content"),
+    )
+    expected = {
+        (r.doc_id, r.type, r.start_pos, r.end_pos, r.text)
+        for r in detect_mentions(corpus_like, num_partitions=4).collect()
+    }
+    assert got == expected and len(got) > 0
