@@ -64,6 +64,41 @@ def _sink(df) -> int:
     return 0
 
 
+def _run_scoring(spark, sf_dir: str, rep: int) -> tuple[float, int]:
+    """Throughput of the compute-bound stage (battery scoring + decode) —
+    the stage that dominates at 100 TB.  ``rep`` replicates the corpus so
+    core-time dwarfs fixed job overhead at both parallelism levels (same
+    input, same rep at both levels -> same job)."""
+    from pyspark.sql import functions as F
+
+    from ehr_ner_spark.corpus import corpus
+    from ehr_ner_spark.operators.mention_detect import detect_mentions
+
+    par = spark.sparkContext.defaultParallelism
+    c = corpus(spark, sf_dir).select("doc_id", "repo", "content_sha", "content")
+    # repartition the small corpus FIRST, replicate map-side after (the
+    # broadcast range join preserves partitioning) — on one box the shuffle
+    # disk is a serial resource, so shuffling rep x content would measure
+    # the disk, not the engine; on a real cluster shuffle scales with
+    # executors and the replication wouldn't exist at all
+    big = (
+        c.repartition(4 * par, "doc_id")
+        .crossJoin(F.broadcast(spark.range(rep).select(F.col("id").alias("rep_id"))))
+        .drop("rep_id")
+    )
+    n_rows = big.count()
+    # warm-up: spawn/reuse the Python workers + ship the pyfiles zip once,
+    # so the timed region measures steady-state throughput (a cluster's
+    # executors are long-lived; per-job worker spawn is not the workload)
+    _sink(detect_mentions(c.limit(4 * par), num_partitions=par))
+    best = float("inf")
+    for _ in range(2):  # min-of-2: shields against machine noise
+        t0 = time.time()
+        _sink(detect_mentions(big, num_partitions=0))
+        best = min(best, time.time() - t0)
+    return best, n_rows
+
+
 def _run_flagship(spark, sf_dir: str) -> float:
     from ehr_ner_spark.corpus import corpus
     from ehr_ner_spark.operators.linking import canonical_triples, canonicalize
@@ -78,6 +113,62 @@ def _run_flagship(spark, sf_dir: str) -> float:
     dt = time.time() - t0
     m.unpersist()
     return dt
+
+
+def _hw_calibration(lo: int = 8, hi: int = 32, n_iter: int = 1500) -> dict:
+    """Raw multiprocessing scaling of THIS box on a numpy+crc mix that
+    mirrors the scorer kernel — the ceiling any engine can reach here.
+    The sandbox VM's all-core throughput fluctuates (shared host), so each
+    bench run carries its own calibration; spark_eff/hw_eff isolates the
+    engine's overhead from the machine's."""
+    import multiprocessing as mp
+
+    def run(procs: int) -> float:
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_hw_work, [n_iter] * procs)
+        return procs * n_iter / (time.time() - t0)
+
+    r_lo, r_hi = run(lo), run(hi)
+    return {
+        "lo_procs": lo, "hi_procs": hi,
+        "lo_ops_per_sec": round(r_lo, 1),
+        "hi_ops_per_sec": round(r_hi, 1),
+        "hw_efficiency": round((r_hi / r_lo) / (hi / lo), 3),
+    }
+
+
+def _hw_work(n_iter: int) -> int:
+    import zlib
+
+    import numpy as np
+
+    h = 0
+    a = np.arange(20000, dtype=np.int64)
+    for i in range(n_iter):
+        h ^= zlib.crc32(str(i).encode() * 20)
+        _ = ((a * 1103515245 + 12345) % 997).sum()
+    return h
+
+
+def _scaling_child_run(cores: int, rep: int) -> tuple[float, int]:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-child",
+         str(cores), str(rep)],
+        capture_output=True, text=True, check=True,
+    )
+    line = proc.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    return d["sec"], d["n_rows"]
+
+
+def _scaling_child(cores: int, rep: int) -> None:
+    spark = _session(cores)
+    sec, n_rows = _run_scoring(spark, SF_DIR, rep)
+    spark.stop()
+    print(json.dumps({"sec": sec, "n_rows": n_rows}))
 
 
 def main() -> None:
@@ -101,16 +192,27 @@ def main() -> None:
 
     scaling = None
     if DO_SCALING:
-        s8 = _session(8)
-        t8 = _run_flagship(s8, SF_DIR)
-        s8.stop()
-        s32 = _session(32)
-        t32 = _run_flagship(s32, SF_DIR)
-        s32.stop()
+        # rep sized so scoring core-time (~2.2 ms/doc) dwarfs session fixed
+        # costs (python-worker spawn, zip ship) at BOTH parallelism levels
+        rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "64"))
+        # each level runs in its own subprocess: one JVM per measurement
+        # (a stopped SparkContext leaves GC/daemon residue that pollutes the
+        # next session's timing in-process)
+        hw = _hw_calibration()
+        t8, n_rows = _scaling_child_run(8, rep)
+        t32, _ = _scaling_child_run(32, rep)
+        eff = (t8 / t32) / 4.0
         scaling = {
+            "stage": "battery scoring + IOB2 decode (mapInPandas)",
+            "rep": rep,
+            "n_docs_scored": n_rows,
             "local8_sec": round(t8, 3),
             "local32_sec": round(t32, 3),
-            "efficiency": round((t8 / t32) / 4.0, 3),
+            "local8_docs_per_sec": round(n_rows / t8, 1),
+            "local32_docs_per_sec": round(n_rows / t32, 1),
+            "efficiency": round(eff, 3),
+            "hw_calibration": hw,
+            "efficiency_vs_hw": round(eff / hw["hw_efficiency"], 3),
         }
 
     total = round(sum(timings.values()), 3)
@@ -129,4 +231,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

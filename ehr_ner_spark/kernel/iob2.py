@@ -96,3 +96,52 @@ def decode_bio(tokens: Sequence[str], labels: Sequence[str], pid: int = 0) -> Li
     for b, e in zip(begins.tolist(), end_idx.tolist()):
         out.append((pid, types[e - 1], int(b), int(e - 1), "".join(toks[b:e])))
     return out
+
+
+def decode_bio_uniform(
+    tokens: Sequence[str], tags: np.ndarray, qtag: str, pid: int = 0
+) -> List[Span]:
+    """Fast path of :func:`decode_bio` for the QASL battery case where every
+    non-O label carries the SAME type (the query's tag, re-attached via F3).
+
+    With one type, the scheme tables collapse to::
+
+        end   = prev in {B, I} and cur in {B, O}
+        start = cur == B or (cur == I and prev == O)
+
+    (derived from the general masks by substituting type(X) = qtag for
+    X in {B, I} and "" for O).  Verified equal to the general automaton by a
+    property test over random tag soups (tests/test_iob2.py).
+
+    ``tags`` is an array of single characters 'B'/'I'/'O' (no sentinel; the
+    sentinel "O" is implicit in the mask construction below).
+    """
+    n = len(tags)
+    if n == 0:
+        return []
+    t = np.asarray(tags, dtype="U1")
+    ext = np.concatenate((t, ["O"]))
+    prev = np.concatenate((["O"], t))
+    prev_bi = (prev == "B") | (prev == "I")
+    cur_b = ext == "B"
+    cur_o = ext == "O"
+    cur_i = ext == "I"
+
+    end_mask = prev_bi & (cur_b | cur_o)
+    start_mask = cur_b | (cur_i & (prev == "O"))
+
+    end_idx = np.flatnonzero(end_mask)
+    if end_idx.size == 0:
+        return []
+    start_idx = np.flatnonzero(start_mask)
+    if start_idx.size == 0:
+        begins = np.zeros(end_idx.size, dtype=np.int64)
+    else:
+        pos = np.searchsorted(start_idx, end_idx, side="left") - 1
+        begins = np.where(pos >= 0, start_idx[np.clip(pos, 0, None)], 0)
+
+    toks = list(tokens)
+    out: List[Span] = []
+    for b, e in zip(begins.tolist(), end_idx.tolist()):
+        out.append((pid, qtag, int(b), int(e - 1), "".join(toks[b:e])))
+    return out

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
+import numpy as np
+
 from .iob2 import Span, decode_bio
 from .scorer import ID2LABEL, DeterministicQAScorer
 from .wordpiece import assemble, merge_wordpieces, strip_specials, tokenize_text
@@ -44,6 +46,62 @@ def predict_one_query(
     m_tokens, m_labels = merge_wordpieces(seq, labels)
     p_tokens, p_labels = strip_specials(m_tokens, m_labels)
     return decode_bio(p_tokens, p_labels, pid=pid)
+
+
+def predict_battery(
+    scorer: DeterministicQAScorer,
+    battery: Sequence[Tuple[str, Sequence[str]]],
+    passage_tokens: Sequence[str],
+    pid: int = 0,
+    max_seq_length: int = 512,
+) -> List[Span]:
+    """Whole-battery fast path, numerically identical to looping
+    :func:`predict_one_query` over the battery (the parity test in
+    tests/test_mention_detect.py holds it to the sequential oracle):
+
+    * only the passage region is scored.  In the full ``[CLS] Q [SEP] P
+      [SEP]`` assembly the query/special positions are stripped before
+      decode, and the scorer's only sequential term (the previous-token
+      boost) sees ``[SEP]`` as the predecessor of the first passage piece —
+      so scoring ``[SEP] + P_trunc`` yields byte-identical passage logits;
+    * queries with equal sub-token length share one truncation limit, so the
+      battery collapses into a few ``top1_tags_battery`` matrix calls;
+    * WordPiece merge/strip reduces to indexing the precomputed head-piece
+      positions (the head keeps the label, P8);
+    * decode uses the uniform-type fast automaton (types all == q_tag).
+    """
+    from .iob2 import decode_bio_uniform
+    from .wordpiece import SEP, wp_split
+
+    p_sub: List[str] = []
+    for t in passage_tokens:
+        p_sub.extend(wp_split(t))
+
+    # group query tags by their sub-token length (same truncation limit)
+    by_len: dict = {}
+    for q_tag, q_tokens in battery:
+        qlen = sum(len(wp_split(t)) for t in q_tokens)
+        by_len.setdefault(qlen, []).append(q_tag)
+
+    out: List[Span] = []
+    for qlen, tags in by_len.items():
+        limit = max_seq_length - qlen - 3
+        pieces = p_sub[:limit]
+        scored = [SEP] + pieces
+        tag_mat = scorer.top1_tags_battery(tags, scored)  # (Q, 1 + n_pieces)
+        # merged (post-##) token heads and surface strings, shared by tags
+        heads = [i for i, p in enumerate(pieces) if "##" not in p]
+        merged: List[str] = []
+        for j, hidx in enumerate(heads):
+            stop = heads[j + 1] if j + 1 < len(heads) else len(pieces)
+            merged.append(
+                pieces[hidx] + "".join(p[2:] for p in pieces[hidx + 1 : stop])
+            )
+        head_arr = 1 + np.asarray(heads, dtype=np.int64)  # skip the [SEP]
+        for qi, q_tag in enumerate(tags):
+            m_tags = tag_mat[qi][head_arr] if heads else np.empty(0, dtype="U1")
+            out.extend(decode_bio_uniform(merged, m_tags, q_tag, pid=pid))
+    return out
 
 
 def predict_overall(

@@ -65,11 +65,33 @@ class DeterministicQAScorer:
     I_PREV_BOOST = 4.0
     O_BIAS = 2.5
 
+    _MEMO_CAP = 2_000_000  # per-(query_tag) token-hash memo bound
+
+    def __init__(self) -> None:
+        self._memo: dict[str, dict[str, int]] = {}
+
+    def _hashes(self, query_tag: str, tokens: Sequence[str]) -> np.ndarray:
+        """Memoized per-(query_tag, token) CRC32 (the model-weight lookup is
+        the hot path at corpus scale; vocabularies are small relative to
+        token streams, so memoization is a large constant-factor win)."""
+        memo = self._memo.setdefault(query_tag, {})
+        prefix = (query_tag + "|").encode("utf-8")
+        out = np.empty(len(tokens), dtype=np.uint32)
+        get = memo.get
+        for i, t in enumerate(tokens):
+            h = get(t)
+            if h is None:
+                h = zlib.crc32(prefix + t.encode("utf-8"))
+                if len(memo) < self._MEMO_CAP:
+                    memo[t] = h
+            out[i] = h
+        return out
+
     def logits(self, query_tag: str, tokens: Sequence[str]) -> np.ndarray:
         n = len(tokens)
         if n == 0:
             return np.zeros((0, 3), dtype=np.float64)
-        h = _token_hashes(query_tag, tokens)
+        h = self._hashes(query_tag, tokens)
         u1 = (h % 997).astype(np.float64) / 997.0
         u2 = ((h >> 10) % 991).astype(np.float64) / 991.0
         l_b = self.B_GAIN * u1 + self.B_BIAS
@@ -80,6 +102,30 @@ class DeterministicQAScorer:
         l_i = self.I_GAIN * u2 + self.I_BIAS + self.I_PREV_BOOST * prev_hot
         l_o = np.full(n, self.O_BIAS)
         return np.stack([l_b, l_i, l_o], axis=1)
+
+    def top1_tags_battery(
+        self, query_tags: Sequence[str], tokens: Sequence[str]
+    ) -> np.ndarray:
+        """Vectorized battery scoring: top-1 tag chars ('B'/'I'/'O') of
+        shape ``(len(query_tags), len(tokens))`` — numerically identical to
+        per-query ``predict_topk(..., top_k=1)`` (softmax is monotone, so
+        top-1 of logits == top-1 of probs; ties break to the lowest label
+        id in both paths)."""
+        n = len(tokens)
+        q = len(query_tags)
+        if n == 0 or q == 0:
+            return np.empty((q, n), dtype="U1")
+        h = np.stack([self._hashes(t, tokens) for t in query_tags])  # (Q, n)
+        u1 = (h % 997).astype(np.float64) / 997.0
+        u2 = ((h >> 10) % 991).astype(np.float64) / 991.0
+        l_b = self.B_GAIN * u1 + self.B_BIAS
+        prev_hot = np.zeros((q, n), dtype=np.float64)
+        hot = (u1 > 0.985) | (u2 > 0.93)
+        prev_hot[:, 1:] = hot[:, :-1].astype(np.float64)
+        l_i = self.I_GAIN * u2 + self.I_BIAS + self.I_PREV_BOOST * prev_hot
+        logits = np.stack([l_b, l_i, np.full((q, n), self.O_BIAS)], axis=2)
+        ids = logits.argmax(axis=2)  # first-occurrence tie-break, like topk
+        return np.array(["B", "I", "O"], dtype="U1")[ids]
 
     def predict_topk(
         self, query_tag: str, tokens: Sequence[str], top_k: int = 1

@@ -52,13 +52,24 @@ def tokenize_text(text: str) -> List[str]:
     return out
 
 
+_WP_MEMO: dict = {}
+_WP_MEMO_CAP = 1_000_000
+
+
 def wp_split(token: str) -> List[str]:
-    """WordPiece-analog sub-tokenization (deterministic, vocab-free)."""
+    """WordPiece-analog sub-tokenization (deterministic, vocab-free);
+    memoized — corpora have small vocabularies relative to token streams."""
+    cached = _WP_MEMO.get(token)
+    if cached is not None:
+        return cached
     if len(token) <= PIECE:
-        return [token]
-    pieces = [token[:PIECE]]
-    for i in range(PIECE, len(token), PIECE):
-        pieces.append("##" + token[i : i + PIECE])
+        pieces = [token]
+    else:
+        pieces = [token[:PIECE]]
+        for i in range(PIECE, len(token), PIECE):
+            pieces.append("##" + token[i : i + PIECE])
+    if len(_WP_MEMO) < _WP_MEMO_CAP:
+        _WP_MEMO[token] = pieces
     return pieces
 
 

@@ -46,7 +46,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernel.predict import predict_one_query
+from ..kernel.predict import predict_battery
 from ..kernel.scorer import DeterministicQAScorer
 from ..kernel.wordpiece import tokenize_text
 from ..queries_battery import QUERIES
@@ -89,22 +89,23 @@ def detect_mentions(
                 pdf["doc_id"], pdf["repo"], pdf["content_sha"], pdf["content"]
             ):
                 passage_tokens = tokenize_text(content)
-                for q_tag, q_tokens in battery:
-                    for (_pid, typ, s, e, txt) in predict_one_query(
-                        scorer, q_tag, q_tokens, passage_tokens,
-                        pid=int(doc_id), max_seq_length=max_seq_length,
-                    ):
-                        rows["doc_id"].append(int(doc_id))
-                        rows["repo"].append(repo)
-                        rows["content_sha"].append(sha)
-                        rows["type"].append(typ)
-                        rows["start_pos"].append(s)
-                        rows["end_pos"].append(e)
-                        rows["text"].append(txt)
+                for (_pid, typ, s, e, txt) in predict_battery(
+                    scorer, battery, passage_tokens,
+                    pid=int(doc_id), max_seq_length=max_seq_length,
+                ):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["repo"].append(repo)
+                    rows["content_sha"].append(sha)
+                    rows["type"].append(typ)
+                    rows["start_pos"].append(s)
+                    rows["end_pos"].append(e)
+                    rows["text"].append(txt)
             yield pd.DataFrame(rows)
 
     inp = corpus_df.select("doc_id", "repo", "content_sha", "content")
-    if num_partitions:
+    if num_partitions == 0:
+        pass  # caller already partitioned the input; don't force a shuffle
+    elif num_partitions:
         inp = inp.repartition(num_partitions, "doc_id")
     else:
         inp = inp.repartition("doc_id")

@@ -123,6 +123,21 @@ def classification_report(gold: DataFrame, pred: DataFrame, digits: int = 6) -> 
     return type_rows.unionByName(micro).unionByName(macro)
 
 
+def token_confusion(gold_tokens: DataFrame, pred_tokens: DataFrame) -> DataFrame:
+    """A4 (metrics_sl.py:243-270 ``performance_measure``): token-level
+    TP/FP/FN/TN with the reference's exact predicates (TP counts equal
+    non-O-involved pairs; FP any wrong non-O prediction; FN gold non-O
+    predicted O; TN both O).  Inputs: (pid, pos, label) frames."""
+    j = gold_tokens.alias("g").join(pred_tokens.alias("p"), ["pid", "pos"], "inner")
+    gt, pr = F.col("g.label"), F.col("p.label")
+    return j.agg(
+        F.sum(((gt == pr) & ((gt != "O") | (pr != "O"))).cast("long")).alias("TP"),
+        F.sum(((gt != pr) & (pr != "O")).cast("long")).alias("FP"),
+        F.sum(((gt != "O") & (pr == "O")).cast("long")).alias("FN"),
+        F.sum(((gt == "O") & (pr == "O")).cast("long")).alias("TN"),
+    )
+
+
 def token_accuracy(gold_tokens: DataFrame, pred_tokens: DataFrame) -> DataFrame:
     """A3 (eval.py:39-47): elementwise label equality ratio after explode.
     Inputs: (pid, pos, label) frames."""

@@ -73,6 +73,47 @@ def test_decode_property_vs_oracle():
         )
 
 
+def test_decode_uniform_fast_path_vs_general():
+    """decode_bio_uniform == decode_bio with synthesized uniform labels,
+    over random tag soups (the QASL battery always decodes uniform types)."""
+    import numpy as np
+
+    from ehr_ner_spark.kernel.iob2 import decode_bio_uniform
+
+    rng = random.Random(99)
+    for trial in range(400):
+        n = rng.randint(0, 20)
+        toks = [rng.choice("abcd") for _ in range(n)]
+        tags = [rng.choice("BIO") for _ in range(n)]
+        labels = [f"{t}-QT" if t != "O" else "O" for t in tags]
+        fast = decode_bio_uniform(toks, np.array(tags, dtype="U1"), "QT", pid=trial)
+        assert fast == decode_bio(toks, labels, pid=trial), (toks, tags)
+
+
+def test_battery_fast_path_vs_per_query():
+    """predict_battery == looped predict_one_query (set equality) on real
+    corpus docs — the optimization must not change a single span."""
+    import duckdb
+
+    from ehr_ner_spark.kernel.predict import predict_battery, predict_one_query
+    from ehr_ner_spark.kernel.scorer import DeterministicQAScorer
+    from ehr_ner_spark.kernel.wordpiece import tokenize_text
+    from ehr_ner_spark.queries_battery import QUERIES
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 40"
+    ).fetchall()
+    battery = [(t, tokenize_text(q)) for t, q in QUERIES.items()]
+    s = DeterministicQAScorer()
+    for did, text in rows:
+        pt = tokenize_text(text)
+        fast = set(predict_battery(s, battery, pt, pid=did))
+        slow = set()
+        for tag, qt in battery:
+            slow.update(predict_one_query(s, tag, qt, pt, pid=did))
+        assert fast == slow, did
+
+
 def test_nested_list_pid_enumeration():
     """EntityFromNestedList semantics (entity.py:22-31): pid = enumerate idx."""
     seqs = [GOLDEN[0][0], GOLDEN[1][0]]

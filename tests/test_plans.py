@@ -1,0 +1,67 @@
+"""Physical-plan quality gates: predicate pushdown, column pruning,
+broadcast joins, whole-stage codegen, and the explicit doc-hash repartition.
+These keep the 100-TB plan shape from regressing even while small-scale
+correctness stays green."""
+
+from __future__ import annotations
+
+import pytest
+
+from ehr_ner_spark import entrypoints
+from ehr_ner_spark.corpus import corpus
+from ehr_ner_spark.operators.mention_detect import detect_mentions
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_pricing_summary"](spark, sf_dir)
+    plan = _formatted(df)
+    # filter reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:300]
+    # column pruning: unneeded column never read
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # map-side combine before the shuffle
+    assert "partial_sum" in plan
+
+
+def test_top_customers_broadcasts_dimensions(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_top_customers"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # nation (and small sides via AQE)
+
+
+def test_detect_mentions_single_repartition(spark, sf_dir):
+    df = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    plan = _plan(df)
+    # exactly one shuffle: the explicit doc-hash repartition before scoring
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(doc_id" in plan
+    # scorer runs as one Arrow-batched python stage, not row-at-a-time
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-wise Python UDF anywhere
+
+
+def test_mentions_projection_prunes_content_early(spark, sf_dir):
+    df = detect_mentions(corpus(spark, sf_dir), num_partitions=8).select("doc_id")
+    plan = _formatted(df)
+    # documents scan reads only the columns the corpus projection needs
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "n_chars" not in read_schema
+
+
+def test_exact_dedup_partial_aggregation(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["ds_exact_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    # map-side combine before the shuffle (partial_ aggregate functions)
+    assert "partial_" in plan
