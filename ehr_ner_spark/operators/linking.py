@@ -195,19 +195,81 @@ def verified_edges(sigs: DataFrame, pairs: DataFrame, threshold: float = 0.5) ->
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 8
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 8,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
-    """Iterative min-id propagation with pointer jumping (deterministic;
-    converges in O(log diameter) rounds; localCheckpoint bounds lineage).
+    """Connected components over the surface-form graph, strategy-selected
+    by size (like Spark's own broadcast-join threshold):
 
-    The graph here is over DISTINCT surface forms, so it is orders of
-    magnitude smaller than the mention stream; partitioning follows
-    ``defaultParallelism`` (scales with executors, avoids hundreds of
-    near-empty shuffle tasks at small scale).
+    * **small graph** (≤ ``small_graph_edges``, the common case — the graph
+      is over DISTINCT surfaces, orders of magnitude smaller than the
+      mention stream): one shuffle into a single partition + a one-pass
+      union-find inside an Arrow UDF.  Min-root union-find is
+      row-order-independent, so the result is deterministic.
+    * **large graph**: iterative min-id propagation with pointer jumping
+      (O(log diameter) rounds, localCheckpoint bounds lineage) — the
+      fully-distributed path.
 
     vertices: (surface_id); edges: (src, dst) undirected.
-    Returns (surface_id, component).
+    Returns (surface_id, component = min surface_id of the cluster).
     """
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        return _cc_single_pass(vertices, edges)
+    return _cc_iterative(vertices, edges, max_iter)
+
+
+def _cc_single_pass(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # vertices ride along as SELF-edges (src == dst): keeps both columns
+    # non-nullable int64 end-to-end.  A nullable long would surface in
+    # pandas as float64 and silently destroy 64-bit hash ids (53-bit
+    # mantissa) — precision loss that mislinks clusters.
+    combined = vertices.select(
+        F.col("surface_id").alias("src"),
+        F.col("surface_id").alias("dst"),
+    ).unionByName(edges.select("src", "dst")).repartition(1)
+
+    schema = StructType(
+        [StructField("surface_id", LongType()), StructField("component", LongType())]
+    )
+
+    def uf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes = set()
+        for pdf in batches:
+            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                s, d = int(s), int(d)
+                nodes.add(s)
+                nodes.add(d)
+                if s != d:
+                    rs, rd = find(s), find(d)
+                    if rs != rd:  # min root wins -> order-independent
+                        if rs < rd:
+                            parent[rd] = rs
+                        else:
+                            parent[rs] = rd
+        out_ids = sorted(nodes)
+        yield pd.DataFrame(
+            {"surface_id": out_ids, "component": [find(i) for i in out_ids]}
+        )
+
+    return combined.mapInPandas(uf, schema)
+
+
+def _cc_iterative(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
     spark = vertices.sparkSession
     p = max(spark.sparkContext.defaultParallelism, 2)
     bidir = (

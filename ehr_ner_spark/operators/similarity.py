@@ -63,35 +63,66 @@ def brute_force_topk(
     )
 
 
-def _bucket_expr(emb_col, table_idx: int):
-    """Sign-LSH bucket id: sum of bit(i) * 2^i, all JVM-side arithmetic."""
-    plane = _PLANES[table_idx]
-    terms = []
-    for i in range(_N_PLANES):
-        dot = F.aggregate(
-            F.zip_with(
-                emb_col,
-                F.array(*[F.lit(float(w)) for w in plane[i]]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        terms.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    bucket = terms[0]
-    for t in terms[1:]:
-        bucket = bucket + t
-    return bucket
+_PLANES_MAT = np.concatenate(_PLANES, axis=0)  # (T * P, DIM)
 
 
 def lsh_buckets(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, table, bucket) — multi-table sign-LSH index."""
-    return embeddings.select(
-        "vec_id", "embedding",
-        F.posexplode(
-            F.array(*[_bucket_expr(F.col("embedding"), t) for t in range(_N_TABLES)])
-        ).alias("table", "bucket"),
+    """(vec_id, embedding, table, bucket) — multi-table sign-LSH index.
+
+    All T x P hyperplane dot products per vector are ONE numpy matmul inside
+    an Arrow-batched UDF (the expression-tree equivalent is 60 nested
+    ``aggregate``/``zip_with`` calls per row — codegen chokes on it; batched
+    BLAS is the right tool for dense linear algebra, exactly like the
+    scorer)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(embeddings.sparkSession)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("table", IntegerType()),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+    weights = 1 << np.arange(_N_PLANES, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (B, D)
+            bits = (E @ _PLANES_MAT.T) >= 0  # (B, T*P)
+            buckets = (
+                bits.reshape(len(pdf), _N_TABLES, _N_PLANES) * weights
+            ).sum(axis=2).astype(np.int32)  # (B, T)
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _N_TABLES),
+                    "embedding": [
+                        e for e in pdf["embedding"].to_numpy()
+                        for _ in range(_N_TABLES)
+                    ],
+                    "table": np.tile(np.arange(_N_TABLES, dtype=np.int32), b),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema)
 
 
 def lsh_ann_topk(
@@ -100,7 +131,9 @@ def lsh_ann_topk(
     """Approximate top-k: candidates = vectors sharing any (table, bucket)
     with the query; exact cosine rerank on candidates only."""
     idx = lsh_buckets(embeddings)
-    q = idx.where(F.col("vec_id").isin(query_ids)).select(
+    # bucket the tiny query set separately (pushdown: only |Q| vectors run
+    # through the UDF) instead of filtering the full index twice
+    q = lsh_buckets(embeddings.where(F.col("vec_id").isin(query_ids))).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         "table", "bucket",

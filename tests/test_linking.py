@@ -130,6 +130,25 @@ def test_connected_components_chain(spark):
     assert comps[5] == 5
 
 
+def test_connected_components_strategies_agree(spark):
+    """Single-pass union-find (small-graph path) == iterative pointer-jump
+    propagation (large-graph path), incl. 64-bit hash-sized ids."""
+    import random
+
+    rng = random.Random(7)
+    ids = [rng.getrandbits(63) - (1 << 62) for _ in range(80)]
+    v = spark.createDataFrame([(i,) for i in ids], "surface_id long")
+    e = spark.createDataFrame(
+        [(ids[rng.randrange(80)], ids[rng.randrange(80)]) for _ in range(60)],
+        "src long, dst long",
+    )
+    small = {r.surface_id: r.component
+             for r in connected_components(v, e).collect()}
+    large = {r.surface_id: r.component
+             for r in connected_components(v, e, small_graph_edges=0).collect()}
+    assert small == large
+
+
 def test_canonical_triples_shape(spark, mentions):
     cm = canonicalize(mentions)
     t = canonical_triples(mentions, cm)
