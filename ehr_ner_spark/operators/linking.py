@@ -333,9 +333,12 @@ def canonicalize(mentions: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
     Canonical election is a total order (mention count desc, surface asc) so
     the result is independent of partitioning and cluster size.
     """
-    sigs = surface_signatures(mentions)
+    # sigs feeds four consumers (pairs, verify, components, labeling) and
+    # edges feeds two — persist the small per-surface frames or the
+    # mention-stream groupBy re-executes once per consumer
+    sigs = surface_signatures(mentions).persist()
     pairs = candidate_pairs(sigs)
-    edges = verified_edges(sigs, pairs, jaccard_threshold)
+    edges = verified_edges(sigs, pairs, jaccard_threshold).persist()
     comps = connected_components(sigs.select("surface_id"), edges)
 
     labeled = sigs.select("surface_id", "text", "n_mentions").join(
