@@ -90,6 +90,39 @@ def kg_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return featurize_corpus(c, gold_spans=gold_mentions(c), max_seq_length=128)
 
 
+@_register("kg_sl_mentions")  # SL scorer kernel: rows-only; parity in pytest
+def kg_sl_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: flat sequence-labeling mention detection (no overlaps)."""
+    from .operators.sl_detect import detect_mentions_sl
+
+    return detect_mentions_sl(corpus(spark, sf_dir), num_partitions=8).select(
+        "doc_id", "type", "start_pos", "end_pos", "text"
+    )
+
+
+@_register("kg_sl_vs_qasl")  # rows-only: scorer-based both sides
+def kg_sl_vs_qasl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-style side-by-side: micro P/R/F1 of flat SL against the nested
+    QASL battery output (evaluate.py's model comparison), DIN excluded (P9,
+    asserts.py:13-19)."""
+    from .operators.metrics import micro_prf
+    from .operators.mention_detect import detect_mentions
+    from .operators.sl_detect import detect_mentions_sl
+
+    c = corpus(spark, sf_dir)
+    qasl = (
+        detect_mentions(c, num_partitions=8)
+        .where(F.col("type") != "DIN")
+        .withColumnRenamed("doc_id", "pid")
+    )
+    sl = (
+        detect_mentions_sl(c, num_partitions=8)
+        .where(F.col("type") != "DIN")
+        .withColumnRenamed("doc_id", "pid")
+    )
+    return micro_prf(qasl, sl)
+
+
 @_register("kg_triples")  # rows-only (depends on scorer kernel)
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(spark, sf_dir).select("subj", "pred", "obj")
@@ -561,6 +594,111 @@ def rel_order_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey", "o_orderkey", "o_totalprice",
             F.row_number().over(w).alias("rk"),
         ).where(F.col("rk") <= 3)
+    )
+
+
+@_register(
+    "rel_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from the reference; union+window implementation —
+    one shuffle, no range-condition blow-up): each click gets the user's
+    latest prior-or-equal purchase value."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", probe_ts="ts", ref_ts="ts",
+        payload_cols=["purchase_value"],
+    ).select("event_id", "user_id", "ts", "purchase_value")
+
+
+@_register(
+    "rel_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           COUNT(*)                       AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (grouping-sets family; the A2 micro/macro shape
+    generalized)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_register(
+    "rel_anti_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                THEN 1 ELSE 0 END AS has_orders
+    FROM customer c
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def rel_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join flags (resume-manifest anti-join is the same shape)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    withf = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit(1).alias("has_orders")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit(0).alias("has_orders")
+    )
+    return withf.unionByName(without)
+
+
+@_register(
+    "rel_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(MIN(o_totalprice), 4)                AS mn,
+           ROUND(MAX(o_totalprice), 4)                AS mx
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (numeric statistics family)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.min("o_totalprice"), 4).alias("mn"),
+            F.round(F.max("o_totalprice"), 4).alias("mx"),
+        )
     )
 
 

@@ -43,7 +43,11 @@ def _norm(v):
 
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # repr-keyed sort: total order even with None/mixed types in grouping
+    # columns (rollup rows)
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 def all_oracle_cases():
