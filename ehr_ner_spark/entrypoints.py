@@ -703,6 +703,47 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rel_salted_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct per key (two-phase salted collect_set);
+    result provably equal to a plain COUNT(DISTINCT)."""
+    from .operators.skew import salted_collect_set
+
+    return salted_collect_set(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", n_salts=8
+    ).select("event_type", F.col("n_distinct").cast("long").alias("n_distinct"))
+
+
+@_register(
+    "rel_sql_api",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_cust, ROUND(AVG(c.c_acctbal), 4) AS avg_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING COUNT(*) > 10
+    """,
+)
+def rel_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: temp views + spark.sql (Catalyst parses and
+    plans the same logical plan the DataFrame API builds)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_cust, ROUND(AVG(c.c_acctbal), 4) AS avg_bal
+        FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        HAVING COUNT(*) > 10
+        """
+    )
+
+
+@_register(
     "rel_events_tumbling",
     oracle="""
     SELECT date_trunc('hour', ts)       AS window_start,
