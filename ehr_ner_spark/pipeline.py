@@ -68,3 +68,37 @@ def run_pipeline(
         if "triples" in fail_after:
             raise RuntimeError("simulated crash after partial triples commit")
     return t.read_stage(spark, "triples")
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit entrypoint (north rule launch mode)::
+
+        spark-submit --py-files dist/ehr_ner_spark.zip \
+            -m … ehr_ner_spark/pipeline.py \
+            --sf-dir /root/testdata/sf0.01 --table-root /tmp/kg --buckets 16
+
+    Re-running after a crash resumes from the last committed bucket.
+    """
+    import argparse
+
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--table-root", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("ehr-ner-kg-pipeline").getOrCreate()
+    triples = run_pipeline(
+        spark, args.sf_dir, args.table_root,
+        n_buckets=args.buckets, num_partitions=args.partitions,
+    )
+    n = triples.count()
+    print(f"PIPELINE_OK triples={n} table={args.table_root}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

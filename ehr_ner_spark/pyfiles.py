@@ -21,7 +21,10 @@ _SHIPPED: set[str] = set()
 def build_zip(dest_dir: str | None = None) -> str:
     """Zip the installed ehr_ner_spark package; returns the zip path."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    dest_dir = dest_dir or tempfile.mkdtemp(prefix="ehr_ner_spark_pyfiles_")
+    if dest_dir is None:
+        dest_dir = tempfile.mkdtemp(prefix="ehr_ner_spark_pyfiles_")
+    else:
+        os.makedirs(dest_dir, exist_ok=True)
     zip_path = os.path.join(dest_dir, "ehr_ner_spark.zip")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
@@ -43,5 +46,13 @@ def ensure_shipped(spark) -> None:
     app_id = sc.applicationId
     if app_id in _SHIPPED:
         return
-    sc.addPyFile(build_zip())
+    # already launched with --py-files ehr_ner_spark.zip (or the package was
+    # itself imported from a shipped zip)? then workers have it — re-adding
+    # a same-named, byte-different zip makes Spark's addFile refuse.
+    includes = getattr(sc, "_python_includes", None) or []
+    already = any("ehr_ner_spark" in os.path.basename(str(p)) for p in includes)
+    if not already and ".zip" in os.path.abspath(__file__):
+        already = True
+    if not already:
+        sc.addPyFile(build_zip())
     _SHIPPED.add(app_id)
