@@ -743,6 +743,23 @@ def rel_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sessionize_oracle() -> str:
+    from .streaming.sessionize import SESSIONIZE_SQL
+
+    return SESSIONIZE_SQL
+
+
+@_register("rel_sessionize", oracle=_sessionize_oracle)
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch form of the stateful-streaming
+    operator in streaming/sessionize.py)."""
+    from .streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events")).withColumn(
+        "n_events", F.col("n_events").cast("long")
+    )
+
+
 @_register(
     "rel_events_tumbling",
     oracle="""

@@ -41,6 +41,8 @@ def get_spark(
         # keep the scorer resident across tasks (model-load-once semantics)
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # deterministic TIMESTAMP_NTZ <-> epoch conversions everywhere
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
