@@ -68,6 +68,33 @@ def concat_answers(*sources: DataFrame) -> DataFrame:
     return out
 
 
+def apply_corrections(spans: DataFrame, corrections: DataFrame) -> DataFrame:
+    """J4: pid-keyed merge of human-checked corrections onto model spans
+    (the xlsx round-trip semantics of /root/reference/data_process/
+    df2qasl.py:36-58 / qasl2df.py:23-45, minus the spreadsheet).
+
+    ``corrections``: (pid, type, start_pos, end_pos, action, new_type)
+    with action in {'drop', 'retype'}; unmatched spans pass through, 'drop'
+    removes, 'retype' rewrites the type (text/positions already verified by
+    the J5 span-text invariant upstream)."""
+    from pyspark.sql import functions as F
+
+    key = ["pid", "type", "start_pos", "end_pos"]
+    j = spans.join(
+        corrections.select(*key, "action", "new_type"), key, "left"
+    )
+    return (
+        j.where((F.col("action").isNull()) | (F.col("action") != "drop"))
+        .withColumn(
+            "type",
+            F.when(F.col("action") == "retype", F.col("new_type")).otherwise(
+                F.col("type")
+            ),
+        )
+        .drop("action", "new_type")
+    )
+
+
 def canonical_order(spans: DataFrame) -> DataFrame:
     """D2: sink-side ordering by (start_pos, end_pos, type)
     (df2qasl.py:188-190; demo/app.py:92)."""
