@@ -457,6 +457,24 @@ def ds_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+@_register(
+    "ds_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 3) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def ds_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact; LSH-blocked path for scale)."""
+    from .operators.similarity import embedding_neardup
+
+    return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 @_register("ds_lsh_ann")  # approximate; recall gate lives in pytest
 def ds_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_ann_topk
@@ -471,15 +489,70 @@ def ds_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
-@_register("ds_simhash_pairs")  # bit kernel: pytest parity
+def _minhash_sig_oracle() -> str:
+    from .operators.dedup import MINHASH_SIG_SQL
+
+    return MINHASH_SIG_SQL + "SELECT doc_id, perm, minhash FROM sig"
+
+
+@_register("ds_minhash_sig", oracle=_minhash_sig_oracle)
+def ds_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with JVM built-ins only (md5-60bit min per perm);
+    exact DuckDB twin — the strong-oracle check of the MinHash kernel."""
+    from .operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_pairs_oracle() -> str:
+    from .operators.dedup import MINHASH_PAIRS_SQL
+
+    return MINHASH_PAIRS_SQL
+
+
+@_register("ds_minhash_lsh_pairs", oracle=_minhash_pairs_oracle)
+def ds_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash LSH near-dup: signatures -> band buckets ->
+    candidate join -> exact Jaccard verify, all built-ins, oracle-checked."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
+def _simhash_oracle() -> str:
+    from .operators.dedup import SIMHASH_SQL
+
+    # brute-force DuckDB twin: at Hamming<=3 the engine's 4x15-bit band
+    # blocking is provably lossless (pigeonhole), so exact pairs == blocked
+    return (
+        SIMHASH_SQL
+        + """
+    SELECT a.doc_id AS src, b.doc_id AS dst,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+    )
+
+
+@_register("ds_simhash_pairs", oracle=_simhash_oracle)
 def ds_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs; Hamming<=3 makes band blocking exact, so the
+    LSH-blocked engine output equals the O(n^2) DuckDB brute force."""
     from .operators.dedup import simhash_dedup
 
-    return simhash_dedup(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_dedup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@_register("ds_lang_id")  # heuristic scorer: rows-only
+def _lang_id_oracle() -> str:
+    from .operators.textops import lang_id_sql
+
+    return lang_id_sql()
+
+
+@_register("ds_lang_id", oracle=_lang_id_oracle)
 def ds_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/char-class language-ID heuristic (pure built-ins, codegen)."""
     from .operators.textops import lang_id
 
     return lang_id(_t(spark, sf_dir, "documents"))

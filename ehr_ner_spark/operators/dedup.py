@@ -8,16 +8,17 @@ corpus level).
 * minhash_lsh_dedup  — char-shingle MinHash + LSH banding + Jaccard verify +
                        connected components (reuses the linking machinery —
                        identical math, different key)
-* simhash_dedup      — 64-bit SimHash over word features; Hamming<=k matching
-                       via 4x16-bit band buckets (pigeonhole: any pair within
-                       Hamming 3 shares at least one exact 16-bit band)
+* simhash_dedup      — 60-bit md5-derived SimHash over word features;
+                       Hamming<=k matching via 4x15-bit band buckets
+                       (pigeonhole: any pair within Hamming 3 shares at least
+                       one exact band); SQL-oracle-checkable (SIMHASH_SQL)
 * ngram_jaccard_pairs— word n-gram Jaccard similarity pairs, fully
                        SQL-expressible (the DuckDB-oracle-checkable variant)
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -69,26 +70,43 @@ _SIMHASH_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("simhash", LongType())]
 )
 
+SIMHASH_BITS = 60  # 60-bit md5-derived word hashes: SQL-expressible in both
+SIMHASH_BANDS = 4  # 4 x 15-bit bands; Hamming<=3 => >=1 exact band (pigeonhole)
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def word_hash60(w: str) -> int:
+    """First 60 bits of md5 — the engine/oracle-shared feature hash
+    (DuckDB twin: ``('0x' || substr(md5(w), 1, 15))::BIGINT``)."""
+    return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace-token features (Arrow-batched)."""
+    """60-bit SimHash over whitespace-token features (Arrow-batched; per-word
+    md5 hashes memoized per batch so repeated tokens hash once)."""
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.arange(64, dtype=np.uint64)
+        bits = np.arange(SIMHASH_BITS, dtype=np.uint64)
         for pdf in batches:
             out = []
+            memo: dict[str, int] = {}
+
+            def mh(w: str) -> int:
+                v = memo.get(w)
+                if v is None:
+                    v = memo[w] = word_hash60(w)
+                return v
+
             for t in pdf[text_col]:
                 toks = t.split()
                 if not toks:
                     out.append(0)
                     continue
                 h = np.fromiter(
-                    (zlib.crc32(w.encode()) * 2654435761 % (1 << 64) for w in toks),
-                    dtype=np.uint64, count=len(toks),
+                    (mh(w) for w in toks), dtype=np.uint64, count=len(toks)
                 )
                 bitmat = ((h[:, None] >> bits[None, :]) & 1).astype(np.int64)
                 v = (2 * bitmat - 1).sum(axis=0)
-                sh = int(((v > 0).astype(np.uint64) << bits).sum())
-                out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+                out.append(int(((v > 0).astype(np.uint64) << bits).sum()))
             yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
 
     from ..pyfiles import ensure_shipped
@@ -97,18 +115,42 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return docs.select(id_col, text_col).mapInPandas(compute, _SIMHASH_SCHEMA)
 
 
+SIMHASH_SQL = """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv
+      FROM words WHERE w <> ''),
+    bitsum AS (
+      SELECT doc_id, b.range AS b,
+             SUM(CASE WHEN (hv >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(60) b
+      GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+      FROM bitsum GROUP BY doc_id),
+    allsh AS (
+      SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sh s USING (doc_id))
+"""
+
+
 def simhash_dedup(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= k via 16-bit band blocking
-    (4 bands; Hamming<=3 guarantees an exact band match), then exact
-    popcount verification.  Output: (src, dst, hamming), src < dst."""
+    """Near-dup pairs with Hamming(simhash) <= k via 15-bit band blocking
+    (4 bands over the 60-bit hash; Hamming<=3 guarantees an exact band
+    match), then exact popcount verification.  Output: (src, dst, hamming),
+    src < dst."""
     sh = simhash(docs, text_col, id_col)
+    mask = (1 << _BAND_BITS) - 1
     bands = sh.select(
         "doc_id", "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
-                for b in range(4)
+                F.shiftrightunsigned(F.col("simhash"), b * _BAND_BITS).bitwiseAND(F.lit(mask))
+                for b in range(SIMHASH_BANDS)
             ])
         ).alias("band", "band_val"),
     )
@@ -130,6 +172,142 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
         .where(F.col("hamming") <= max_hamming)
         .select("src", "dst", "hamming")
     )
+
+
+N_MINHASH_PERMS = 16
+MINHASH_BAND_PERMS = 4  # 4 bands x 4 permutations
+
+
+def _word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles as an array column (built-ins only;
+    same shingle definition as ngram_jaccard_pairs / the DuckDB oracles)."""
+    words = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.when(F.size(words) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _md5_60(col):
+    """Shared engine/oracle hash: first 60 bits of md5 as a non-negative
+    BIGINT (DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       n_perms: int = N_MINHASH_PERMS, n: int = 3) -> DataFrame:
+    """MinHash signatures entirely with JVM built-ins — no Python in the
+    plan: shingle -> explode -> broadcast x perms -> min(md5-60bit) groupBy.
+    Output: (doc_id, perm, minhash).  Exactly SQL-oracle-checkable."""
+    spark = docs.sparkSession
+    perms = spark.range(n_perms).select(F.col("id").alias("perm"))
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(text_col, n)).alias("shingle"),
+    )
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(_md5_60(F.concat_ws("|", "perm", "shingle"))).alias("minhash")
+        )
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """End-to-end MinHash LSH near-dup pairs, built-ins only: signatures ->
+    band buckets (band signature = perm-ordered minhash concat) -> candidate
+    self-join -> exact Jaccard verify restricted to candidates (the 100-TB
+    order: the expensive intersection join touches only candidate pairs).
+    Output: (src, dst, jaccard) with src < dst, jaccard >= threshold."""
+    sig = minhash_signatures(docs, text_col, id_col)
+    band = (
+        sig.groupBy("doc_id", F.floor(F.col("perm") / MINHASH_BAND_PERMS).alias("band"))
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "minhash"))).alias("s"))
+        .select(
+            "doc_id", "band",
+            F.array_join(
+                F.transform("s", lambda x: x["minhash"].cast("string")), ","
+            ).alias("band_sig"),
+        )
+    )
+    a, b = band.alias("a"), band.alias("b")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(text_col)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("src") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("dst") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("na"), F.col("src") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("dst") == F.col("nb.doc_id"))
+        .where(jac >= threshold)
+        .select("src", "dst", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# DuckDB twin of minhash_signatures (shared prelude for the sig/pairs oracles)
+MINHASH_SIG_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(len(w) - 2),
+                      i -> array_to_string(w[i + 1 : i + 3], ' '))) AS shingle
+        FROM w)),
+    sig AS (
+      SELECT doc_id, p.range AS perm,
+             MIN(('0x' || substr(md5(p.range::VARCHAR || '|' || shingle), 1, 15))::BIGINT) AS minhash
+      FROM sh CROSS JOIN range(16) p
+      GROUP BY 1, 2)
+"""
+
+MINHASH_PAIRS_SQL = MINHASH_SIG_SQL + """,
+    bands AS (
+      SELECT doc_id, perm // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.src, c.dst, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.src
+      JOIN sh b ON b.doc_id = c.dst AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT src, dst,
+           ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = src
+    JOIN sizes sb ON sb.doc_id = dst
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+"""
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,

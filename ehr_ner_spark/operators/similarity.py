@@ -63,6 +63,43 @@ def brute_force_topk(
     )
 
 
+def embedding_neardup(
+    embeddings: DataFrame, threshold: float = 0.4,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (src, dst, score) with src < dst and
+    cosine >= threshold.  Norms are computed once per vector (n rows), only
+    the dot product runs per pair; cosine = dot/(|a||b|) with left-to-right
+    float64 accumulation so the DuckDB ``list_cosine_similarity`` oracle
+    matches bit-for-bit.  Exact all-pairs is the correctness baseline; at
+    corpus scale block first with :func:`lsh_buckets` and verify only
+    bucket-colliding pairs (same shape as minhash_lsh_pairs)."""
+    d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    prep = embeddings.select(
+        F.col(id_col).alias("vid"), d.alias("d"), norm.alias("nrm")
+    )
+    a, b = prep.alias("a"), prep.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.d"), F.col("b.d"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("src"),
+            F.col("b.vid").alias("dst"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("src", "dst", F.round("cos", 3).alias("score"))
+    )
+
+
 _PLANES_MAT = np.concatenate(_PLANES, axis=0)  # (T * P, DIM)
 
 

@@ -1,20 +1,13 @@
 """Text-analysis operators for training-data pipelines: language ID,
 quality scoring, token counting, document fingerprinting.  All hot paths are
 JVM-side built-ins (regex/string/agg expressions inside whole-stage codegen);
-the only Python is the n-gram language-ID scorer, which is Arrow-batched.
+no Python anywhere — language ID included.
 """
 
 from __future__ import annotations
 
-import zlib
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
@@ -77,50 +70,75 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-_LANG_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("lang_pred", StringType()),
-        StructField("lang_conf", DoubleType()),
-    ]
-)
-
-_LANG_MODEL_LANGS = ("en", "de", "fr", "es", "zh")
-
-
-def _char_ngram_profile(text: str, seed_lang: str) -> np.ndarray:
-    """Deterministic per-language scorer: hashed char trigram profile."""
-    t = text.lower()[:2000]
-    if len(t) < 3:
-        return np.zeros(1)
-    grams = [t[i : i + 3] for i in range(len(t) - 2)]
-    h = np.fromiter(
-        (zlib.crc32((seed_lang + "|" + g).encode()) for g in grams),
-        dtype=np.uint32, count=len(grams),
-    )
-    return ((h % 1000) / 1000.0)
+# Language-ID heuristic: per-language evidence = marker-stopword hits
+# (weight 1) + diacritic/script char-class hits (weight 2; CJK weight 3),
+# normalized per char into parts-per-million.  Both the Spark expression
+# tree and the DuckDB oracle SQL are generated from this one table, so the
+# heuristic is pure JVM built-ins (regexp_count inside codegen — no Python)
+# AND exactly SQL-oracle-checkable.  Patterns are shared Java-regex/RE2
+# syntax (alternation, \b, literal char classes only).
+LANG_MARKERS: dict[str, tuple[str | None, str | None, int]] = {
+    # lang -> (word-marker regex on lower(text), char-class regex, char weight)
+    "de": (r"\b(?:der|die|das|und|ist|nicht|mit|ein|zu|den)\b", "[äöüß]", 2),
+    "en": (r"\b(?:the|and|of|is|in|to|it|that|with|for)\b", None, 0),
+    "es": (r"\b(?:el|los|las|es|una|que|para|con|por|y)\b", "[áéíóúñ¿¡]", 2),
+    "fr": (r"\b(?:le|la|les|des|est|et|une|que|pour|dans)\b", "[àâçéèêëîïôùû]", 2),
+    "zh": (None, "[一-鿿]", 3),
+}
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Language-ID heuristic (n-gram hash profiles, deterministic stand-in
-    for a fastText-style classifier; Arrow-batched, model-per-worker)."""
-    from ..pyfiles import ensure_shipped
+    """Language-ID heuristic (deterministic stand-in for a fastText-style
+    classifier).  Output: (doc_id, lang_pred, conf_ppm) where conf_ppm =
+    floor(evidence * 1e6 / n_chars).  Ties break alphabetically."""
+    low = F.lower(F.col(text_col))
+    n = F.greatest(F.length(text_col), F.lit(1))
+    scores = {}
+    for lang in sorted(LANG_MARKERS):
+        wp, cp, cw = LANG_MARKERS[lang]
+        hits = F.lit(0)
+        if wp is not None:
+            hits = hits + F.regexp_count(low, F.lit(wp))
+        if cp is not None:
+            hits = hits + F.lit(cw) * F.regexp_count(F.col(text_col), F.lit(cp))
+        scores[lang] = F.floor(hits * F.lit(1000000.0) / n)
+    best = F.greatest(*scores.values())
+    pred = F
+    for lang in sorted(scores):  # alphabetical => deterministic tie-break
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best.cast("long").alias("conf_ppm"),
+    )
 
-    ensure_shipped(docs.sparkSession)
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            preds, confs = [], []
-            for t in pdf[text_col]:
-                means = {
-                    lang: float(_char_ngram_profile(t, lang).mean())
-                    for lang in _LANG_MODEL_LANGS
-                }
-                best = max(sorted(means), key=lambda k: means[k])
-                preds.append(best)
-                confs.append(round(means[best], 6))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "lang_pred": preds, "lang_conf": confs}
-            )
-
-    return docs.select("doc_id", text_col).mapInPandas(score, _LANG_SCHEMA)
+def lang_id_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`lang_id`, generated from LANG_MARKERS."""
+    exprs = []
+    for lang in sorted(LANG_MARKERS):
+        wp, cp, cw = LANG_MARKERS[lang]
+        parts = []
+        if wp is not None:
+            parts.append(f"len(regexp_extract_all(lower({text_col}), '{wp}'))")
+        if cp is not None:
+            parts.append(f"{cw} * len(regexp_extract_all({text_col}, '{cp}'))")
+        hits = " + ".join(parts)
+        exprs.append(
+            f"FLOOR(({hits}) * 1000000.0 / GREATEST(length({text_col}), 1))"
+            f"::BIGINT AS s_{lang}"
+        )
+    score_cols = ",\n         ".join(exprs)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS)) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+         {score_cols}
+      FROM {table}),
+    m AS (SELECT *, {best} AS best FROM scored)
+    SELECT doc_id, CASE {case} END AS lang_pred, best AS conf_ppm
+    FROM m
+    """

@@ -78,12 +78,12 @@ def test_simhash_pairs_match_bruteforce(spark, docs):
     def pop(x):
         return bin(x & ((1 << 64) - 1)).count("1")
 
-    # brute force: pairs within Hamming<=max_h whose simhashes share a 16-bit band
+    # brute force: pairs within Hamming<=max_h whose simhashes share a 15-bit band
     expected = set()
     for i, j in itertools.combinations(sorted(sh), 2):
         h = pop(sh[i] ^ sh[j])
         shares_band = any(
-            ((sh[i] >> (16 * b)) & 0xFFFF) == ((sh[j] >> (16 * b)) & 0xFFFF)
+            ((sh[i] >> (15 * b)) & 0x7FFF) == ((sh[j] >> (15 * b)) & 0x7FFF)
             for b in range(4)
         )
         if h <= max_h and shares_band:
@@ -107,3 +107,27 @@ def test_ngram_jaccard_values(spark, docs):
     # doc 3 vs 4: 4 shingles vs 5, 4 common -> J = 4/5 = 0.8
     assert got[(3, 4)] == 0.8
     assert (0, 5) not in got
+
+
+def test_minhash_lsh_pairs_builtin(spark, docs):
+    """The built-ins MinHash LSH path (md5-60bit) finds the planted near
+    dups with their exact word-3-shingle Jaccard."""
+    from ehr_ner_spark.operators.dedup import minhash_lsh_pairs
+
+    got = {(r.src, r.dst): r.jaccard for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert got[(0, 1)] == 1.0          # exact dup: identical signatures
+    assert got.get((3, 4)) == 0.8      # near dup: J = 4/5
+    assert (0, 5) not in got
+
+
+def test_minhash_signatures_deterministic(spark, docs):
+    from ehr_ner_spark.operators.dedup import minhash_signatures
+
+    a = sorted(map(tuple, minhash_signatures(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, minhash_signatures(docs.repartition(5)).collect()))
+    assert a == b
+    # 16 perms per doc (docs with >= 3 words)
+    per_doc = {}
+    for doc_id, perm, mh in a:
+        per_doc.setdefault(doc_id, set()).add(perm)
+    assert all(perms == set(range(16)) for perms in per_doc.values())

@@ -71,3 +71,31 @@ def test_lsh_ann_deterministic(spark, emb):
     a = sorted(map(tuple, lsh_ann_topk(emb, QUERY_IDS, k=5).collect()))
     b = sorted(map(tuple, lsh_ann_topk(emb.repartition(7), QUERY_IDS, k=5).collect()))
     assert a == b
+
+
+def test_embedding_neardup_matches_numpy(spark, emb, emb_np):
+    from ehr_ner_spark.operators.similarity import embedding_neardup
+
+    ids, mat = emb_np
+    m = mat.astype(np.float64)
+    unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    threshold = 0.3
+    expected = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            if cos[i, j] >= threshold - 1e-9:
+                expected[(a, b)] = round(cos[i, j], 3)
+    got = {
+        (r.src, r.dst): r.score
+        for r in embedding_neardup(emb, threshold=threshold).collect()
+    }
+    # boundary rows (|cos - t| < 1e-9) may differ by accumulation order;
+    # everything else must match to 3 decimals
+    for k in set(expected) | set(got):
+        if k in expected and k in got:
+            assert abs(expected[k] - got[k]) <= 0.001, k
+        else:
+            v = expected.get(k, got.get(k))
+            assert abs(v - threshold) < 1e-6, (k, v)

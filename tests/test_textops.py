@@ -1,0 +1,52 @@
+"""Text-analysis operators: language-ID heuristic on genuinely multilingual
+text (the synthetic driver corpus is English word-soup for every lang label,
+so real-language behavior is pinned here), plus Spark<->DuckDB twin equality
+on texts exercising the CJK/diacritic regex classes.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ehr_ner_spark.operators.textops import lang_id, lang_id_sql
+
+MULTILINGUAL = [
+    (0, "the cat sat on the mat and it is happy with that for now"),
+    (1, "der Hund ist nicht mit der Katze und das ist schön für alle"),
+    (2, "le chat est dans la maison et les oiseaux chantent pour une fête"),
+    (3, "el perro está en la casa y los gatos son una familia para todos"),
+    (4, "今天天气很好我们一起去公园散步吧然后喝茶"),
+    (5, "mixed bag zzz qqq xxx"),  # no markers at all -> alphabetical tie
+]
+
+EXPECTED = {0: "en", 1: "de", 2: "fr", 3: "es", 4: "zh", 5: "de"}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(MULTILINGUAL, "doc_id long, text string")
+
+
+def test_lang_id_real_languages(spark, docs):
+    got = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert got == EXPECTED
+
+
+def test_lang_id_zero_evidence_conf(spark, docs):
+    confs = {r.doc_id: r.conf_ppm for r in lang_id(docs).collect()}
+    assert confs[5] == 0
+    assert confs[4] > 0  # CJK evidence
+
+
+def test_lang_id_matches_duckdb_twin(spark, docs):
+    spark_rows = {
+        (r.doc_id, r.lang_pred, r.conf_ppm) for r in lang_id(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", MULTILINGUAL)
+    duck_rows = set(map(tuple, con.execute(lang_id_sql()).fetchall()))
+    assert spark_rows == duck_rows
