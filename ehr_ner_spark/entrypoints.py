@@ -565,8 +565,28 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media(spark, 48))
 
 
-@_register("mm_frames")  # stub decoder: rows-only (plumbing check)
+@_register(
+    "mm_frames",
+    # DuckDB twin reconstructs the deterministic synth-media table with
+    # range() and replays the stub frame fingerprint (sha256 over hex
+    # payload + ts) — exact check of the UDTF-shaped frame-sampling plumbing
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 1000 + 100 * i AS duration_ms,
+             repeat(sha256('media' || i::VARCHAR), 8) AS hexp
+      FROM range(48) t(i) WHERE i % 3 = 2),
+    f AS (
+      SELECT media_id, ts.range AS ts_ms, (ts.range // 500)::INT AS frame_idx, hexp
+      FROM m CROSS JOIN range(0, 10000, 500) ts
+      WHERE ts.range < duration_ms)
+    SELECT media_id, frame_idx, ts_ms::INT AS ts_ms,
+           sha256(hexp || ts_ms::VARCHAR) AS frame_sha
+    FROM f
+    """,
+)
 def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over binary media columns (stub decode; the
+    Spark plumbing — schema, batching, UDTF explode — is real)."""
     from .operators.multimodal import sample_frames, synth_media
 
     return sample_frames(synth_media(spark, 48))

@@ -136,8 +136,12 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             ):
                 if kind != "video":
                     continue
+                # stub fingerprints hash the HEX payload (not raw bytes) so
+                # the DuckDB oracle twin is expressible (sha256(VARCHAR));
+                # a real decoder would hash the decoded frame bytes here
+                hexp = bytes(payload).hex()
                 for i, ts in enumerate(range(0, int(dur), every_ms)):
-                    sha = hashlib.sha256(bytes(payload) + str(ts).encode()).hexdigest()
+                    sha = hashlib.sha256((hexp + str(ts)).encode()).hexdigest()
                     rows["media_id"].append(int(mid))
                     rows["frame_idx"].append(i)
                     rows["ts_ms"].append(ts)
