@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "ds_cosine_topk",
     "ds_lsh_ann",
     "ds_simhash_pairs",
+    "ds_lang_id",
+    "ds_minhash_lsh_pairs",
+    "ds_embedding_neardup",
 ]
 
 

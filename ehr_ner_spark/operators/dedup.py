@@ -201,21 +201,27 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_perms: int = N_MINHASH_PERMS, n: int = 3) -> DataFrame:
     """MinHash signatures entirely with JVM built-ins — no Python in the
-    plan: shingle -> explode -> broadcast x perms -> min(md5-60bit) groupBy.
-    Output: (doc_id, perm, minhash).  Exactly SQL-oracle-checkable."""
-    spark = docs.sparkSession
-    perms = spark.range(n_perms).select(F.col("id").alias("perm"))
+    plan.  One min-aggregate column per permutation instead of a x n_perms
+    row blowup: all hashes are computed map-side and partial-min-combined
+    before the shuffle, so the exchange carries n_docs x n_perms longs, not
+    n_shingles x n_perms rows.  Output: (doc_id, perm, minhash) — exactly
+    SQL-oracle-checkable."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_word_shingles(text_col, n)).alias("shingle"),
     )
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(_md5_60(F.concat_ws("|", "perm", "shingle"))).alias("minhash")
-        )
+    sig_wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _md5_60(F.concat_ws("|", F.lit(str(p)), F.col("shingle")))
+            ).alias(f"mh{p}")
+            for p in range(n_perms)
+        ]
     )
+    stack = ", ".join(f"'{p}', mh{p}" for p in range(n_perms))
+    return sig_wide.selectExpr(
+        "doc_id", f"stack({n_perms}, {stack}) AS (perm, minhash)"
+    ).select("doc_id", F.col("perm").cast("long").alias("perm"), "minhash")
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4,

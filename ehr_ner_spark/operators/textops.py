@@ -56,16 +56,30 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints: md5 of whitespace-normalized
     lowercase content + a positional 8-gram rolling-window min-hash
-    ("winnowing"-style), both built-ins."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    words = F.split(norm, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 8, F.lit(0))),
-        lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, 8), " ")),
-    )
-    return docs.select(
+    ("winnowing"-style), both built-ins.  Words are hashed once
+    (xxhash64) and each window folds 8 longs (polynomial combine) —
+    no per-window string materialization; the normalized text and word-hash
+    array are staged through separate projections so they are computed once
+    per row."""
+    staged = docs.select(
         "doc_id",
-        F.md5(norm).alias("md5_fp"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("norm"),
+    ).select(
+        "doc_id",
+        "norm",
+        F.transform(F.split("norm", " "), lambda w: F.xxhash64(w)).alias("wh"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("wh") - 8, F.lit(0))),
+        lambda i: F.aggregate(
+            F.slice("wh", i + 1, 8),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 31 + x,
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        F.md5("norm").alias("md5_fp"),
         F.array_min(grams).alias("winnow_fp"),
     )
 
