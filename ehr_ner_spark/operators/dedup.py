@@ -322,18 +322,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     relational algebra (shuffle on shingle, then on pair) so it is
     SQL-oracle-checkable and Catalyst-optimizable end to end.
     Output: (src, dst, jaccard) with src < dst, jaccard >= threshold."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    # row-local array_distinct == distinct (doc_id, shingle) but map-side:
+    # no dedup shuffle before the shingle join (and guarded for <n-word docs)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(text_col, n)).alias("shingle"),
     )
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - n),
-                lambda i: F.array_join(F.slice("w", i + 1, n), " "),
-            )
-        ).alias("shingle"),
-    ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -347,13 +341,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         inter.join(sizes.withColumnRenamed("doc_id", "src").withColumnRenamed("n_sh", "sz_a"), "src")
         .join(sizes.withColumnRenamed("doc_id", "dst").withColumnRenamed("n_sh", "sz_b"), "dst")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-                6,
-            ),
+            "jac_raw",
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("src", "dst", "jaccard")
+        # threshold on the RAW value (like the oracle), round only for output
+        .where(F.col("jac_raw") >= threshold)
+        .select("src", "dst", F.round("jac_raw", 6).alias("jaccard"))
     )
