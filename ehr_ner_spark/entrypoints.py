@@ -63,9 +63,19 @@ def kg_corpus_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("kg_mentions")  # scorer kernel: rows-only check; parity in pytest
+def _mentions_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return mentions_oracle_sql(CORPUS_SQL)
+
+
+@_register("kg_mentions", oracle=_mentions_oracle)
 def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship W1+U6: battery mention detection (exploded span rows)."""
+    """Flagship W1+U6: battery mention detection (exploded span rows).
+    The md5-60bit scorer makes the ENTIRE pipeline (tokenize -> wordpiece ->
+    truncate -> query-conditioned score -> merge -> IOB2 decode) replayable
+    in DuckDB SQL — see operators/mention_sql.py — so this is hash-checked
+    externally, not just parity-tested in pytest."""
     return detect_mentions(corpus(spark, sf_dir), num_partitions=8).select(
         "doc_id", "type", "start_pos", "end_pos", "text"
     )
@@ -123,7 +133,21 @@ def kg_sl_vs_qasl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return micro_prf(qasl, sl)
 
 
-@_register("kg_triples")  # rows-only (depends on scorer kernel)
+def _triples_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return (
+        "WITH mentions AS ("
+        + mentions_oracle_sql(CORPUS_SQL)
+        + """)
+    SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+           'hasEntityType:' || type          AS pred,
+           text                              AS obj
+    FROM mentions"""
+    )
+
+
+@_register("kg_triples", oracle=_triples_oracle)
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(spark, sf_dir).select("subj", "pred", "obj")
 

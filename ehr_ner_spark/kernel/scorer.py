@@ -8,13 +8,17 @@ type at decode time via ``f"{lp}-{query_tag}"`` (bert_qasl_predictor.py:92-98).
 
 This sandbox has no torch/transformers, so the default scorer is a
 **deterministic NumPy QA-tagger** with the exact same interface and batch
-shape: per-token 3-logit emissions derived from a CRC32 hash of
+shape: per-token 3-logit emissions derived from a 60-bit md5 hash of
 ``(query_tag, token)`` with a previous-token interaction term (so multi-token
 B→I spans occur), softmax, top-k.  Because the kernel is pure and shared by
 the Spark UDF and the single-node oracle, the P/R≥0.95 parity gate is exact.
-A real HF checkpoint can replace :class:`DeterministicQAScorer` unchanged —
-the Spark plan (Arrow-batched iterator UDF) does not care what produces the
-logits.
+The hash is md5-60bit specifically so the whole scoring pipeline is ALSO
+expressible in ANSI SQL (DuckDB twin:
+``('0x' || substr(md5(tag || '|' || token), 1, 15))::BIGINT`` — see
+operators/mention_sql.py), giving the flagship mention-detection query a
+strong external oracle.  A real HF checkpoint can replace
+:class:`DeterministicQAScorer` unchanged — the Spark plan (Arrow-batched
+iterator UDF) does not care what produces the logits.
 
 Label space (QASL): ``id2label = {0: "B", 1: "I", 2: "O"}``; class weights
 ``[0.11, 1, 0.16]`` are carried as config for the CRF decode path parity
@@ -24,7 +28,7 @@ path — are NOT applied in softmax decoding.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -33,13 +37,20 @@ ID2LABEL = {0: "B", 1: "I", 2: "O"}
 CLASS_WEIGHTS = np.array([0.11, 1.0, 0.16])  # B, I, O (simqasl_config.json)
 
 
+def hash60(query_tag: str, token: str) -> int:
+    """Stable per-(query_tag, token) 60-bit hash: first 15 hex chars of
+    md5 — seed-free, process-stable, and expressible in SQL
+    (``('0x' || substr(md5(tag || '|' || token), 1, 15))::BIGINT``)."""
+    return int(
+        hashlib.md5((query_tag + "|" + token).encode("utf-8")).hexdigest()[:15],
+        16,
+    )
+
+
 def _token_hashes(query_tag: str, tokens: Sequence[str]) -> np.ndarray:
-    """Stable per-(query_tag, token) 32-bit hashes (CRC32: C-speed, seed-free,
-    stable across processes — unlike Python ``hash``)."""
-    prefix = (query_tag + "|").encode("utf-8")
     return np.fromiter(
-        (zlib.crc32(prefix + t.encode("utf-8")) for t in tokens),
-        dtype=np.uint32,
+        (hash60(query_tag, t) for t in tokens),
+        dtype=np.uint64,
         count=len(tokens),
     )
 
@@ -71,17 +82,17 @@ class DeterministicQAScorer:
         self._memo: dict[str, dict[str, int]] = {}
 
     def _hashes(self, query_tag: str, tokens: Sequence[str]) -> np.ndarray:
-        """Memoized per-(query_tag, token) CRC32 (the model-weight lookup is
-        the hot path at corpus scale; vocabularies are small relative to
-        token streams, so memoization is a large constant-factor win)."""
+        """Memoized per-(query_tag, token) md5-60bit (the model-weight lookup
+        is the hot path at corpus scale; vocabularies are small relative to
+        token streams, so memoization is a large constant-factor win and the
+        md5-vs-crc32 cost difference vanishes)."""
         memo = self._memo.setdefault(query_tag, {})
-        prefix = (query_tag + "|").encode("utf-8")
-        out = np.empty(len(tokens), dtype=np.uint32)
+        out = np.empty(len(tokens), dtype=np.uint64)
         get = memo.get
         for i, t in enumerate(tokens):
             h = get(t)
             if h is None:
-                h = zlib.crc32(prefix + t.encode("utf-8"))
+                h = hash60(query_tag, t)
                 if len(memo) < self._MEMO_CAP:
                     memo[t] = h
             out[i] = h

@@ -1,0 +1,132 @@
+"""ANSI-SQL (DuckDB) twin of the flagship battery mention-detection pipeline.
+
+The deterministic QA scorer (kernel/scorer.py) hashes with md5-60bit
+precisely so this twin exists: every stage of the flagship DAG —
+tokenization (wordpiece.py::tokenize_text), fixed-width WordPiece split
+(wp_split), per-query truncation (assemble, P5), query-conditioned 3-logit
+emission with the previous-token interaction (DeterministicQAScorer.logits),
+argmax with first-occurrence tie-break (top-1 == W3), head-keeps-label
+WordPiece merge (P8), and the uniform-type IOB2 decode with transition
+repair (decode_bio_uniform, W1) — is replayed here in plain SQL over the
+same corpus CTE.  The driver's correctness gate therefore hash-checks the
+whole scorer->decode pipeline externally, not just rows-only.
+
+Float fidelity: every arithmetic step (``(h % 997)/997.0`` etc.) is written
+in the same order as the NumPy kernel, so IEEE-754 doubles agree
+bit-for-bit; ties between logits are impossible by construction (the
+rationals ``k/997`` and ``m/991`` can never make the gains/biases collide),
+so the CASE argmax is exact.
+
+Scale note: this module is the *oracle*, not the engine — the engine path
+is the Arrow-batched iterator UDF in operators/mention_detect.py.
+"""
+
+from __future__ import annotations
+
+from ..kernel.scorer import DeterministicQAScorer as _S
+from ..kernel.wordpiece import MAX_SEQ_LENGTH, PIECE, tokenize_text, wp_split_seq
+from ..queries_battery import QUERIES
+
+# tokenize_text as one regex: ASCII-alphanumeric runs kept whole, every
+# other non-whitespace char is its own token (README.md:128 convention)
+TOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _battery_values() -> str:
+    """(tag, qlen) rows: query sub-token lengths computed with the SAME
+    kernel functions the engine uses (embedded as literals, like the
+    priority CASE table)."""
+    rows = []
+    for tag, question in sorted(QUERIES.items()):
+        qlen = len(wp_split_seq(tokenize_text(question)))
+        rows.append(f"('{tag}', {qlen})")
+    return ",\n        ".join(rows)
+
+
+def mentions_oracle_sql(corpus_sql: str) -> str:
+    """DuckDB SQL producing exactly ``detect_mentions(corpus(...))``'s
+    (doc_id, type, start_pos, end_pos, text) rows."""
+    max_pieces = 32  # bound on wp pieces per token (tokens <= 128 chars)
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    toks AS (
+      SELECT doc_id, (u.s).tok AS tok, (u.s).i - 1 AS tok_idx
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 regexp_extract_all(content, '{TOKEN_RE}'),
+                 (x, i) -> {{'tok': x, 'i': i}})) AS s
+        FROM corpus) u),
+    pieces AS (
+      SELECT doc_id, tok, tok_idx, k.range AS k,
+             CASE WHEN k.range = 0 THEN substr(tok, 1, {PIECE})
+                  ELSE '##' || substr(tok, k.range * {PIECE} + 1, {PIECE})
+             END AS piece,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tok_idx, k.range) - 1 AS pos
+      FROM toks CROSS JOIN range({max_pieces}) k
+      WHERE k.range * {PIECE} < length(tok)),
+    tags AS (
+      SELECT tag, qlen,
+             -- hot('[SEP]') under this tag: the previous-token state seen by
+             -- the first passage piece (battery fast path scores [SEP] + P)
+             (('0x' || substr(md5(tag || '|' || '[SEP]'), 1, 15))::BIGINT % 997) / 997.0 AS sep_u1,
+             ((('0x' || substr(md5(tag || '|' || '[SEP]'), 1, 15))::BIGINT >> 10) % 991) / 991.0 AS sep_u2
+      FROM (VALUES
+        {_battery_values()}) v(tag, qlen)),
+    scored AS (
+      SELECT p.doc_id, t.tag, p.tok, p.tok_idx, p.k, p.pos,
+             (h % 997) / 997.0 AS u1,
+             ((h >> 10) % 991) / 991.0 AS u2,
+             (t.sep_u1 > 0.985 OR t.sep_u2 > 0.93) AS sep_hot
+      FROM pieces p
+      CROSS JOIN tags t
+      CROSS JOIN LATERAL (SELECT ('0x' || substr(md5(t.tag || '|' || p.piece), 1, 15))::BIGINT AS h) hh
+      WHERE p.pos < {MAX_SEQ_LENGTH} - t.qlen - 3),
+    labeled AS (
+      SELECT doc_id, tag, tok, tok_idx, k,
+             CASE WHEN l_b >= l_i AND l_b >= l_o THEN 'B'
+                  WHEN l_i >= l_o THEN 'I'
+                  ELSE 'O' END AS lab
+      FROM (
+        SELECT *,
+               {_S.B_GAIN} * u1 + ({_S.B_BIAS}) AS l_b,
+               {_S.I_GAIN} * u2 + ({_S.I_BIAS})
+                 + {_S.I_PREV_BOOST} * (CASE WHEN COALESCE(
+                       LAG(u1 > 0.985 OR u2 > 0.93) OVER w, sep_hot)
+                     THEN 1.0 ELSE 0.0 END) AS l_i,
+               {_S.O_BIAS} AS l_o
+        FROM scored
+        WINDOW w AS (PARTITION BY doc_id, tag ORDER BY pos))),
+    merged AS (
+      -- WordPiece merge: the head piece (k=0) keeps the label; the surface
+      -- string is the prefix of the token covered by truncation-surviving
+      -- pieces (merge(split(t)) == t when untruncated)
+      SELECT doc_id, tag, tok_idx,
+             MAX(CASE WHEN k = 0 THEN lab END) AS m_lab,
+             substr(MIN(tok), 1, LEAST(length(MIN(tok)), {PIECE} * COUNT(*))) AS m_text
+      FROM labeled
+      GROUP BY doc_id, tag, tok_idx),
+    starts AS (
+      -- IOB2 decode (uniform type): start = B, or I whose predecessor is O
+      -- (the scheme.py transition-repair rule)
+      SELECT *,
+             CASE WHEN m_lab = 'B'
+                    OR (m_lab = 'I' AND COALESCE(LAG(m_lab) OVER w1, 'O') = 'O')
+                  THEN 1 ELSE 0 END AS is_start
+      FROM merged
+      WINDOW w1 AS (PARTITION BY doc_id, tag ORDER BY tok_idx)),
+    runs AS (
+      -- islands by running start-count
+      SELECT *,
+             SUM(is_start) OVER (PARTITION BY doc_id, tag ORDER BY tok_idx
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+      FROM starts)
+    SELECT doc_id, tag AS type,
+           MIN(tok_idx)::INTEGER AS start_pos,
+           MAX(tok_idx)::INTEGER AS end_pos,
+           STRING_AGG(m_text, '' ORDER BY tok_idx) AS text
+    FROM runs
+    WHERE m_lab <> 'O'
+    GROUP BY doc_id, tag, grp
+    """
