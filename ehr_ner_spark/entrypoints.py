@@ -100,9 +100,17 @@ def kg_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return featurize_corpus(c, gold_spans=gold_mentions(c), max_seq_length=128)
 
 
-@_register("kg_sl_mentions")  # SL scorer kernel: rows-only; parity in pytest
+def _sl_mentions_oracle() -> str:
+    from .operators.mention_sql import sl_mentions_oracle_sql
+
+    return sl_mentions_oracle_sql(CORPUS_SQL)
+
+
+@_register("kg_sl_mentions", oracle=_sl_mentions_oracle)
 def kg_sl_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2: flat sequence-labeling mention detection (no overlaps)."""
+    """U2: flat sequence-labeling mention detection (no overlaps); the
+    65-label argmax + general typed IOB2 decode replayed in DuckDB SQL
+    (operators/mention_sql.py::sl_mentions_oracle_sql)."""
     from .operators.sl_detect import detect_mentions_sl
 
     return detect_mentions_sl(corpus(spark, sf_dir), num_partitions=8).select(
@@ -110,7 +118,36 @@ def kg_sl_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("kg_sl_vs_qasl")  # rows-only: scorer-based both sides
+def _sl_vs_qasl_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql, sl_mentions_oracle_sql
+
+    return (
+        "WITH q_m AS ("
+        + mentions_oracle_sql(CORPUS_SQL)
+        + "),\ns_m AS ("
+        + sl_mentions_oracle_sql(CORPUS_SQL)
+        + """),
+    g AS (SELECT DISTINCT doc_id, type, start_pos, end_pos, text FROM q_m WHERE type <> 'DIN'),
+    p AS (SELECT DISTINCT doc_id, type, start_pos, end_pos, text FROM s_m WHERE type <> 'DIN'),
+    c AS (SELECT * FROM p INTERSECT SELECT * FROM g),
+    n AS (SELECT (SELECT COUNT(*) FROM c) AS nb_correct,
+                 (SELECT COUNT(*) FROM p) AS nb_pred,
+                 (SELECT COUNT(*) FROM g) AS nb_true)
+    SELECT nb_correct, nb_pred, nb_true,
+           ROUND(CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END, 6) AS precision,
+           ROUND(CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END, 6) AS recall,
+           ROUND(CASE WHEN (CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END
+                          + CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END) > 0
+                 THEN 2 * (CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END)
+                        * (CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END)
+                        / ((CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END)
+                         + (CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END))
+                 ELSE 0 END, 6) AS f1
+    FROM n"""
+    )
+
+
+@_register("kg_sl_vs_qasl", oracle=_sl_vs_qasl_oracle)
 def kg_sl_vs_qasl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6-style side-by-side: micro P/R/F1 of flat SL against the nested
     QASL battery output (evaluate.py's model comparison), DIN excluded (P9,

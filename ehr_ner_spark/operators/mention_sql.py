@@ -130,3 +130,124 @@ def mentions_oracle_sql(corpus_sql: str) -> str:
     WHERE m_lab <> 'O'
     GROUP BY doc_id, tag, grp
     """
+
+
+def _sl_types_values() -> str:
+    """(type_idx, type) rows in the engine's label-space order
+    (list(QUERIES.keys()) — argmax tie-break depends on this order)."""
+    return ",\n        ".join(
+        f"({i}, '{t}')" for i, t in enumerate(QUERIES.keys())
+    )
+
+
+def sl_mentions_oracle_sql(corpus_sql: str) -> str:
+    """DuckDB SQL producing exactly ``detect_mentions_sl(corpus(...))``'s
+    (doc_id, type, start_pos, end_pos, text) rows — the flat 65-label
+    model family (kernel/sl.py): one argmax over [O] + [B-t, I-t]*types,
+    [CLS] P [SEP] assembly, head-keeps-label merge, and the GENERAL typed
+    IOB2 automaton of kernel/iob2.py::decode_bio (scheme.py truth tables,
+    including the begin-fallback-0 and B-after-O-same-type quirks)."""
+    max_pieces = 32
+    limit = MAX_SEQ_LENGTH - 2
+    g, bb = _S.B_GAIN, _S.B_BIAS
+    ig, ib, pb = _S.I_GAIN, _S.I_BIAS, _S.I_PREV_BOOST
+    ob = _S.O_BIAS
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    toks AS (
+      SELECT doc_id, (u.s).tok AS tok, (u.s).i - 1 AS tok_idx
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 regexp_extract_all(content, '{TOKEN_RE}'),
+                 (x, i) -> {{'tok': x, 'i': i}})) AS s
+        FROM corpus) u),
+    pieces AS (
+      SELECT doc_id, tok, tok_idx, k.range AS k,
+             CASE WHEN k.range = 0 THEN substr(tok, 1, {PIECE})
+                  ELSE '##' || substr(tok, k.range * {PIECE} + 1, {PIECE})
+             END AS piece,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tok_idx, k.range) - 1 AS pos
+      FROM toks CROSS JOIN range({max_pieces}) k
+      WHERE k.range * {PIECE} < length(tok)),
+    types AS (
+      SELECT ti, typ,
+             (('0x' || substr(md5(typ || '|' || '[CLS]'), 1, 15))::BIGINT % 997) / 997.0 AS cls_u1,
+             ((('0x' || substr(md5(typ || '|' || '[CLS]'), 1, 15))::BIGINT >> 10) % 991) / 991.0 AS cls_u2
+      FROM (VALUES
+        {_sl_types_values()}) v(ti, typ)),
+    scoredt AS (
+      SELECT p.doc_id, p.tok, p.tok_idx, p.k, p.pos, t.ti, t.typ,
+             (h % 997) / 997.0 AS u1,
+             ((h >> 10) % 991) / 991.0 AS u2,
+             (t.cls_u1 > 0.985 OR t.cls_u2 > 0.93) AS cls_hot
+      FROM pieces p
+      CROSS JOIN types t
+      CROSS JOIN LATERAL (SELECT ('0x' || substr(md5(t.typ || '|' || p.piece), 1, 15))::BIGINT AS h) hh
+      WHERE p.pos < {limit}),
+    logits AS (
+      SELECT *,
+             {g} * u1 + ({bb}) AS l_b,
+             {ig} * u2 + ({ib})
+               + {pb} * (CASE WHEN COALESCE(
+                     LAG(u1 > 0.985 OR u2 > 0.93) OVER
+                       (PARTITION BY doc_id, ti ORDER BY pos), cls_hot)
+                   THEN 1.0 ELSE 0.0 END) AS l_i
+      FROM scoredt),
+    cand AS (
+      SELECT doc_id, tok, tok_idx, k, pos, 1 + 2 * ti AS label_idx,
+             l_b AS logit, 'B' AS lp, typ FROM logits
+      UNION ALL
+      SELECT doc_id, tok, tok_idx, k, pos, 2 + 2 * ti, l_i, 'I', typ FROM logits
+      UNION ALL
+      SELECT DISTINCT doc_id, tok, tok_idx, k, pos, 0, {ob}, 'O', '' FROM logits),
+    best AS (
+      SELECT doc_id, tok, tok_idx, k, lp, typ FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, pos
+                                     ORDER BY logit DESC, label_idx ASC) AS rn
+        FROM cand) WHERE rn = 1),
+    merged AS (
+      SELECT doc_id, tok_idx,
+             MAX(CASE WHEN k = 0 THEN lp END) AS lp,
+             MAX(CASE WHEN k = 0 THEN typ END) AS typ,
+             substr(MIN(tok), 1, LEAST(length(MIN(tok)), {PIECE} * COUNT(*))) AS m_text
+      FROM best
+      GROUP BY doc_id, tok_idx),
+    seq AS (
+      SELECT doc_id, tok_idx, lp, typ, m_text FROM merged
+      UNION ALL  -- decode sentinel ("", "O") (entity.py:52)
+      SELECT doc_id, MAX(tok_idx) + 1, 'O', '', '' FROM merged GROUP BY doc_id),
+    ext AS (
+      SELECT *,
+             LAG(lp, 1, 'O') OVER w AS prev_lp,
+             LAG(typ, 1, '') OVER w AS prev_typ
+      FROM seq
+      WINDOW w AS (PARTITION BY doc_id ORDER BY tok_idx)),
+    masked AS (
+      SELECT *,
+             (prev_lp IN ('B', 'I'))
+               AND (lp = 'B' OR (lp IN ('I', 'O') AND prev_typ <> typ)) AS end_mask,
+             (lp = 'B' AND (prev_lp IN ('B', 'I')
+                            OR (prev_lp = 'O' AND prev_typ <> typ)))
+               OR (lp = 'I' AND prev_typ <> typ) AS start_mask
+      FROM ext),
+    withbegin AS (
+      SELECT *,
+             COALESCE(MAX(CASE WHEN start_mask THEN tok_idx END) OVER
+                        (PARTITION BY doc_id ORDER BY tok_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS begin_i
+      FROM masked),
+    spans AS (
+      SELECT doc_id, begin_i, tok_idx - 1 AS end_i, prev_typ AS span_typ
+      FROM withbegin WHERE end_mask)
+    SELECT s.doc_id, s.span_typ AS type,
+           s.begin_i::INTEGER AS start_pos,
+           s.end_i::INTEGER AS end_pos,
+           STRING_AGG(m.m_text, '' ORDER BY m.tok_idx) AS text
+    FROM spans s
+    JOIN merged m ON m.doc_id = s.doc_id
+                 AND m.tok_idx BETWEEN s.begin_i AND s.end_i
+    GROUP BY s.doc_id, s.span_typ, s.begin_i, s.end_i
+    """
