@@ -89,14 +89,23 @@ def kg_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return augment_corpus(corpus(spark, sf_dir), p_times=1.1, num_partitions=8)
 
 
-@_register("kg_featurize")  # hash-vocab featurizer: rows-only
+def _featurize_oracle() -> str:
+    from .operators.gold import gold_mentions_sql
+    from .operators.mention_sql import featurize_oracle_sql
+
+    return featurize_oracle_sql(gold_mentions_sql(CORPUS_SQL), max_seq_length=128)
+
+
+@_register("kg_featurize", oracle=_featurize_oracle)
 def kg_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1-P6: (doc x query) InputFeatures table (512-length invariants)."""
+    """P1-P6: (doc x query) InputFeatures table; the md5 hash-vocab makes
+    the whole featurizer (painting, wordpiece alignment, assembly,
+    truncation, padding) a DuckDB list-expression twin.
+    128 keeps the registry run light; tests cover the 512 contract."""
     from .operators.featurize import featurize_corpus
     from .operators.gold import gold_mentions
 
     c = corpus(spark, sf_dir)
-    # 128 keeps the registry run light; tests cover the 512 contract
     return featurize_corpus(c, gold_spans=gold_mentions(c), max_seq_length=128)
 
 

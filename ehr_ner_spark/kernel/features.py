@@ -16,15 +16,17 @@ InputFeatures, mirroring the reference featurizer
   (feaproducer.py:272-296), with the reference's length asserts
   (feaproducer.py:293-296) preserved.
 
-Vocabulary is a deterministic CRC32 hash-vocab (no HF tokenizer in the
-sandbox); ids are stable across processes so features are reproducible.
+Vocabulary is a deterministic md5-hash-vocab (no HF tokenizer in the
+sandbox); ids are stable across processes so features are reproducible, and
+the hash is the same md5-60bit family as the scorer so the whole featurizer
+has a DuckDB SQL twin (operators/mention_sql.py::featurize_oracle_sql).
 """
 
 from __future__ import annotations
 
-import zlib
 from typing import Dict, List, Sequence, Tuple
 
+from .scorer import hash60
 from .wordpiece import CLS, SEP, wp_split
 
 PAD_TOKEN_LABEL_ID = -100
@@ -37,11 +39,13 @@ MAX_SEQ_LENGTH = 512
 
 
 def token_id(token: str) -> int:
+    """md5-60bit hash-vocab id (DuckDB twin:
+    ``1000 + ('0x' || substr(md5('vocab|' || t), 1, 15))::BIGINT % 30000``)."""
     if token == CLS:
         return CLS_ID
     if token == SEP:
         return SEP_ID
-    return VOCAB_OFFSET + zlib.crc32(token.encode("utf-8")) % VOCAB_SIZE
+    return VOCAB_OFFSET + hash60("vocab", token) % VOCAB_SIZE
 
 
 def paint_labels_sl(n_tokens: int, spans: Sequence[Tuple[str, int, int]]) -> List[str]:

@@ -88,10 +88,16 @@ def featurize_corpus(
                 pdf["doc_id"], pdf["content"], pdf["spans"]
             ):
                 toks = tokenize_text(content)
-                span_list = [
-                    (s["type"], int(s["start_pos"]), int(s["end_pos"]))
-                    for s in (spans if spans is not None else [])
-                ]
+                # canonical (start, end, type) paint order: collect_list is
+                # partition-order-dependent, and overlapping spans make the
+                # last paint win — sort so output is deterministic (D2 order)
+                span_list = sorted(
+                    (
+                        (s["type"], int(s["start_pos"]), int(s["end_pos"]))
+                        for s in (spans if spans is not None else [])
+                    ),
+                    key=lambda x: (x[1], x[2], x[0]),
+                )
                 for q_tag, q_toks in battery:
                     labels = paint_labels_qasl(len(toks), span_list, q_tag)
                     feat = featurize_qasl(

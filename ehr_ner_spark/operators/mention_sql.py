@@ -251,3 +251,97 @@ def sl_mentions_oracle_sql(corpus_sql: str) -> str:
                  AND m.tok_idx BETWEEN s.begin_i AND s.end_i
     GROUP BY s.doc_id, s.span_typ, s.begin_i, s.end_i
     """
+
+
+def _featurize_battery_values() -> str:
+    """(tag, qlen, q_ids) literal rows — query-side features precomputed
+    with the same kernel (token_id / wp_split / tokenize_text)."""
+    from ..kernel.features import token_id
+
+    rows = []
+    for tag, question in sorted(QUERIES.items()):
+        q_sub = wp_split_seq(tokenize_text(question))
+        ids = ", ".join(str(token_id(t)) for t in q_sub)
+        rows.append(f"('{tag}', {len(q_sub)}, [{ids}])")
+    return ",\n        ".join(rows)
+
+
+def featurize_oracle_sql(gold_prelude: str, max_seq_length: int = 128) -> str:
+    """DuckDB SQL twin of ``featurize_corpus(corpus, gold_spans=gold, 128)``:
+    P1-P6 (QASL label painting, wordpiece alignment with -100 continuations,
+    [CLS] Q [SEP] P [SEP] assembly, truncation, padding + masks) as list
+    expressions.  ``gold_prelude`` must open WITH corpus/toks/gold CTEs
+    (operators/gold.py::gold_mentions_sql)."""
+    from ..kernel.features import (
+        CLS_ID,
+        PAD_TOKEN_LABEL_ID,
+        SEP_ID,
+        VOCAB_OFFSET,
+        VOCAB_SIZE,
+    )
+
+    m = max_seq_length
+    pad = PAD_TOKEN_LABEL_ID
+    return (
+        gold_prelude.rstrip()
+        + f""",
+    ftoks AS (
+      SELECT doc_id, (u.s).tok AS tok, (u.s).i - 1 AS tok_idx
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 regexp_extract_all(content, '{TOKEN_RE}'),
+                 (x, i) -> {{'tok': x, 'i': i}})) AS s
+        FROM corpus) u),
+    fpieces AS (
+      SELECT doc_id, tok, tok_idx, k.range AS k,
+             CASE WHEN k.range = 0 THEN substr(tok, 1, {PIECE})
+                  ELSE '##' || substr(tok, k.range * {PIECE} + 1, {PIECE})
+             END AS piece,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tok_idx, k.range) - 1 AS pos
+      FROM ftoks CROSS JOIN range(32) k
+      WHERE k.range * {PIECE} < length(tok)),
+    fbattery AS (
+      SELECT * FROM (VALUES
+        {_featurize_battery_values()}) v(tag, qlen, q_ids)),
+    painted AS (
+      -- QASL painting (P2): deterministic last-write = max (start, end)
+      -- covering span of the query's type; B if it starts here, else I
+      SELECT doc_id, tag, tok_idx, lab_id FROM (
+        SELECT t.doc_id, g.type AS tag, t.tok_idx,
+               CASE WHEN g.start_pos = t.tok_idx THEN 1 ELSE 2 END AS lab_id,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id, g.type, t.tok_idx
+                                  ORDER BY g.start_pos DESC, g.end_pos DESC) AS rn
+        FROM ftoks t
+        JOIN gold g ON g.pid = t.doc_id
+                   AND t.tok_idx BETWEEN g.start_pos AND g.end_pos)
+      WHERE rn = 1),
+    prows AS (
+      SELECT p.doc_id, b.tag, b.qlen, b.q_ids, p.pos,
+             {VOCAB_OFFSET} + (('0x' || substr(md5('vocab|' || p.piece), 1, 15))::BIGINT % {VOCAB_SIZE}) AS piece_id,
+             CASE WHEN p.k = 0 THEN COALESCE(pl.lab_id, 0) ELSE {pad} END AS lab
+      FROM fpieces p
+      CROSS JOIN fbattery b
+      LEFT JOIN painted pl ON pl.doc_id = p.doc_id
+                          AND pl.tok_idx = p.tok_idx AND pl.tag = b.tag
+      WHERE p.pos < {m} - b.qlen - 3),
+    fagg AS (
+      SELECT doc_id, tag, qlen, q_ids,
+             list(piece_id ORDER BY pos) AS p_ids,
+             list(lab ORDER BY pos)      AS p_labs,
+             COUNT(*)                    AS n_p
+      FROM prows GROUP BY doc_id, tag, qlen, q_ids)
+    SELECT doc_id, tag AS q_tag,
+           [{CLS_ID}] || q_ids || [{SEP_ID}] || p_ids || [{SEP_ID}]
+             || list_transform(range({m} - qlen - 3 - n_p), x -> 0) AS input_ids,
+           list_transform(range(qlen + 3 + n_p), x -> 1)
+             || list_transform(range({m} - qlen - 3 - n_p), x -> 0) AS attention_mask,
+           list_transform(range(qlen + 2), x -> 0)
+             || list_transform(range(n_p + 1), x -> 1)
+             || list_transform(range({m} - qlen - 3 - n_p), x -> 0) AS token_type_ids,
+           list_transform(range(qlen + 2), x -> {pad}) || p_labs || [{pad}]
+             || list_transform(range({m} - qlen - 3 - n_p), x -> {pad}) AS label_ids
+    FROM fagg
+    """
+    )
