@@ -81,12 +81,23 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("kg_augment")  # scorer kernel (top-2 get-back): rows-only
+def _augment_oracle() -> str:
+    from .operators.mention_sql import augment_oracle_sql
+
+    return augment_oracle_sql(CORPUS_SQL, p_times=1.1)
+
+
+@_register("kg_augment", oracle=_augment_oracle)
 def kg_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3/D3: top-2 'get-back' corpus augmentation (dataAugmentator.py)."""
+    """J3/D3: top-2 'get-back' corpus augmentation (dataAugmentator.py);
+    softmax top-2, the three mean-probability gates, and the NaN quirk are
+    replayed in DuckDB (operators/mention_sql.py::augment_oracle_sql).
+    score_ratio rounded to 6 digits on both sides (exp ulp tolerance)."""
     from .operators.augment import augment_corpus
 
-    return augment_corpus(corpus(spark, sf_dir), p_times=1.1, num_partitions=8)
+    return augment_corpus(
+        corpus(spark, sf_dir), p_times=1.1, num_partitions=8
+    ).withColumn("score_ratio", F.round("score_ratio", 6))
 
 
 def _featurize_oracle() -> str:

@@ -43,9 +43,9 @@ def _battery_values() -> str:
     return ",\n        ".join(rows)
 
 
-def mentions_oracle_sql(corpus_sql: str) -> str:
-    """DuckDB SQL producing exactly ``detect_mentions(corpus(...))``'s
-    (doc_id, type, start_pos, end_pos, text) rows."""
+def _battery_prelude(corpus_sql: str) -> str:
+    """Shared CTE chain corpus -> toks -> pieces -> tags -> scored -> lg
+    (per-(doc, tag, pos) logits retained for downstream consumers)."""
     max_pieces = 32  # bound on wp pieces per token (tokens <= 128 chars)
     return f"""
     WITH corpus AS ({corpus_sql}),
@@ -83,21 +83,28 @@ def mentions_oracle_sql(corpus_sql: str) -> str:
       CROSS JOIN tags t
       CROSS JOIN LATERAL (SELECT ('0x' || substr(md5(t.tag || '|' || p.piece), 1, 15))::BIGINT AS h) hh
       WHERE p.pos < {MAX_SEQ_LENGTH} - t.qlen - 3),
+    lg AS (
+      SELECT *,
+             {_S.B_GAIN} * u1 + ({_S.B_BIAS}) AS l_b,
+             {_S.I_GAIN} * u2 + ({_S.I_BIAS})
+               + {_S.I_PREV_BOOST} * (CASE WHEN COALESCE(
+                     LAG(u1 > 0.985 OR u2 > 0.93) OVER w, sep_hot)
+                   THEN 1.0 ELSE 0.0 END) AS l_i,
+             {_S.O_BIAS} AS l_o
+      FROM scored
+      WINDOW w AS (PARTITION BY doc_id, tag ORDER BY pos))"""
+
+
+def _mention_span_ctes() -> str:
+    """CTE chain lg -> labeled -> merged -> starts -> runs -> m_spans
+    (the top-1 typed spans of the whole battery)."""
+    return f""",
     labeled AS (
       SELECT doc_id, tag, tok, tok_idx, k,
              CASE WHEN l_b >= l_i AND l_b >= l_o THEN 'B'
                   WHEN l_i >= l_o THEN 'I'
                   ELSE 'O' END AS lab
-      FROM (
-        SELECT *,
-               {_S.B_GAIN} * u1 + ({_S.B_BIAS}) AS l_b,
-               {_S.I_GAIN} * u2 + ({_S.I_BIAS})
-                 + {_S.I_PREV_BOOST} * (CASE WHEN COALESCE(
-                       LAG(u1 > 0.985 OR u2 > 0.93) OVER w, sep_hot)
-                     THEN 1.0 ELSE 0.0 END) AS l_i,
-               {_S.O_BIAS} AS l_o
-        FROM scored
-        WINDOW w AS (PARTITION BY doc_id, tag ORDER BY pos))),
+      FROM lg),
     merged AS (
       -- WordPiece merge: the head piece (k=0) keeps the label; the surface
       -- string is the prefix of the token covered by truncation-surviving
@@ -121,15 +128,25 @@ def mentions_oracle_sql(corpus_sql: str) -> str:
       SELECT *,
              SUM(is_start) OVER (PARTITION BY doc_id, tag ORDER BY tok_idx
                                  ROWS UNBOUNDED PRECEDING) AS grp
-      FROM starts)
-    SELECT doc_id, tag AS type,
-           MIN(tok_idx)::INTEGER AS start_pos,
-           MAX(tok_idx)::INTEGER AS end_pos,
-           STRING_AGG(m_text, '' ORDER BY tok_idx) AS text
-    FROM runs
-    WHERE m_lab <> 'O'
-    GROUP BY doc_id, tag, grp
-    """
+      FROM starts),
+    m_spans AS (
+      SELECT doc_id, tag AS type,
+             MIN(tok_idx)::INTEGER AS start_pos,
+             MAX(tok_idx)::INTEGER AS end_pos,
+             STRING_AGG(m_text, '' ORDER BY tok_idx) AS text
+      FROM runs
+      WHERE m_lab <> 'O'
+      GROUP BY doc_id, tag, grp)"""
+
+
+def mentions_oracle_sql(corpus_sql: str) -> str:
+    """DuckDB SQL producing exactly ``detect_mentions(corpus(...))``'s
+    (doc_id, type, start_pos, end_pos, text) rows."""
+    return (
+        _battery_prelude(corpus_sql)
+        + _mention_span_ctes()
+        + "\n    SELECT doc_id, type, start_pos, end_pos, text FROM m_spans"
+    )
 
 
 def _sl_types_values() -> str:
@@ -343,5 +360,91 @@ def featurize_oracle_sql(gold_prelude: str, max_seq_length: int = 128) -> str:
            list_transform(range(qlen + 2), x -> {pad}) || p_labs || [{pad}]
              || list_transform(range({m} - qlen - 3 - n_p), x -> {pad}) AS label_ids
     FROM fagg
+    """
+    )
+
+
+def augment_oracle_sql(corpus_sql: str, p_times: float = 1.1) -> str:
+    """DuckDB twin of ``augment_corpus(corpus, p_times)`` (kernel/augment.py):
+    top-1 battery spans unioned with top-2 "gotten-back" spans.
+
+    The top-2 machinery is replayed exactly: second-best label by
+    (prob desc, label-id asc) — computable from logits alone since softmax
+    is monotone; softmax probabilities with the same ``exp(x - max) / sum``
+    evaluation order; the three mean-probability gates against
+    ``p_times * mean``; the faithful NaN quirk (empty interior -> AVG over
+    zero rows -> NULL -> gate fails, like ``nan > thr`` in NumPy); and
+    top1-wins dedup.  score_ratio is rounded to 6 digits on both sides
+    (libm exp may differ from NumPy's SIMD exp by 1 ulp; every *decision*
+    compares generically-separated doubles, so rounding only the emitted
+    ratio is sufficient for exactness in practice)."""
+    return (
+        _battery_prelude(corpus_sql)
+        + _mention_span_ctes()
+        + f""",
+    top2 AS (
+      -- merged+stripped (head keeps top-2) second-best label char + prob
+      SELECT doc_id, tag, tok_idx,
+             CASE WHEN first = 'B' THEN (CASE WHEN l_i >= l_o THEN 'I' ELSE 'O' END)
+                  WHEN first = 'I' THEN (CASE WHEN l_b >= l_o THEN 'B' ELSE 'O' END)
+                  ELSE (CASE WHEN l_b >= l_i THEN 'B' ELSE 'I' END)
+             END AS l2,
+             exp((CASE WHEN first = 'B' THEN (CASE WHEN l_i >= l_o THEN l_i ELSE l_o END)
+                       WHEN first = 'I' THEN (CASE WHEN l_b >= l_o THEN l_b ELSE l_o END)
+                       ELSE (CASE WHEN l_b >= l_i THEN l_b ELSE l_i END)
+                  END) - mx)
+               / (exp(l_b - mx) + exp(l_i - mx) + exp(l_o - mx)) AS p2
+      FROM (
+        SELECT doc_id, tag, tok_idx, l_b, l_i, l_o,
+               GREATEST(l_b, l_i, l_o) AS mx,
+               CASE WHEN l_b >= l_i AND l_b >= l_o THEN 'B'
+                    WHEN l_i >= l_o THEN 'I'
+                    ELSE 'O' END AS first
+        FROM lg WHERE k = 0)),
+    tagstats AS (
+      SELECT doc_id, tag, COUNT(*) AS n_len, AVG(p2) AS mean
+      FROM top2 GROUP BY doc_id, tag),
+    dates AS (
+      SELECT DISTINCT doc_id, start_pos AS s, end_pos AS e, text
+      FROM m_spans
+      WHERE type LIKE '%D' OR type LIKE '%S' OR type LIKE '%E'),
+    cand AS (
+      SELECT d.doc_id, ts.tag AS typ, d.s, d.e, d.text, ts.mean
+      FROM dates d
+      JOIN tagstats ts ON ts.doc_id = d.doc_id
+      WHERE d.s < ts.n_len AND d.e < ts.n_len),
+    gated AS (
+      SELECT c.doc_id, c.typ, c.s, c.e, c.text, c.mean,
+             BOOL_AND(CASE WHEN t.tok_idx = c.s THEN t.l2 = 'B'
+                           ELSE t.l2 = 'I' END) AS shape_ok,
+             MAX(CASE WHEN t.tok_idx = c.s THEN t.p2 END) AS p_start,
+             AVG(CASE WHEN t.tok_idx > c.s THEN t.p2 END) AS interior_mean,
+             AVG(t.p2) AS ent_mean
+      FROM cand c
+      JOIN top2 t ON t.doc_id = c.doc_id AND t.tag = c.typ
+                 AND t.tok_idx BETWEEN c.s AND c.e
+      GROUP BY c.doc_id, c.typ, c.s, c.e, c.text, c.mean),
+    got_back AS (
+      SELECT doc_id, typ AS type, s::INTEGER AS start_pos, e::INTEGER AS end_pos,
+             text, 'top2' AS origin,
+             ROUND(ent_mean / mean, 6) AS score_ratio
+      FROM gated
+      WHERE shape_ok
+        AND p_start > mean * {p_times}
+        AND interior_mean > mean * {p_times}
+        AND ent_mean > mean * {p_times}),
+    unioned AS (
+      SELECT doc_id, type, start_pos, end_pos, text,
+             'top1' AS origin, NULL::DOUBLE AS score_ratio
+      FROM m_spans
+      UNION ALL
+      SELECT * FROM got_back)
+    SELECT doc_id, type, start_pos, end_pos, text, origin, score_ratio
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, type, start_pos,
+                                                end_pos, text
+                                   ORDER BY origin ASC) AS rk
+      FROM unioned)
+    WHERE rk = 1
     """
     )
