@@ -639,8 +639,61 @@ def ds_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
-@_register("mm_features")  # stub decoder: rows-only (plumbing check)
+@_register(
+    "mm_features",
+    # DuckDB twin: md5-byte-stream pixels; every feature is an exact
+    # integer pixel sum / exact count, so float64 results are bit-identical
+    # in any summation order — no rounding tolerance anywhere
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             32 + i % 64 AS w, 24 + i % 48 AS h,
+             repeat(sha256('media' || i::VARCHAR), 8) AS hexp
+      FROM range(48) t(i)),
+    px AS (
+      SELECT media_id, kind, w, h, j.range AS j,
+             ('0x' || substr(md5(hexp || '|' || (j.range // 16)::VARCHAR),
+                             (j.range % 16)::INT * 2 + 1, 2))::INT AS v
+      FROM m CROSS JOIN range(20448) j
+      WHERE j.range < h * w * 3),
+    coords AS (
+      SELECT media_id, kind, w, h, v,
+             j // (w * 3) AS y, (j % (w * 3)) // 3 AS x
+      FROM px),
+    by_b AS (
+      SELECT media_id, r.range AS bi,
+             (r.range * h) // 8 AS y0, ((r.range + 1) * h) // 8 AS y1
+      FROM m CROSS JOIN range(8) r),
+    bx_b AS (
+      SELECT media_id, r.range AS bj,
+             (r.range * w) // 8 AS x0, ((r.range + 1) * w) // 8 AS x1
+      FROM m CROSS JOIN range(8) r),
+    colm AS (
+      SELECT c.media_id, x.bj, SUM(c.v) / COUNT(*)::DOUBLE AS v
+      FROM coords c
+      JOIN bx_b x ON x.media_id = c.media_id AND c.x >= x.x0 AND c.x < x.x1
+      GROUP BY 1, 2),
+    rowm AS (
+      SELECT c.media_id, y.bi, SUM(c.v) / COUNT(*)::DOUBLE AS v
+      FROM coords c
+      JOIN by_b y ON y.media_id = c.media_id AND c.y >= y.y0 AND c.y < y.y1
+      GROUP BY 1, 2),
+    luma AS (
+      SELECT media_id, SUM(v) / COUNT(*)::DOUBLE AS mean_luma
+      FROM coords GROUP BY 1),
+    feat AS (
+      SELECT c.media_id,
+             (SELECT list(v ORDER BY bj) FROM colm WHERE media_id = c.media_id)
+             || (SELECT list(v ORDER BY bi) FROM rowm WHERE media_id = c.media_id) AS feat
+      FROM (SELECT DISTINCT media_id FROM colm) c)
+    SELECT m.media_id, m.kind, l.mean_luma, f.feat
+    FROM m JOIN luma l USING (media_id) JOIN feat f USING (media_id)
+    """,
+)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode -> mean-pool resize -> pooled feature over binary media
+    columns (stub decode = md5 byte stream; real Spark plumbing)."""
     from .operators.multimodal import extract_features, synth_media
 
     return extract_features(synth_media(spark, 48))

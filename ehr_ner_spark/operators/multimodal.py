@@ -11,7 +11,6 @@ tested, and a libjpeg/ffmpeg-backed decoder drops into ``_decode_rgb`` /
 from __future__ import annotations
 
 import hashlib
-import struct
 from typing import Iterator
 
 import numpy as np
@@ -57,12 +56,21 @@ def synth_media(spark, n: int = 64) -> DataFrame:
 
 
 def _decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB DECODER — deterministic fake pixels derived from the payload.
-    Replace with PIL/libjpeg where available; the Spark plumbing (batch
-    shape, schema, partitioning) is identical either way."""
-    seed = struct.unpack("<Q", hashlib.sha256(payload).digest()[:8])[0]
-    rng = np.random.RandomState(seed % (2**32))
-    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    """STUB DECODER — deterministic fake pixels derived from the payload:
+    flat pixel j is byte ``j % 16`` of ``md5(hex(payload) + '|' + j // 16)``,
+    an md5 byte stream that the DuckDB oracle twin replays with substr
+    arithmetic (the reason it is not np.random).  Replace with PIL/libjpeg
+    where available; the Spark plumbing (batch shape, schema, partitioning)
+    is identical either way."""
+    hexp = payload.hex()
+    n = height * width * 3
+    out = np.empty(n, dtype=np.uint8)
+    for blk in range(0, (n + 15) // 16):
+        digest = hashlib.md5(f"{hexp}|{blk}".encode()).digest()
+        lo = blk * 16
+        chunk = min(16, n - lo)
+        out[lo : lo + chunk] = np.frombuffer(digest[:chunk], dtype=np.uint8)
+    return out.reshape(height, width, 3)
 
 
 _FEAT_SCHEMA = StructType(
@@ -76,7 +84,13 @@ _FEAT_SCHEMA = StructType(
 
 
 def extract_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
-    """decode -> resize (mean-pool) -> global feature, Arrow-batched."""
+    """decode -> band mean-pool (resize_to row-bands + resize_to col-bands,
+    linspace-truncated boundaries) -> 2*resize_to-dim feature, Arrow-batched.
+
+    Every emitted value is an exact integer-pixel sum divided by an exact
+    count, so the float64 results are bit-identical across any summation
+    order AND across engines (the DuckDB oracle twin reproduces them with
+    AVG over the same md5 pixel stream — no rounding tolerance needed)."""
     from ..pyfiles import ensure_shipped
 
     ensure_shipped(media.sparkSession)
@@ -88,22 +102,23 @@ def extract_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["width"], pdf["height"], pdf["payload"]
             ):
                 img = _decode_rgb(bytes(payload), int(w), int(h))
-                # resize by block mean-pool to resize_to x resize_to
                 ys = np.linspace(0, img.shape[0], resize_to + 1, dtype=int)
                 xs = np.linspace(0, img.shape[1], resize_to + 1, dtype=int)
-                pooled = np.array(
-                    [
-                        [img[ys[i]:ys[i+1], xs[j]:xs[j+1]].mean() for j in range(resize_to)]
-                        for i in range(resize_to)
-                    ]
-                )
-                luma = float(img.mean())
-                # 16-dim: row + column means of the pooled map
-                feat = np.concatenate([pooled.mean(axis=0), pooled.mean(axis=1)])
+                col_means = [
+                    int(img[:, xs[j]:xs[j+1], :].sum(dtype=np.int64))
+                    / (img.shape[0] * int(xs[j+1] - xs[j]) * 3)
+                    for j in range(resize_to)
+                ]
+                row_means = [
+                    int(img[ys[i]:ys[i+1], :, :].sum(dtype=np.int64))
+                    / (int(ys[i+1] - ys[i]) * img.shape[1] * 3)
+                    for i in range(resize_to)
+                ]
+                luma = int(img.sum(dtype=np.int64)) / img.size
                 ids.append(int(mid))
                 kinds.append(kind)
-                lumas.append(round(luma, 4))
-                feats.append([round(float(v), 4) for v in feat])
+                lumas.append(luma)
+                feats.append(col_means + row_means)
             yield pd.DataFrame(
                 {"media_id": ids, "kind": kinds, "mean_luma": lumas, "feat": feats}
             )
