@@ -571,9 +571,9 @@ def ds_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_oracle() -> str:
-    from .operators.dedup import MINHASH_SIG_SQL
+    from .operators.dedup import minhash_sig_sql
 
-    return MINHASH_SIG_SQL + "SELECT doc_id, perm, minhash FROM sig"
+    return minhash_sig_sql() + "SELECT doc_id, perm, minhash FROM sig"
 
 
 @_register("ds_minhash_sig", oracle=_minhash_sig_oracle)
@@ -586,9 +586,9 @@ def ds_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs_oracle() -> str:
-    from .operators.dedup import MINHASH_PAIRS_SQL
+    from .operators.dedup import minhash_pairs_sql
 
-    return MINHASH_PAIRS_SQL
+    return minhash_pairs_sql()
 
 
 @_register("ds_minhash_lsh_pairs", oracle=_minhash_pairs_oracle)

@@ -197,24 +197,51 @@ def _md5_60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+_MH_PRIME = (1 << 61) - 1  # Mersenne prime: (a*lo + b*hi + c) stays < 2^62
+_MH_LO_MASK = (1 << 30) - 1
+
+
+def _perm_coeffs(p: int) -> tuple[int, int, int]:
+    """Deterministic 30-bit universal-hash coefficients for permutation p
+    (derived from md5 so the DuckDB oracle can embed the same literals)."""
+    seed = int(hashlib.md5(f"perm{p}".encode()).hexdigest(), 16)
+    a = (seed & _MH_LO_MASK) | 1
+    b = ((seed >> 30) & _MH_LO_MASK) | 1
+    c = (seed >> 60) & _MH_LO_MASK
+    return a, b, c
+
+
+def _perm_hash_expr(h, p: int):
+    """(a*lo30(h) + b*hi30(h) + c) % (2^61-1) — pure integer JVM ops."""
+    a, b, c = _perm_coeffs(p)
+    lo = h.bitwiseAND(F.lit(_MH_LO_MASK))
+    hi = F.shiftrightunsigned(h, 30)
+    return (F.lit(a) * lo + F.lit(b) * hi + F.lit(c)) % F.lit(_MH_PRIME)
+
+
+def _perm_hash_sql(h_expr: str, p: int) -> str:
+    a, b, c = _perm_coeffs(p)
+    return f"({a} * (({h_expr}) & {_MH_LO_MASK}) + {b} * (({h_expr}) >> 30) + {c}) % {_MH_PRIME}"
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_perms: int = N_MINHASH_PERMS, n: int = 3) -> DataFrame:
     """MinHash signatures entirely with JVM built-ins — no Python in the
-    plan.  One min-aggregate column per permutation instead of a x n_perms
-    row blowup: all hashes are computed map-side and partial-min-combined
-    before the shuffle, so the exchange carries n_docs x n_perms longs, not
+    plan.  Each shingle is md5-hashed ONCE; the n_perms permutations are a
+    universal-hash family over that 60-bit value (integer ops only), and
+    each permutation is one min-aggregate column instead of a x n_perms row
+    blowup: all hashes are computed map-side and partial-min-combined before
+    the shuffle, so the exchange carries n_docs x n_perms longs, not
     n_shingles x n_perms rows.  Output: (doc_id, perm, minhash) — exactly
     SQL-oracle-checkable."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_word_shingles(text_col, n)).alias("shingle"),
-    )
+    ).select("doc_id", _md5_60(F.col("shingle")).alias("h"))
     sig_wide = sh.groupBy("doc_id").agg(
         *[
-            F.min(
-                _md5_60(F.concat_ws("|", F.lit(str(p)), F.col("shingle")))
-            ).alias(f"mh{p}")
+            F.min(_perm_hash_expr(F.col("h"), p)).alias(f"mh{p}")
             for p in range(n_perms)
         ]
     )
@@ -275,8 +302,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4,
     )
 
 
-# DuckDB twin of minhash_signatures (shared prelude for the sig/pairs oracles)
-MINHASH_SIG_SQL = """
+def minhash_sig_sql() -> str:
+    """DuckDB twin of minhash_signatures (shared prelude for the sig/pairs
+    oracles): one md5 per distinct shingle, then the same universal-hash
+    permutation family as literal coefficients."""
+    coef_rows = ",\n        ".join(
+        "({}, {}, {}, {})".format(p, *_perm_coeffs(p))
+        for p in range(N_MINHASH_PERMS)
+    )
+    return f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, shingle FROM (
@@ -284,14 +318,21 @@ MINHASH_SIG_SQL = """
                unnest(list_transform(range(len(w) - 2),
                       i -> array_to_string(w[i + 1 : i + 3], ' '))) AS shingle
         FROM w)),
+    hsh AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      FROM sh),
+    coef AS (SELECT * FROM (VALUES
+        {coef_rows}) v(perm, a, b, c)),
     sig AS (
-      SELECT doc_id, p.range AS perm,
-             MIN(('0x' || substr(md5(p.range::VARCHAR || '|' || shingle), 1, 15))::BIGINT) AS minhash
-      FROM sh CROSS JOIN range(16) p
+      SELECT doc_id, perm,
+             MIN((a * (h & {_MH_LO_MASK}) + b * (h >> 30) + c) % {_MH_PRIME}) AS minhash
+      FROM hsh CROSS JOIN coef
       GROUP BY 1, 2)
 """
 
-MINHASH_PAIRS_SQL = MINHASH_SIG_SQL + """,
+
+def minhash_pairs_sql() -> str:
+    return minhash_sig_sql() + """,
     bands AS (
       SELECT doc_id, perm // 4 AS band,
              string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_sig
