@@ -145,3 +145,50 @@ def decode_bio_uniform(
     for b, e in zip(begins.tolist(), end_idx.tolist()):
         out.append((pid, qtag, int(b), int(e - 1), "".join(toks[b:e])))
     return out
+
+
+def decode_bio_uniform_battery(
+    tokens: Sequence[str],
+    tag_mat: np.ndarray,
+    qtags: Sequence[str],
+    pid: int = 0,
+) -> List[Span]:
+    """All-battery variant of :func:`decode_bio_uniform`: one vectorized
+    pass over the whole ``(Q, n)`` tag matrix instead of Q per-row calls.
+
+    Rows are isolated by construction — every row gets an implicit leading
+    and trailing "O" (the ``prev``/``ext`` frames below), and in uniform
+    decode every chunk's first token is a start (B, or I-after-O via the
+    repair rule), so the flattened searchsorted can never pair an end with
+    a start from an earlier row.  Numerically identical to looping
+    decode_bio_uniform per tag (held to it by the parity tests)."""
+    q, n = tag_mat.shape
+    if n == 0 or q == 0:
+        return []
+    t = np.asarray(tag_mat, dtype="U1")
+    o_col = np.full((q, 1), "O", dtype="U1")
+    ext = np.concatenate((t, o_col), axis=1)     # (Q, n+1): cur frame
+    prev = np.concatenate((o_col, t), axis=1)    # (Q, n+1): prev frame
+
+    prev_bi = (prev == "B") | (prev == "I")
+    cur_b = ext == "B"
+    end_mask = prev_bi & (cur_b | (ext == "O"))
+    start_mask = cur_b | ((ext == "I") & (prev == "O"))
+
+    flat_end = np.flatnonzero(end_mask)
+    if flat_end.size == 0:
+        return []
+    flat_start = np.flatnonzero(start_mask)
+    pos = np.searchsorted(flat_start, flat_end, side="left") - 1
+    begins = flat_start[np.clip(pos, 0, None)]
+
+    width = n + 1
+    toks = list(tokens)
+    out: List[Span] = []
+    for b, e in zip(begins.tolist(), flat_end.tolist()):
+        row, s = divmod(b, width)
+        e_col = (e - 1) % width
+        out.append(
+            (pid, qtags[row], int(s), int(e_col), "".join(toks[s : e_col + 1]))
+        )
+    return out

@@ -70,7 +70,7 @@ def predict_battery(
       positions (the head keeps the label, P8);
     * decode uses the uniform-type fast automaton (types all == q_tag).
     """
-    from .iob2 import decode_bio_uniform
+    from .iob2 import decode_bio_uniform_battery
     from .wordpiece import SEP, wp_split
 
     p_sub: List[str] = []
@@ -97,10 +97,13 @@ def predict_battery(
             merged.append(
                 pieces[hidx] + "".join(p[2:] for p in pieces[hidx + 1 : stop])
             )
+        if not heads:
+            continue
         head_arr = 1 + np.asarray(heads, dtype=np.int64)  # skip the [SEP]
-        for qi, q_tag in enumerate(tags):
-            m_tags = tag_mat[qi][head_arr] if heads else np.empty(0, dtype="U1")
-            out.extend(decode_bio_uniform(merged, m_tags, q_tag, pid=pid))
+        # one vectorized decode over the whole (Q, n_heads) matrix
+        out.extend(
+            decode_bio_uniform_battery(merged, tag_mat[:, head_arr], tags, pid=pid)
+        )
     return out
 
 

@@ -80,6 +80,8 @@ class DeterministicQAScorer:
 
     def __init__(self) -> None:
         self._memo: dict[str, dict[str, int]] = {}
+        # battery memo: token -> (Q,) uint64 hash vector per tag-tuple
+        self._bmemo: dict[tuple, dict[str, np.ndarray]] = {}
 
     def _hashes(self, query_tag: str, tokens: Sequence[str]) -> np.ndarray:
         """Memoized per-(query_tag, token) md5-60bit (the model-weight lookup
@@ -97,6 +99,24 @@ class DeterministicQAScorer:
                     memo[t] = h
             out[i] = h
         return out
+
+    def _hash_matrix(self, tags: tuple, tokens: Sequence[str]) -> np.ndarray:
+        """(Q, n) hash matrix with ONE memo lookup per token: the memo maps
+        token -> (Q,) vector for this tag tuple, so the battery pays 1/Q of
+        the per-tag dict traffic (the dominant cost at corpus scale)."""
+        memo = self._bmemo.setdefault(tags, {})
+        get = memo.get
+        cols = []
+        for t in tokens:
+            v = get(t)
+            if v is None:
+                v = np.fromiter(
+                    (hash60(q, t) for q in tags), dtype=np.uint64, count=len(tags)
+                )
+                if len(memo) < self._MEMO_CAP:
+                    memo[t] = v
+            cols.append(v)
+        return np.stack(cols, axis=1)
 
     def logits(self, query_tag: str, tokens: Sequence[str]) -> np.ndarray:
         n = len(tokens)
@@ -126,7 +146,7 @@ class DeterministicQAScorer:
         q = len(query_tags)
         if n == 0 or q == 0:
             return np.empty((q, n), dtype="U1")
-        h = np.stack([self._hashes(t, tokens) for t in query_tags])  # (Q, n)
+        h = self._hash_matrix(tuple(query_tags), tokens)  # (Q, n)
         u1 = (h % 997).astype(np.float64) / 997.0
         u2 = ((h >> 10) % 991).astype(np.float64) / 991.0
         l_b = self.B_GAIN * u1 + self.B_BIAS
