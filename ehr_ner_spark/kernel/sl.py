@@ -34,7 +34,7 @@ class DeterministicSLScorer:
         if n == 0:
             return []
         qa = self._qa
-        h = np.stack([qa._hashes(t, tokens) for t in self.types])  # (T, n)
+        h = qa._hash_matrix(tuple(self.types), tokens)  # (T, n)
         u1 = (h % 997).astype(np.float64) / 997.0
         u2 = ((h >> 10) % 991).astype(np.float64) / 991.0
         l_b = qa.B_GAIN * u1 + qa.B_BIAS
