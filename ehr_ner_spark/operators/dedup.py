@@ -57,7 +57,10 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
     edges = verified_edges(sigs, pairs, threshold)
     comps = connected_components(sigs.select("surface_id"), edges)
     return (
-        pseudo_mentions.withColumn("surface_id", F.xxhash64("text"))
+        pseudo_mentions.withColumn(
+            "surface_id",
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
+        )
         .join(comps, "surface_id", "left")
         .select(
             id_col,
@@ -197,31 +200,23 @@ def _md5_60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-_MH_PRIME = (1 << 61) - 1  # Mersenne prime: (a*lo + b*hi + c) stays < 2^62
-_MH_LO_MASK = (1 << 30) - 1
+# Mersenne prime 2^31-1: a*x fits int64 AND the modulo genuinely wraps —
+# a non-wrapping "hash" is order-preserving, which makes every permutation
+# pick the same min shingle and destroys LSH banding amplification
+_MH_PRIME = (1 << 31) - 1
 
 
-def _perm_coeffs(p: int) -> tuple[int, int, int]:
-    """Deterministic 30-bit universal-hash coefficients for permutation p
+def _perm_coeffs(p: int) -> tuple[int, int]:
+    """Deterministic universal-hash coefficients for permutation p
     (derived from md5 so the DuckDB oracle can embed the same literals)."""
     seed = int(hashlib.md5(f"perm{p}".encode()).hexdigest(), 16)
-    a = (seed & _MH_LO_MASK) | 1
-    b = ((seed >> 30) & _MH_LO_MASK) | 1
-    c = (seed >> 60) & _MH_LO_MASK
-    return a, b, c
+    return (seed % (_MH_PRIME - 1)) + 1, (seed >> 40) % _MH_PRIME
 
 
 def _perm_hash_expr(h, p: int):
-    """(a*lo30(h) + b*hi30(h) + c) % (2^61-1) — pure integer JVM ops."""
-    a, b, c = _perm_coeffs(p)
-    lo = h.bitwiseAND(F.lit(_MH_LO_MASK))
-    hi = F.shiftrightunsigned(h, 30)
-    return (F.lit(a) * lo + F.lit(b) * hi + F.lit(c)) % F.lit(_MH_PRIME)
-
-
-def _perm_hash_sql(h_expr: str, p: int) -> str:
-    a, b, c = _perm_coeffs(p)
-    return f"({a} * (({h_expr}) & {_MH_LO_MASK}) + {b} * (({h_expr}) >> 30) + {c}) % {_MH_PRIME}"
+    """(a * (h mod P31) + b) mod P31 — pure integer JVM ops."""
+    a, b = _perm_coeffs(p)
+    return (F.lit(a) * (h % F.lit(_MH_PRIME)) + F.lit(b)) % F.lit(_MH_PRIME)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -307,7 +302,7 @@ def minhash_sig_sql() -> str:
     oracles): one md5 per distinct shingle, then the same universal-hash
     permutation family as literal coefficients."""
     coef_rows = ",\n        ".join(
-        "({}, {}, {}, {})".format(p, *_perm_coeffs(p))
+        "({}, {}, {})".format(p, *_perm_coeffs(p))
         for p in range(N_MINHASH_PERMS)
     )
     return f"""
@@ -322,10 +317,10 @@ def minhash_sig_sql() -> str:
       SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
       FROM sh),
     coef AS (SELECT * FROM (VALUES
-        {coef_rows}) v(perm, a, b, c)),
+        {coef_rows}) v(perm, a, b)),
     sig AS (
       SELECT doc_id, perm,
-             MIN((a * (h & {_MH_LO_MASK}) + b * (h >> 30) + c) % {_MH_PRIME}) AS minhash
+             MIN((a * (h % {_MH_PRIME}) + b) % {_MH_PRIME}) AS minhash
       FROM hsh CROSS JOIN coef
       GROUP BY 1, 2)
 """

@@ -33,13 +33,12 @@ similarity machinery itself is new design, built Spark-first:
                                                       partition-order
                                                       independent)
 
-Surface ids are ``xxhash64(text)`` (stable across runs and cluster sizes —
+Surface ids are md5-60bit of the surface text (stable across runs and cluster sizes —
 ``monotonically_increasing_id`` would NOT be resume-safe).
 """
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterator, List
 
 import numpy as np
@@ -50,16 +49,38 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 MINHASH_K = 32
-LSH_BANDS = 8
-LSH_ROWS = 4  # MINHASH_K == LSH_BANDS * LSH_ROWS
+# b=16, r=2: S-curve midpoint (1/b)^(1/r) ~= 0.25, well under the 0.5-0.8
+# verify thresholds -> near-certain recall for true near-dups; the exact
+# Jaccard verification join discards the extra low-similarity candidates
+LSH_BANDS = 16
+LSH_ROWS = 2  # MINHASH_K == LSH_BANDS * LSH_ROWS
 SHINGLE_N = 3
 PAIR_CAP = 64  # buckets beyond this emit chain pairs (skew guard)
-_P = (1 << 61) - 1  # Mersenne prime for universal hashing
+# Mersenne prime 2^31-1: a*x fits int64 AND the modulo genuinely wraps, so
+# (a*x + b) mod P is an actual permutation-like universal hash.  (A larger
+# prime whose products can't wrap in int64 would be ORDER-PRESERVING — every
+# "permutation" then picks the same min shingle and LSH banding loses all
+# of its amplification.)
+_P31 = (1 << 31) - 1
 
-# deterministic hash-family parameters (seeded, fixed)
-_rng = np.random.RandomState(20210823)
-_A = _rng.randint(1, _P, size=MINHASH_K, dtype=np.int64)
-_B = _rng.randint(0, _P, size=MINHASH_K, dtype=np.int64)
+# deterministic coefficients, md5-derived so the DuckDB canonicalization
+# oracle can embed the same literals (no numpy RNG state)
+import hashlib as _hashlib
+
+
+def _lh_coeffs(i: int) -> tuple:
+    seed = int(_hashlib.md5(f"lh{i}".encode()).hexdigest(), 16)
+    return (seed % (_P31 - 1)) + 1, (seed >> 40) % _P31
+
+
+_COEF = np.array([_lh_coeffs(i) for i in range(MINHASH_K)], dtype=np.int64)
+_A, _B = _COEF[:, 0], _COEF[:, 1]
+
+
+def shingle_hash60(s: str) -> int:
+    """Shared engine/oracle shingle hash: first 60 bits of md5 (DuckDB twin:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``)."""
+    return int(_hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def shingles(text: str, n: int = SHINGLE_N) -> List[str]:
@@ -67,14 +88,19 @@ def shingles(text: str, n: int = SHINGLE_N) -> List[str]:
     return list({t[i : i + n] for i in range(len(t) - n + 1)})
 
 
+def _perm_matrix(x: np.ndarray) -> np.ndarray:
+    """(n_shingles, K) permuted hashes: (a * (x mod P31) + b) mod P31 —
+    fits int64, genuinely wraps, expressible verbatim in SQL."""
+    x31 = (x % _P31)[:, None]
+    return (_A[None, :] * x31 + _B[None, :]) % _P31
+
+
 def minhash_signature(text: str) -> np.ndarray:
     sh = shingles(text)
     x = np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in sh), dtype=np.int64, count=len(sh)
+        (shingle_hash60(s) for s in sh), dtype=np.int64, count=len(sh)
     )
-    # h_i(x) = (a_i * x + b_i) mod P, min over shingles
-    vals = (_A[None, :] * x[:, None] + _B[None, :]) % _P
-    return vals.min(axis=0)
+    return _perm_matrix(x).min(axis=0)
 
 
 _SIG_SCHEMA = StructType(
@@ -97,7 +123,13 @@ def surface_signatures(mentions: DataFrame) -> DataFrame:
     surfaces = (
         mentions.groupBy("text")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
-        .withColumn("surface_id", F.xxhash64("text"))
+        # md5-60bit surface id (SQL-computable, unlike xxhash64) — the
+        # component ids downstream are min surface_ids, so the whole
+        # canonicalization output is DuckDB-oracle-checkable
+        .withColumn(
+            "surface_id",
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
+        )
     )
 
     def add_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,12 +138,11 @@ def surface_signatures(mentions: DataFrame) -> DataFrame:
             for t in pdf["text"]:
                 sh = shingles(t)
                 x = np.fromiter(
-                    (zlib.crc32(s.encode("utf-8")) for s in sh),
+                    (shingle_hash60(s) for s in sh),
                     dtype=np.int64,
                     count=len(sh),
                 )
-                vals = (_A[None, :] * x[:, None] + _B[None, :]) % _P
-                sigs.append(vals.min(axis=0).tolist())
+                sigs.append(_perm_matrix(x).min(axis=0).tolist())
                 shs.append(sorted(int(v) for v in set(x.tolist())))
             yield pd.DataFrame(
                 {
@@ -133,7 +164,9 @@ def candidate_pairs(sigs: DataFrame) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.slice("sig", 1 + b * LSH_ROWS, LSH_ROWS))
+                    # band identity = the joined minhash run itself (string):
+                    # SQL-expressible, unlike xxhash64 over an array
+                    F.array_join(F.slice("sig", 1 + b * LSH_ROWS, LSH_ROWS), ",")
                     for b in range(LSH_BANDS)
                 ]
             )
