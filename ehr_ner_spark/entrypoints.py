@@ -190,6 +190,27 @@ def kg_sl_vs_qasl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return micro_prf(qasl, sl)
 
 
+def _canonical_triples_oracle() -> str:
+    from .operators.mention_sql import canonical_triples_oracle_sql
+
+    return canonical_triples_oracle_sql(CORPUS_SQL)
+
+
+@_register("kg_canonical_triples", oracle=_canonical_triples_oracle)
+def kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE north-rule pipeline, oracle-checked end to end: battery
+    mention detection -> MinHash/LSH entity linking -> Jaccard verify ->
+    connected components -> canonical election -> (subj, pred, obj) triples.
+    The DuckDB twin replays every stage, including a recursive-CTE
+    connected-components equivalent of the engine's min-propagation."""
+    from .operators.linking import canonical_triples, canonicalize
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return canonical_triples(m, canonicalize(m)).select(
+        "subj", "pred", "obj", "surface"
+    )
+
+
 def _triples_oracle() -> str:
     from .operators.mention_sql import mentions_oracle_sql
 

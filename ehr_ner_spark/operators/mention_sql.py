@@ -448,3 +448,117 @@ def augment_oracle_sql(corpus_sql: str, p_times: float = 1.1) -> str:
     WHERE rk = 1
     """
     )
+
+
+def canonical_triples_oracle_sql(corpus_sql: str, threshold: float = 0.5) -> str:
+    """DuckDB twin of the ENTIRE KG pipeline: battery mention detection ->
+    surface MinHash/LSH linking -> Jaccard verify -> connected components
+    (recursive CTE: min reachable surface id == the engine's union-find /
+    min-propagation result) -> canonical election -> triples.
+
+    Every constant is imported from operators/linking.py so the two engines
+    share one definition: md5-60bit surface ids and shingle hashes, the
+    (a*x+b) mod 2^31-1 permutation family, b=16/r=2 banding with joined
+    minhash-string band identities, the PAIR_CAP chain-pair skew guard, and
+    the (n_mentions desc, text asc) total-order election."""
+    from .linking import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        PAIR_CAP,
+        SHINGLE_N,
+        _lh_coeffs,
+        _P31,
+    )
+
+    coef_rows = ",\n        ".join(
+        "({}, {}, {})".format(i, *_lh_coeffs(i)) for i in range(MINHASH_K)
+    )
+    base = (
+        _battery_prelude(corpus_sql)
+        + _mention_span_ctes()
+        + f""",
+    surfaces AS MATERIALIZED (
+      SELECT text, COUNT(*) AS n_mentions,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS surface_id
+      FROM m_spans GROUP BY text),
+    padded AS (
+      SELECT surface_id, text, n_mentions,
+             CASE WHEN length(text) >= {SHINGLE_N} THEN text
+                  ELSE text || repeat(chr(0), {SHINGLE_N} - length(text))
+             END AS pt
+      FROM surfaces),
+    ssh AS (
+      SELECT DISTINCT surface_id,
+             ('0x' || substr(md5(substr(pt, i.range + 1, {SHINGLE_N})), 1, 15))::BIGINT AS h
+      FROM padded CROSS JOIN range(4096) i
+      WHERE i.range <= length(pt) - {SHINGLE_N}),
+    coef AS (SELECT * FROM (VALUES
+        {coef_rows}) v(perm, a, b)),
+    sig AS (
+      SELECT surface_id, perm,
+             MIN((a * (h % {_P31}) + b) % {_P31}) AS mh
+      FROM ssh CROSS JOIN coef
+      GROUP BY 1, 2),
+    bandrows AS (
+      SELECT surface_id, perm // {LSH_ROWS} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY perm) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    bsize AS (
+      SELECT band, band_sig, COUNT(*) AS n
+      FROM bandrows GROUP BY 1, 2),
+    br AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY band, band_sig
+                                   ORDER BY surface_id) AS rk
+      FROM bandrows),
+    pairs AS (
+      SELECT DISTINCT a.surface_id AS src, b.surface_id AS dst
+      FROM br a
+      JOIN br b ON a.band = b.band AND a.band_sig = b.band_sig
+      JOIN bsize s ON s.band = a.band AND s.band_sig = a.band_sig
+      WHERE (s.n <= {PAIR_CAP} AND b.surface_id > a.surface_id)
+         OR (s.n > {PAIR_CAP} AND b.rk = a.rk + 1)),
+    sizes AS (SELECT surface_id, COUNT(*) AS n_sh FROM ssh GROUP BY 1),
+    inter AS (
+      SELECT p.src, p.dst, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN ssh a ON a.surface_id = p.src
+      JOIN ssh b ON b.surface_id = p.dst AND b.h = a.h
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT src, dst
+      FROM inter
+      JOIN sizes sa ON sa.surface_id = src
+      JOIN sizes sb ON sb.surface_id = dst
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {threshold}),
+    -- MATERIALIZED: the recursive CTE below re-reads its inputs every
+    -- iteration; without materialization DuckDB inlines (re-executes) the
+    -- whole mention+linking chain per iteration
+    ebi AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, comp) AS (
+      SELECT surface_id, surface_id FROM surfaces
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN ebi e ON e.src = r.node),
+    comps AS (SELECT node AS surface_id, MIN(comp) AS component
+              FROM reach GROUP BY 1),
+    slabeled AS (
+      SELECT s.text, s.n_mentions,
+             COALESCE(c.component, s.surface_id) AS component
+      FROM surfaces s LEFT JOIN comps c USING (surface_id)),
+    canon AS (
+      SELECT component, text AS canonical_text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                                     ORDER BY n_mentions DESC, text ASC) AS rk
+        FROM slabeled) WHERE rk = 1),
+    cmap AS (
+      SELECT l.text, c.canonical_text
+      FROM slabeled l JOIN canon c USING (component))
+    SELECT 'doc:' || CAST(m.doc_id AS VARCHAR) AS subj,
+           'hasEntityType:' || m.type          AS pred,
+           COALESCE(c.canonical_text, m.text)  AS obj,
+           m.text                              AS surface
+    FROM m_spans m LEFT JOIN cmap c ON c.text = m.text
+    """
+    )
+    # the recursive reach CTE requires the RECURSIVE keyword on the WITH
+    return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
