@@ -577,15 +577,33 @@ def ds_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@_register("ds_lsh_ann")  # approximate; recall gate lives in pytest
+def _lsh_ann_oracle() -> str:
+    from .operators.mention_sql import lsh_ann_oracle_sql
+
+    return lsh_ann_oracle_sql(_ANN_QUERY_IDS, k=5)
+
+
+@_register("ds_lsh_ann", oracle=_lsh_ann_oracle)
 def ds_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN; deterministic, so even the 'approximate'
+    path has an exact DuckDB twin (planes embedded as float64 literals).
+    Recall-vs-brute-force gate lives in pytest."""
     from .operators.similarity import lsh_ann_topk
 
     return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
 
 
-@_register("ds_minhash_dedup")  # CRC/MinHash kernel: pytest parity
+def _minhash_dedup_oracle() -> str:
+    from .operators.mention_sql import minhash_dedup_oracle_sql
+
+    return minhash_dedup_oracle_sql(threshold=0.6)
+
+
+@_register("ds_minhash_dedup", oracle=_minhash_dedup_oracle)
 def ds_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level near-dup clustering via the linking LSH stack; the DuckDB
+    twin replays MinHash banding, Jaccard verify and recursive-CTE
+    connected components over the same md5-60bit constants."""
     from .operators.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.6)

@@ -562,3 +562,140 @@ def canonical_triples_oracle_sql(corpus_sql: str, threshold: float = 0.5) -> str
     )
     # the recursive reach CTE requires the RECURSIVE keyword on the WITH
     return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
+
+
+def minhash_dedup_oracle_sql(threshold: float = 0.6) -> str:
+    """DuckDB twin of ``minhash_lsh_dedup(documents, threshold)``: the
+    linking LSH stack keyed by document text — char-shingle MinHash,
+    b=16/r=2 banding, chain-pair skew guard, exact Jaccard verify, and
+    recursive-CTE connected components.  Output: (doc_id, component)."""
+    from .linking import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        PAIR_CAP,
+        SHINGLE_N,
+        _lh_coeffs,
+        _P31,
+    )
+
+    coef_rows = ",\n        ".join(
+        "({}, {}, {})".format(i, *_lh_coeffs(i)) for i in range(MINHASH_K)
+    )
+    return f"""
+    WITH RECURSIVE surfaces AS MATERIALIZED (
+      SELECT text, ('0x' || substr(md5(text), 1, 15))::BIGINT AS surface_id
+      FROM (SELECT DISTINCT text FROM documents)),
+    padded AS (
+      SELECT surface_id,
+             CASE WHEN length(text) >= {SHINGLE_N} THEN text
+                  ELSE text || repeat(chr(0), {SHINGLE_N} - length(text))
+             END AS pt
+      FROM surfaces),
+    ssh AS (
+      SELECT DISTINCT surface_id,
+             ('0x' || substr(md5(substr(pt, i.range + 1, {SHINGLE_N})), 1, 15))::BIGINT AS h
+      FROM padded CROSS JOIN range(4096) i
+      WHERE i.range <= length(pt) - {SHINGLE_N}),
+    coef AS (SELECT * FROM (VALUES
+        {coef_rows}) v(perm, a, b)),
+    sig AS (
+      SELECT surface_id, perm,
+             MIN((a * (h % {_P31}) + b) % {_P31}) AS mh
+      FROM ssh CROSS JOIN coef
+      GROUP BY 1, 2),
+    bandrows AS (
+      SELECT surface_id, perm // {LSH_ROWS} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY perm) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    bsize AS (SELECT band, band_sig, COUNT(*) AS n FROM bandrows GROUP BY 1, 2),
+    br AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY band, band_sig
+                                   ORDER BY surface_id) AS rk
+      FROM bandrows),
+    pairs AS (
+      SELECT DISTINCT a.surface_id AS src, b.surface_id AS dst
+      FROM br a
+      JOIN br b ON a.band = b.band AND a.band_sig = b.band_sig
+      JOIN bsize s ON s.band = a.band AND s.band_sig = a.band_sig
+      WHERE (s.n <= {PAIR_CAP} AND b.surface_id > a.surface_id)
+         OR (s.n > {PAIR_CAP} AND b.rk = a.rk + 1)),
+    sizes AS (SELECT surface_id, COUNT(*) AS n_sh FROM ssh GROUP BY 1),
+    inter AS (
+      SELECT p.src, p.dst, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN ssh a ON a.surface_id = p.src
+      JOIN ssh b ON b.surface_id = p.dst AND b.h = a.h
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT src, dst
+      FROM inter
+      JOIN sizes sa ON sa.surface_id = src
+      JOIN sizes sb ON sb.surface_id = dst
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {threshold}),
+    ebi AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, comp) AS (
+      SELECT surface_id, surface_id FROM surfaces
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN ebi e ON e.src = r.node),
+    comps AS (SELECT node AS surface_id, MIN(comp) AS component
+              FROM reach GROUP BY 1)
+    SELECT d.doc_id, COALESCE(c.component, s.surface_id) AS component
+    FROM documents d
+    JOIN surfaces s ON s.text = d.text
+    LEFT JOIN comps c ON c.surface_id = s.surface_id
+    """
+
+
+def lsh_ann_oracle_sql(query_ids: list, k: int = 5) -> str:
+    """DuckDB twin of ``lsh_ann_topk``: the 12x5 random-hyperplane LSH
+    index replayed with the plane weights embedded as float64 literals
+    (repr round-trips bit-exactly), sign-bit buckets, candidate equi-join,
+    and exact cosine rerank.  Deterministic end to end — 'approximate'
+    refers to recall vs brute force, not to reproducibility."""
+    from .similarity import _N_PLANES, _N_TABLES, _PLANES
+
+    rows = []
+    for t in range(_N_TABLES):
+        for p in range(_N_PLANES):
+            for d in range(_PLANES[t].shape[1]):
+                rows.append(f"({t},{p},{d},{_PLANES[t][p, d]!r})")
+    planes_values = ",".join(rows)
+    qids = ", ".join(map(str, query_ids))
+    return f"""
+    WITH planes AS MATERIALIZED (
+      SELECT * FROM (VALUES {planes_values}) v(tbl, plane, dim, w)),
+    ev AS (
+      SELECT vec_id, (u.s).i - 1 AS dim, CAST((u.s).x AS DOUBLE) AS x
+      FROM (SELECT vec_id,
+                   unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS s
+            FROM embeddings) u),
+    dots AS (
+      SELECT e.vec_id, p.tbl, p.plane, SUM(e.x * p.w) AS d
+      FROM ev e JOIN planes p USING (dim)
+      GROUP BY 1, 2, 3),
+    buckets AS (
+      SELECT vec_id, tbl,
+             SUM(CASE WHEN d >= 0 THEN 1 << plane ELSE 0 END)::INT AS bucket
+      FROM dots GROUP BY 1, 2),
+    q AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+          WHERE vec_id IN ({qids})),
+    cand AS (
+      SELECT DISTINCT q.query_id, b.vec_id
+      FROM buckets b JOIN q ON q.tbl = b.tbl AND q.bucket = b.bucket
+      WHERE b.vec_id <> q.query_id),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(qe.embedding AS DOUBLE[])) AS cos
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN embeddings qe ON qe.vec_id = c.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, vec_id, ROUND(cos, 3) AS score
+    FROM ranked WHERE rank <= {k}
+    """
