@@ -1,13 +1,14 @@
 """Query registry: every implemented operator from SURVEY.md §2 exposed as a
-(spark, sf_dir) -> DataFrame callable, with a DuckDB-equivalent oracle SQL
-string where the semantics are SQL-expressible (the driver's correctness
-gate).  Non-SQL-expressible kernels (hash-scorer mention detection, MinHash
-signatures) get rows-only checks here and exact parity tests in tests/.
+(spark, sf_dir) -> DataFrame callable, each with a DuckDB-equivalent oracle
+SQL string (the driver's correctness gate).  ALL 39 queries carry an
+oracle: the md5-60bit hash discipline (kernel/scorer.py, operators/
+mention_sql.py) makes even the scorer-driven pipelines and the LSH paths
+exactly replayable in SQL.
 
 Column-name discipline: every computed column is aliased identically in the
 Spark plan and the oracle SQL (the driver sorts columns by name and hashes
-values).  Float aggregates are rounded on both sides so engine-order
-summation noise cannot flip the value hash.
+values).  Float aggregates are rounded on both sides wherever summation
+order is engine-dependent; everything integer-derived matches bit-for-bit.
 """
 
 from __future__ import annotations
