@@ -65,3 +65,43 @@ def test_exact_dedup_partial_aggregation(spark, sf_dir):
     plan = _plan(df)
     # map-side combine before the shuffle (partial_ aggregate functions)
     assert "partial_" in plan
+
+
+def test_lang_id_is_pure_jvm(spark, sf_dir):
+    """Language ID runs entirely inside codegen — no Python stage at all."""
+    df = entrypoints.QUERIES_REGISTRY["ds_lang_id"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Exchange" not in plan  # pure per-row projection, no shuffle
+
+
+def test_minhash_signatures_mapside_combine(spark, sf_dir):
+    """The x n_perms amplification never crosses the shuffle: one exchange,
+    partial min aggregation before it (the exchange carries n_docs x 16
+    longs, not n_shingles x 16 rows)."""
+    from ehr_ner_spark.operators.dedup import minhash_signatures
+
+    df = minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan
+    assert "Python" not in plan  # built-ins only
+
+
+def test_ngram_jaccard_no_predup_shuffle(spark, sf_dir):
+    """Row-local array_distinct replaced the pre-join distinct(): the plan
+    has exactly the join/agg exchanges, no extra dedup exchange."""
+    from ehr_ner_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=3, threshold=0.5
+    )
+    plan = _plan(df)
+    # map-side dedup: the plan contains array_distinct, and no aggregate
+    # keyed by (doc_id, shingle) — the shape the old distinct() created
+    assert "array_distinct" in plan
+    assert "keys=[doc_id#" in plan  # the pair-count agg exists...
+    import re
+    assert not re.search(r"keys=\[doc_id#\d+L?, shingle", plan)
+    # pair counting partial-aggregates before its shuffle
+    assert "partial_count" in plan
