@@ -24,4 +24,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return entrypoints.ORACLE_REGISTRY
+    # materialize the lazy registry into a plain dict (driver may serialize)
+    return {name: entrypoints.ORACLE_REGISTRY[name]
+            for name in entrypoints.ORACLE_REGISTRY}

@@ -22,14 +22,47 @@ from .corpus import CORPUS_SQL, corpus
 from .operators.mention_detect import detect_mentions, mentions_as_triples
 
 QUERIES_REGISTRY: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE_REGISTRY: Dict[str, str] = {}
+_ORACLE_FACTORIES: Dict[str, object] = {}
+_ORACLE_CACHE: Dict[str, str] = {}
+
+
+class _LazyOracles(dict):
+    """Oracle SQL strings, built on first access: several twins embed the
+    whole tokenized query battery / hyperplane literal tables, which should
+    not be paid for by every ``import entrypoints``."""
+
+    def __missing__(self, name: str) -> str:
+        f = _ORACLE_FACTORIES[name]
+        self[name] = f() if callable(f) else f
+        return self[name]
+
+    def __iter__(self):
+        return iter(_ORACLE_FACTORIES)
+
+    def __len__(self):
+        return len(_ORACLE_FACTORIES)
+
+    def __contains__(self, name):
+        return name in _ORACLE_FACTORIES
+
+    def keys(self):
+        return _ORACLE_FACTORIES.keys()
+
+    def items(self):
+        return ((k, self[k]) for k in _ORACLE_FACTORIES)
+
+    def values(self):
+        return (self[k] for k in _ORACLE_FACTORIES)
+
+
+ORACLE_REGISTRY: Dict[str, str] = _LazyOracles()
 
 
 def _register(name: str, oracle=None):
     def deco(fn):
         QUERIES_REGISTRY[name] = fn
         if oracle is not None:
-            ORACLE_REGISTRY[name] = oracle() if callable(oracle) else oracle
+            _ORACLE_FACTORIES[name] = oracle
         return fn
 
     return deco
@@ -567,8 +600,8 @@ def ds_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 3) AS score
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 3) >= 0.4
     """,
 )
 def ds_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

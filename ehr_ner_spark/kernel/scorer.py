@@ -28,23 +28,20 @@ path — are NOT applied in softmax decoding.
 
 from __future__ import annotations
 
-import hashlib
 from typing import List, Sequence, Tuple
 
 import numpy as np
+
+from ..hashing import md5_60
 
 ID2LABEL = {0: "B", 1: "I", 2: "O"}
 CLASS_WEIGHTS = np.array([0.11, 1.0, 0.16])  # B, I, O (simqasl_config.json)
 
 
 def hash60(query_tag: str, token: str) -> int:
-    """Stable per-(query_tag, token) 60-bit hash: first 15 hex chars of
-    md5 — seed-free, process-stable, and expressible in SQL
-    (``('0x' || substr(md5(tag || '|' || token), 1, 15))::BIGINT``)."""
-    return int(
-        hashlib.md5((query_tag + "|" + token).encode("utf-8")).hexdigest()[:15],
-        16,
-    )
+    """Stable per-(query_tag, token) 60-bit hash — the shared md5-60
+    discipline (ehr_ner_spark/hashing.py) over ``tag|token``."""
+    return md5_60(query_tag + "|" + token)
 
 
 def _token_hashes(query_tag: str, tokens: Sequence[str]) -> np.ndarray:

@@ -18,7 +18,7 @@ corpus level).
 
 from __future__ import annotations
 
-import hashlib
+import re
 from typing import Iterator
 
 import numpy as np
@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from ..hashing import P31, md5_60, md5_60_expr, universal_coeffs
 from .linking import candidate_pairs, connected_components, verified_edges
 
 
@@ -57,10 +58,7 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
     edges = verified_edges(sigs, pairs, threshold)
     comps = connected_components(sigs.select("surface_id"), edges)
     return (
-        pseudo_mentions.withColumn(
-            "surface_id",
-            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
-        )
+        pseudo_mentions.withColumn("surface_id", md5_60_expr(F.col("text")))
         .join(comps, "surface_id", "left")
         .select(
             id_col,
@@ -79,14 +77,19 @@ _BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
 def word_hash60(w: str) -> int:
-    """First 60 bits of md5 — the engine/oracle-shared feature hash
-    (DuckDB twin: ``('0x' || substr(md5(w), 1, 15))::BIGINT``)."""
-    return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+    """The engine/oracle-shared feature hash (hashing.md5_60)."""
+    return md5_60(w)
+
+
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over whitespace-token features (Arrow-batched; per-word
-    md5 hashes memoized per batch so repeated tokens hash once)."""
+    md5 hashes memoized per batch so repeated tokens hash once).  Tokens are
+    split on ASCII whitespace (re.ASCII \\s+) so the DuckDB twin's RE2
+    ``string_split_regex(text, '\\s+')`` sees the same tokens — Python's
+    ``str.split()`` would additionally split on Unicode spaces like NBSP."""
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.arange(SIMHASH_BITS, dtype=np.uint64)
         for pdf in batches:
@@ -100,7 +103,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                 return v
 
             for t in pdf[text_col]:
-                toks = t.split()
+                toks = [w for w in _ASCII_WS.split(t) if w]
                 if not toks:
                     out.append(0)
                     continue
@@ -120,7 +123,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 SIMHASH_SQL = """
     WITH words AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
       FROM documents),
     h AS (
       SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv
@@ -195,22 +198,14 @@ def _word_shingles(text_col: str, n: int = 3):
 
 
 def _md5_60(col):
-    """Shared engine/oracle hash: first 60 bits of md5 as a non-negative
-    BIGINT (DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return md5_60_expr(col)
 
 
-# Mersenne prime 2^31-1: a*x fits int64 AND the modulo genuinely wraps —
-# a non-wrapping "hash" is order-preserving, which makes every permutation
-# pick the same min shingle and destroys LSH banding amplification
-_MH_PRIME = (1 << 31) - 1
+_MH_PRIME = P31  # see hashing.py for why the modulus must wrap
 
 
 def _perm_coeffs(p: int) -> tuple[int, int]:
-    """Deterministic universal-hash coefficients for permutation p
-    (derived from md5 so the DuckDB oracle can embed the same literals)."""
-    seed = int(hashlib.md5(f"perm{p}".encode()).hexdigest(), 16)
-    return (seed % (_MH_PRIME - 1)) + 1, (seed >> 40) % _MH_PRIME
+    return universal_coeffs("perm", p)
 
 
 def _perm_hash_expr(h, p: int):

@@ -61,16 +61,12 @@ PAIR_CAP = 64  # buckets beyond this emit chain pairs (skew guard)
 # prime whose products can't wrap in int64 would be ORDER-PRESERVING — every
 # "permutation" then picks the same min shingle and LSH banding loses all
 # of its amplification.)
-_P31 = (1 << 31) - 1
-
-# deterministic coefficients, md5-derived so the DuckDB canonicalization
-# oracle can embed the same literals (no numpy RNG state)
-import hashlib as _hashlib
+from ..hashing import P31 as _P31
+from ..hashing import md5_60, md5_60_expr, universal_coeffs
 
 
 def _lh_coeffs(i: int) -> tuple:
-    seed = int(_hashlib.md5(f"lh{i}".encode()).hexdigest(), 16)
-    return (seed % (_P31 - 1)) + 1, (seed >> 40) % _P31
+    return universal_coeffs("lh", i)
 
 
 _COEF = np.array([_lh_coeffs(i) for i in range(MINHASH_K)], dtype=np.int64)
@@ -78,9 +74,8 @@ _A, _B = _COEF[:, 0], _COEF[:, 1]
 
 
 def shingle_hash60(s: str) -> int:
-    """Shared engine/oracle shingle hash: first 60 bits of md5 (DuckDB twin:
-    ``('0x' || substr(md5(s), 1, 15))::BIGINT``)."""
-    return int(_hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    """Shared engine/oracle shingle hash (hashing.md5_60)."""
+    return md5_60(s)
 
 
 def shingles(text: str, n: int = SHINGLE_N) -> List[str]:
@@ -126,10 +121,7 @@ def surface_signatures(mentions: DataFrame) -> DataFrame:
         # md5-60bit surface id (SQL-computable, unlike xxhash64) — the
         # component ids downstream are min surface_ids, so the whole
         # canonicalization output is DuckDB-oracle-checkable
-        .withColumn(
-            "surface_id",
-            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
-        )
+        .withColumn("surface_id", md5_60_expr(F.col("text")))
     )
 
     def add_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

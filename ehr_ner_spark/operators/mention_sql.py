@@ -46,7 +46,6 @@ def _battery_values() -> str:
 def _battery_prelude(corpus_sql: str) -> str:
     """Shared CTE chain corpus -> toks -> pieces -> tags -> scored -> lg
     (per-(doc, tag, pos) logits retained for downstream consumers)."""
-    max_pieces = 32  # bound on wp pieces per token (tokens <= 128 chars)
     return f"""
     WITH corpus AS ({corpus_sql}),
     toks AS (
@@ -58,14 +57,15 @@ def _battery_prelude(corpus_sql: str) -> str:
                  (x, i) -> {{'tok': x, 'i': i}})) AS s
         FROM corpus) u),
     pieces AS (
-      SELECT doc_id, tok, tok_idx, k.range AS k,
-             CASE WHEN k.range = 0 THEN substr(tok, 1, {PIECE})
-                  ELSE '##' || substr(tok, k.range * {PIECE} + 1, {PIECE})
+      SELECT doc_id, tok, tok_idx, k,
+             CASE WHEN k = 0 THEN substr(tok, 1, {PIECE})
+                  ELSE '##' || substr(tok, k * {PIECE} + 1, {PIECE})
              END AS piece,
              ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY tok_idx, k.range) - 1 AS pos
-      FROM toks CROSS JOIN range({max_pieces}) k
-      WHERE k.range * {PIECE} < length(tok)),
+                                ORDER BY tok_idx, k) - 1 AS pos
+      FROM (SELECT doc_id, tok, tok_idx,
+                   unnest(range((length(tok) + {PIECE} - 1) // {PIECE})) AS k
+            FROM toks)),
     tags AS (
       SELECT tag, qlen,
              -- hot('[SEP]') under this tag: the previous-token state seen by
@@ -164,7 +164,6 @@ def sl_mentions_oracle_sql(corpus_sql: str) -> str:
     [CLS] P [SEP] assembly, head-keeps-label merge, and the GENERAL typed
     IOB2 automaton of kernel/iob2.py::decode_bio (scheme.py truth tables,
     including the begin-fallback-0 and B-after-O-same-type quirks)."""
-    max_pieces = 32
     limit = MAX_SEQ_LENGTH - 2
     g, bb = _S.B_GAIN, _S.B_BIAS
     ig, ib, pb = _S.I_GAIN, _S.I_BIAS, _S.I_PREV_BOOST
@@ -180,14 +179,15 @@ def sl_mentions_oracle_sql(corpus_sql: str) -> str:
                  (x, i) -> {{'tok': x, 'i': i}})) AS s
         FROM corpus) u),
     pieces AS (
-      SELECT doc_id, tok, tok_idx, k.range AS k,
-             CASE WHEN k.range = 0 THEN substr(tok, 1, {PIECE})
-                  ELSE '##' || substr(tok, k.range * {PIECE} + 1, {PIECE})
+      SELECT doc_id, tok, tok_idx, k,
+             CASE WHEN k = 0 THEN substr(tok, 1, {PIECE})
+                  ELSE '##' || substr(tok, k * {PIECE} + 1, {PIECE})
              END AS piece,
              ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY tok_idx, k.range) - 1 AS pos
-      FROM toks CROSS JOIN range({max_pieces}) k
-      WHERE k.range * {PIECE} < length(tok)),
+                                ORDER BY tok_idx, k) - 1 AS pos
+      FROM (SELECT doc_id, tok, tok_idx,
+                   unnest(range((length(tok) + {PIECE} - 1) // {PIECE})) AS k
+            FROM toks)),
     types AS (
       SELECT ti, typ,
              (('0x' || substr(md5(typ || '|' || '[CLS]'), 1, 15))::BIGINT % 997) / 997.0 AS cls_u1,
@@ -311,14 +311,15 @@ def featurize_oracle_sql(gold_prelude: str, max_seq_length: int = 128) -> str:
                  (x, i) -> {{'tok': x, 'i': i}})) AS s
         FROM corpus) u),
     fpieces AS (
-      SELECT doc_id, tok, tok_idx, k.range AS k,
-             CASE WHEN k.range = 0 THEN substr(tok, 1, {PIECE})
-                  ELSE '##' || substr(tok, k.range * {PIECE} + 1, {PIECE})
+      SELECT doc_id, tok, tok_idx, k,
+             CASE WHEN k = 0 THEN substr(tok, 1, {PIECE})
+                  ELSE '##' || substr(tok, k * {PIECE} + 1, {PIECE})
              END AS piece,
              ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY tok_idx, k.range) - 1 AS pos
-      FROM ftoks CROSS JOIN range(32) k
-      WHERE k.range * {PIECE} < length(tok)),
+                                ORDER BY tok_idx, k) - 1 AS pos
+      FROM (SELECT doc_id, tok, tok_idx,
+                   unnest(range((length(tok) + {PIECE} - 1) // {PIECE})) AS k
+            FROM ftoks)),
     fbattery AS (
       SELECT * FROM (VALUES
         {_featurize_battery_values()}) v(tag, qlen, q_ids)),
@@ -490,9 +491,10 @@ def canonical_triples_oracle_sql(corpus_sql: str, threshold: float = 0.5) -> str
       FROM surfaces),
     ssh AS (
       SELECT DISTINCT surface_id,
-             ('0x' || substr(md5(substr(pt, i.range + 1, {SHINGLE_N})), 1, 15))::BIGINT AS h
-      FROM padded CROSS JOIN range(4096) i
-      WHERE i.range <= length(pt) - {SHINGLE_N}),
+             ('0x' || substr(md5(substr(pt, i + 1, {SHINGLE_N})), 1, 15))::BIGINT AS h
+      FROM (SELECT surface_id, pt,
+                   unnest(range(length(pt) - {SHINGLE_N} + 1)) AS i
+            FROM padded)),
     coef AS (SELECT * FROM (VALUES
         {coef_rows}) v(perm, a, b)),
     sig AS (
@@ -594,9 +596,10 @@ def minhash_dedup_oracle_sql(threshold: float = 0.6) -> str:
       FROM surfaces),
     ssh AS (
       SELECT DISTINCT surface_id,
-             ('0x' || substr(md5(substr(pt, i.range + 1, {SHINGLE_N})), 1, 15))::BIGINT AS h
-      FROM padded CROSS JOIN range(4096) i
-      WHERE i.range <= length(pt) - {SHINGLE_N}),
+             ('0x' || substr(md5(substr(pt, i + 1, {SHINGLE_N})), 1, 15))::BIGINT AS h
+      FROM (SELECT surface_id, pt,
+                   unnest(range(length(pt) - {SHINGLE_N} + 1)) AS i
+            FROM padded)),
     coef AS (SELECT * FROM (VALUES
         {coef_rows}) v(perm, a, b)),
     sig AS (

@@ -104,14 +104,18 @@ def extract_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
                 img = _decode_rgb(bytes(payload), int(w), int(h))
                 ys = np.linspace(0, img.shape[0], resize_to + 1, dtype=int)
                 xs = np.linspace(0, img.shape[1], resize_to + 1, dtype=int)
+                # zero-width bands (dim < resize_to duplicates linspace
+                # boundaries) contribute an explicit 0.0 instead of 0/0
                 col_means = [
                     int(img[:, xs[j]:xs[j+1], :].sum(dtype=np.int64))
                     / (img.shape[0] * int(xs[j+1] - xs[j]) * 3)
+                    if xs[j+1] > xs[j] else 0.0
                     for j in range(resize_to)
                 ]
                 row_means = [
                     int(img[ys[i]:ys[i+1], :, :].sum(dtype=np.int64))
                     / (int(ys[i+1] - ys[i]) * img.shape[1] * 3)
+                    if ys[i+1] > ys[i] else 0.0
                     for i in range(resize_to)
                 ]
                 luma = int(img.sum(dtype=np.int64)) / img.size

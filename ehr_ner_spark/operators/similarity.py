@@ -92,12 +92,6 @@ def embedding_neardup(
 
     spark = embeddings.sparkSession
     ensure_shipped(spark)
-    rows = embeddings.select(id_col, emb_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, unit))
-
     schema = StructType(
         [
             StructField("src", LongType()),
@@ -105,6 +99,13 @@ def embedding_neardup(
             StructField("score", DoubleType()),
         ]
     )
+    rows = embeddings.select(id_col, emb_col).collect()
+    if not rows:
+        return spark.createDataFrame([], schema)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, unit))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_unit = bc.value
@@ -114,16 +115,18 @@ def embedding_neardup(
             b_ids = pdf[id_col].to_numpy(dtype=np.int64)
             B = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
             B /= np.linalg.norm(B, axis=1, keepdims=True)
-            cos = B @ all_unit.T  # (batch, n)
-            # src < dst + threshold in one mask; each unordered pair is
-            # emitted by exactly one side of the id inequality
+            cos = np.round(B @ all_unit.T, 3)  # (batch, n)
+            # threshold on the ROUNDED value (oracle does the same): the two
+            # engines' raw cosines differ by ulps (BLAS vs sequential sum),
+            # so comparing rounded values keeps the emitted SETS identical
+            # except on .0005 rounding boundaries (measure-zero in float64)
             mask = (b_ids[:, None] < all_ids[None, :]) & (cos >= threshold)
             r, c = np.nonzero(mask)
             yield pd.DataFrame(
                 {
                     "src": b_ids[r],
                     "dst": all_ids[c],
-                    "score": np.round(cos[r, c], 3),
+                    "score": cos[r, c],
                 }
             )
 

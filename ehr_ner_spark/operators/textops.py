@@ -61,20 +61,26 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     no per-window string materialization; the normalized text and word-hash
     array are staged through separate projections so they are computed once
     per row."""
+    # word hashes bounded to 2^55 and the fold reduced mod 2^55 each step:
+    # |acc*31 + x| < 2^61, so the polynomial combine can never overflow
+    # int64 (Spark 4 ANSI mode turns silent wraparound into a hard error)
+    _m = 1 << 55
     staged = docs.select(
         "doc_id",
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("norm"),
     ).select(
         "doc_id",
         "norm",
-        F.transform(F.split("norm", " "), lambda w: F.xxhash64(w)).alias("wh"),
+        F.transform(
+            F.split("norm", " "), lambda w: F.pmod(F.xxhash64(w), F.lit(_m))
+        ).alias("wh"),
     )
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("wh") - 8, F.lit(0))),
         lambda i: F.aggregate(
             F.slice("wh", i + 1, 8),
             F.lit(0).cast("long"),
-            lambda acc, x: acc * 31 + x,
+            lambda acc, x: (acc * 31 + x) % F.lit(_m),
         ),
     )
     return staged.select(

@@ -43,3 +43,19 @@ def test_frame_sampling(spark):
         assert len(rows) == len(range(0, videos[mid], 500))
         assert sorted(r.frame_idx for r in rows) == list(range(len(rows)))
         assert len({r.frame_sha for r in rows}) == len(rows)
+
+
+def test_extract_features_tiny_media(spark):
+    """Media smaller than the pool grid (w or h < 8) must not divide by
+    zero: empty bands contribute 0.0 (regression test)."""
+    from pyspark.sql import Row
+
+    from ehr_ner_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    tiny = spark.createDataFrame(
+        [Row(media_id=0, kind="image", mime="x", width=4, height=3,
+             duration_ms=0, payload=bytearray(b"\x01\x02" * 16))],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_features(tiny).collect()
+    assert len(rows) == 1 and len(rows[0].feat) == 16

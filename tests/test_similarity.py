@@ -99,3 +99,12 @@ def test_embedding_neardup_matches_numpy(spark, emb, emb_np):
         else:
             v = expected.get(k, got.get(k))
             assert abs(v - threshold) < 1e-6, (k, v)
+
+
+def test_embedding_neardup_empty_input(spark):
+    """Empty embeddings table -> empty pairs (regression: driver-side
+    AxisError on the 1-D empty matrix)."""
+    from ehr_ner_spark.operators.similarity import embedding_neardup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_neardup(empty).count() == 0

@@ -50,3 +50,17 @@ def test_lang_id_matches_duckdb_twin(spark, docs):
     con.executemany("INSERT INTO documents VALUES (?, ?)", MULTILINGUAL)
     duck_rows = set(map(tuple, con.execute(lang_id_sql()).fetchall()))
     assert spark_rows == duck_rows
+
+
+def test_fingerprint_winnow_no_ansi_overflow(spark):
+    """The winnow fold is modular — evaluating winnow_fp must not raise
+    ARITHMETIC_OVERFLOW under Spark 4 ANSI mode (regression: the old
+    acc*31+x fold over full-range xxhash64 longs overflowed int64)."""
+    from ehr_ner_spark.operators.textops import fingerprint
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    rows = fingerprint(docs).collect()
+    assert rows[0].winnow_fp is not None
+    assert 0 <= rows[0].winnow_fp < (1 << 55)
