@@ -23,6 +23,7 @@ the passage clipped to ``max_seq_length - len(query_pieces) - 3``
 
 from __future__ import annotations
 
+import re
 from typing import List, Sequence, Tuple
 
 CLS = "[CLS]"
@@ -31,13 +32,22 @@ PIECE = 4
 MAX_SEQ_LENGTH = 512
 
 
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
+
+
 def tokenize_text(text: str) -> List[str]:
-    """Passage tokenization: split on whitespace, then keep ASCII
+    """Passage tokenization: split on ASCII whitespace, then keep ASCII
     alphanumeric runs whole and split everything else char-by-char
     (the reference's numbers-kept-whole character convention,
-    README.md:128 ``passage_tokens``)."""
+    README.md:128 ``passage_tokens``).  ASCII-only splitting (not
+    ``str.split()``'s Unicode whitespace) keeps the kernel identical to the
+    SQL oracle's RE2 ``[^A-Za-z0-9\\s]`` tokenizer for inputs containing
+    NBSP and other Unicode spaces — those are treated as (single-char)
+    tokens by both."""
     out: List[str] = []
-    for word in text.split():
+    for word in _ASCII_WS.split(text):
+        if not word:
+            continue
         run = []
         for ch in word:
             if ch.isascii() and ch.isalnum():

@@ -1,0 +1,69 @@
+"""Property-based equivalence of the flagship SQL oracle and the kernel.
+
+Hypothesis generates adversarial documents (CJK, Unicode spaces, long
+alphanumeric runs past the old piece caps, punctuation soup, newlines/tabs,
+quotes) and asserts that the DuckDB twin of battery mention detection
+(operators/mention_sql.py) emits EXACTLY the kernel's spans.  This is the
+fuzzing layer on top of the fixed-corpus parity tests — it is what caught
+the Unicode-whitespace and piece-cap divergence classes.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ehr_ner_spark.corpus import CORPUS_SQL
+from ehr_ner_spark.kernel.predict import predict_battery
+from ehr_ner_spark.kernel.scorer import DeterministicQAScorer
+from ehr_ner_spark.kernel.wordpiece import tokenize_text
+from ehr_ner_spark.operators.mention_sql import mentions_oracle_sql
+from ehr_ner_spark.queries_battery import QUERIES
+
+# characters spanning every tokenizer class: ASCII alnum runs, ASCII
+# whitespace, Unicode spaces (NBSP, ideographic space), CJK, diacritics,
+# punctuation incl. quotes/backslash/hash
+_ALPHABET = (
+    "abcXYZ019 \t\n 　"
+    "病人於年月日入院treatment"
+    "éßñ漢字.,;:'\"\\#-()[]##"
+)
+
+_doc = st.text(alphabet=_ALPHABET, min_size=0, max_size=160)
+_long_run = st.integers(min_value=120, max_value=200).map(lambda n: "q" * n)
+_docs = st.lists(
+    st.one_of(_doc, st.tuples(_doc, _long_run).map(lambda t: f"{t[0]} {t[1]}")),
+    min_size=1,
+    max_size=3,
+)
+
+_BATTERY = [(t, tokenize_text(q)) for t, q in QUERIES.items()]
+
+
+def _kernel_spans(texts):
+    scorer = DeterministicQAScorer()
+    out = set()
+    for did, text in enumerate(texts):
+        for (_p, typ, s, e, txt) in predict_battery(
+            scorer, _BATTERY, tokenize_text(text), pid=did
+        ):
+            out.add((did, typ, s, e, txt))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_docs)
+def test_mentions_oracle_matches_kernel_on_adversarial_text(texts):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents"
+        " (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en', 's', ?)",
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+    )
+    got = set(con.execute(mentions_oracle_sql(CORPUS_SQL)).fetchall())
+    expected = _kernel_spans(texts)
+    assert got == expected
