@@ -67,3 +67,34 @@ def test_mentions_oracle_matches_kernel_on_adversarial_text(texts):
     got = set(con.execute(mentions_oracle_sql(CORPUS_SQL)).fetchall())
     expected = _kernel_spans(texts)
     assert got == expected
+
+
+def _sl_kernel_spans(texts):
+    from ehr_ner_spark.kernel.sl import DeterministicSLScorer, sl_predict
+
+    scorer = DeterministicSLScorer(list(QUERIES.keys()))
+    out = set()
+    for did, text in enumerate(texts):
+        for (_p, typ, s, e, txt) in sl_predict(
+            scorer, tokenize_text(text), pid=did
+        ):
+            out.add((did, typ, s, e, txt))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs)
+def test_sl_oracle_matches_kernel_on_adversarial_text(texts):
+    from ehr_ner_spark.operators.mention_sql import sl_mentions_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents"
+        " (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en', 's', ?)",
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+    )
+    got = set(con.execute(sl_mentions_oracle_sql(CORPUS_SQL)).fetchall())
+    assert got == _sl_kernel_spans(texts)
