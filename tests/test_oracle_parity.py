@@ -50,6 +50,28 @@ def _rowset(cols, rows):
     )
 
 
+# Queries whose oracle claims BIT-EXACT equality (integer/string outputs,
+# or doubles that are exact by construction — int sums / exact counts).
+# The remaining oracles go through the round-6/%.6g float normalization
+# because their doubles are sums whose accumulation order is engine-owned.
+EXACT_QUERIES = {
+    "kg_corpus_sha", "kg_mentions", "kg_triples", "kg_canonical_triples",
+    "kg_sl_mentions", "kg_featurize", "kg_gold_mentions", "kg_priority_flat",
+    "kg_nested_minus_flat",
+    "ds_exact_dedup", "ds_token_stats", "ds_fingerprint", "ds_lang_id",
+    "ds_simhash_pairs", "ds_minhash_sig", "ds_minhash_dedup",
+    "mm_frames", "mm_features",
+}
+
+
+def _exact_v(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(_exact_v(x) for x in v)
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    return v
+
+
 def all_oracle_cases():
     import __spark_entry__ as se
 
@@ -75,6 +97,19 @@ def test_query_matches_oracle(spark, sf_dir, name, fn, sql):
     assert sorted(s_cols) == sorted(d_cols), f"{name}: columns {s_cols} vs {d_cols}"
     assert len(s_rows) == len(d_rows), f"{name}: rows {len(s_rows)} vs {len(d_rows)}"
     assert _rowset(s_cols, s_rows) == _rowset(d_cols, d_rows), f"{name}: value mismatch"
+
+    if name in EXACT_QUERIES:
+        # bit-exact tier: every value (including doubles) must match raw —
+        # these outputs are integer/string-derived or exact by construction
+        def _exact(cols, rows):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            return sorted(
+                (tuple(_exact_v(r[i]) for i in order) for r in rows), key=repr
+            )
+
+        assert _exact(s_cols, s_rows) == _exact(d_cols, d_rows), (
+            f"{name}: bit-exact mismatch"
+        )
 
 
 def test_rows_only_queries_run(spark, sf_dir):
