@@ -77,11 +77,18 @@ def predict_battery(
     for t in passage_tokens:
         p_sub.extend(wp_split(t))
 
-    # group query tags by their sub-token length (same truncation limit)
+    # group query tags by their sub-token length (same truncation limit);
+    # when NO tag truncates this passage (the overwhelmingly common case:
+    # limits are ~495+ pieces), every group scores the identical sequence —
+    # collapse to ONE whole-battery pass and skip the per-group overhead
     by_len: dict = {}
+    max_qlen = 0
     for q_tag, q_tokens in battery:
         qlen = sum(len(wp_split(t)) for t in q_tokens)
+        max_qlen = max(max_qlen, qlen)
         by_len.setdefault(qlen, []).append(q_tag)
+    if len(p_sub) <= max_seq_length - max_qlen - 3:
+        by_len = {max_qlen: [t for t, _q in battery]}
 
     out: List[Span] = []
     for qlen, tags in by_len.items():
