@@ -197,7 +197,9 @@ def main() -> None:
     if DO_SCALING:
         # rep sized so scoring core-time (~2.2 ms/doc) dwarfs session fixed
         # costs (python-worker spawn, zip ship) at BOTH parallelism levels
-        rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "64"))
+        # 192 keeps the timed window ~20s+ at local[32] now that the
+        # scoring kernel is ~4x faster — short windows are noise-dominated
+        rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "192"))
         # each level runs in its own subprocess: one JVM per measurement
         # (a stopped SparkContext leaves GC/daemon residue that pollutes the
         # next session's timing in-process)
