@@ -142,14 +142,15 @@ def _hw_calibration(lo: int = 8, hi: int = 32, n_iter: int = 1500) -> dict:
 
 
 def _hw_work(n_iter: int) -> int:
-    import zlib
+    # md5 + numpy modular mix mirroring the scorer kernel's actual work
+    import hashlib
 
     import numpy as np
 
     h = 0
     a = np.arange(20000, dtype=np.int64)
     for i in range(n_iter):
-        h ^= zlib.crc32(str(i).encode() * 20)
+        h ^= int(hashlib.md5(str(i).encode() * 20).hexdigest()[:15], 16)
         _ = ((a * 1103515245 + 12345) % 997).sum()
     return h
 
