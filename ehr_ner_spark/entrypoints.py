@@ -134,11 +134,21 @@ def kg_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("score_ratio", F.round("score_ratio", 6))
 
 
+_FEATURE_ARRAY_COLS = ("input_ids", "attention_mask", "token_type_ids", "label_ids")
+
+
 def _featurize_oracle() -> str:
     from .operators.gold import gold_mentions_sql
     from .operators.mention_sql import featurize_oracle_sql
 
-    return featurize_oracle_sql(gold_mentions_sql(CORPUS_SQL), max_seq_length=128)
+    inner = featurize_oracle_sql(gold_mentions_sql(CORPUS_SQL), max_seq_length=128)
+    # comma-join the int arrays (identical to the engine's serialization):
+    # the driver's canonicalizer sorts/hashes rows and cannot handle
+    # list-typed columns — integer CSV strings are engine-exact either way
+    cols = ",\n           ".join(
+        f"array_to_string({c}, ',') AS {c}" for c in _FEATURE_ARRAY_COLS
+    )
+    return f"SELECT doc_id, q_tag,\n           {cols}\n    FROM ({inner})"
 
 
 @_register("kg_featurize", oracle=_featurize_oracle)
@@ -146,12 +156,22 @@ def kg_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P6: (doc x query) InputFeatures table; the md5 hash-vocab makes
     the whole featurizer (painting, wordpiece alignment, assembly,
     truncation, padding) a DuckDB list-expression twin.
-    128 keeps the registry run light; tests cover the 512 contract."""
+    128 keeps the registry run light; tests cover the 512 contract.
+    Array columns are serialized to integer-CSV strings in the REGISTERED
+    output (both engines) so the driver's row canonicalizer can sort and
+    hash them; ``featurize_corpus`` itself still emits real arrays."""
     from .operators.featurize import featurize_corpus
     from .operators.gold import gold_mentions
 
     c = corpus(spark, sf_dir)
-    return featurize_corpus(c, gold_spans=gold_mentions(c), max_seq_length=128)
+    feat = featurize_corpus(c, gold_spans=gold_mentions(c), max_seq_length=128)
+    return feat.select(
+        "doc_id", "q_tag",
+        *[
+            F.array_join(F.transform(c_, lambda x: x.cast("string")), ",").alias(c_)
+            for c_ in _FEATURE_ARRAY_COLS
+        ],
+    )
 
 
 def _sl_mentions_oracle() -> str:
@@ -426,10 +446,11 @@ SELECT 'micro avg',
                     / ((CASE WHEN SUM(nb_pred) > 0 THEN SUM(nb_correct) / CAST(SUM(nb_pred) AS DOUBLE) ELSE 0 END)
                      + (CASE WHEN SUM(nb_true) > 0 THEN SUM(nb_correct) / CAST(SUM(nb_true) AS DOUBLE) ELSE 0 END))
              ELSE 0 END, 6),
-       SUM(nb_true)
+       CAST(SUM(nb_true) AS BIGINT)
 FROM scored2
 UNION ALL
-SELECT 'macro avg', ROUND(AVG(p_raw), 6), ROUND(AVG(r_raw), 6), ROUND(AVG(f_raw), 6), SUM(nb_true)
+SELECT 'macro avg', ROUND(AVG(p_raw), 6), ROUND(AVG(r_raw), 6), ROUND(AVG(f_raw), 6),
+       CAST(SUM(nb_true) AS BIGINT)
 FROM scored2""",
 )
 def kg_type_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,8 +484,11 @@ def ds_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ds_ngram_jaccard",
+    # same hot-shingle document-frequency cap (> 64 docs -> dropped) as the
+    # engine, applied to intersections AND set sizes -> exact Jaccard over
+    # the capped shingle space on both sides
     oracle="""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(
@@ -472,6 +496,8 @@ def ds_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
                )) AS shingle
         FROM documents)),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 64),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS n_common
@@ -595,17 +621,23 @@ def ds_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ds_embedding_neardup",
+    # FLOOR(x*1000 + 0.5)/1000 = the engine's shared round_half_away_3 —
+    # the SAME rounding function on both sides (np.round's half-to-even
+    # would disagree with SQL ROUND at .0005 boundaries)
     oracle="""
-    SELECT a.vec_id AS src, b.vec_id AS dst,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 3) AS score
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 3) >= 0.4
+    WITH sc AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))
+                   * 1000 + 0.5) / 1000 AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT src, dst, score FROM sc WHERE score >= 0.4
     """,
 )
 def ds_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact; LSH-blocked path for scale)."""
+    """Embedding-cosine near-dup pairs — exact all-pairs via the distributed
+    block-pair decomposition (no driver collect in the plan; see
+    operators/similarity.py::embedding_neardup)."""
     from .operators.similarity import embedding_neardup
 
     return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -658,10 +690,13 @@ def ds_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+_MINHASH_PAIRS_THRESHOLD = 0.4  # ONE constant threads engine + oracle
+
+
 def _minhash_pairs_oracle() -> str:
     from .operators.dedup import minhash_pairs_sql
 
-    return minhash_pairs_sql()
+    return minhash_pairs_sql(threshold=_MINHASH_PAIRS_THRESHOLD)
 
 
 @_register("ds_minhash_lsh_pairs", oracle=_minhash_pairs_oracle)
@@ -670,7 +705,9 @@ def ds_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join -> exact Jaccard verify, all built-ins, oracle-checked."""
     from .operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=_MINHASH_PAIRS_THRESHOLD
+    )
 
 
 def _simhash_oracle() -> str:
@@ -755,21 +792,31 @@ def ds_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     luma AS (
       SELECT media_id, SUM(v) / COUNT(*)::DOUBLE AS mean_luma
       FROM coords GROUP BY 1),
-    feat AS (
-      SELECT c.media_id,
-             (SELECT list(v ORDER BY bj) FROM colm WHERE media_id = c.media_id)
-             || (SELECT list(v ORDER BY bi) FROM rowm WHERE media_id = c.media_id) AS feat
-      FROM (SELECT DISTINCT media_id FROM colm) c)
-    SELECT m.media_id, m.kind, l.mean_luma, f.feat
-    FROM m JOIN luma l USING (media_id) JOIN feat f USING (media_id)
+    dims AS (SELECT media_id, r.range AS dim FROM m CROSS JOIN range(16) r),
+    dvals AS (
+      SELECT media_id, bj AS dim, v FROM colm
+      UNION ALL
+      SELECT media_id, 8 + bi AS dim, v FROM rowm)
+    SELECT m.media_id, m.kind, l.mean_luma, d.dim::INTEGER AS dim,
+           COALESCE(dv.v, 0.0) AS feat_v
+    FROM m JOIN luma l USING (media_id)
+    JOIN dims d USING (media_id)
+    LEFT JOIN dvals dv ON dv.media_id = d.media_id AND dv.dim = d.dim
     """,
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode -> mean-pool resize -> pooled feature over binary media
-    columns (stub decode = md5 byte stream; real Spark plumbing)."""
+    columns (stub decode = md5 byte stream; real Spark plumbing).
+    The REGISTERED output explodes the 16-dim feature into (dim, feat_v)
+    rows — the driver's canonicalizer cannot sort/hash list columns, and
+    the per-dim doubles are bit-exact across engines (integer-sum / count);
+    ``extract_features`` itself still emits the array column."""
     from .operators.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, 48))
+    return extract_features(synth_media(spark, 48)).select(
+        "media_id", "kind", "mean_luma",
+        F.posexplode("feat").alias("dim", "feat_v"),
+    )
 
 
 @_register(

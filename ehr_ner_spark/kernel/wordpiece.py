@@ -32,18 +32,21 @@ PIECE = 4
 MAX_SEQ_LENGTH = 512
 
 
-_ASCII_WS = re.compile(r"\s+", re.ASCII)
+# RE2's \s set EXACTLY: [ \t\n\r\f].  Python's re.ASCII \s additionally
+# matches vertical tab (\x0b), which RE2/DuckDB treat as a regular char —
+# the explicit class keeps engine and SQL oracle identical on \v inputs.
+_ASCII_WS = re.compile(r"[ \t\n\r\f]+")
 
 
 def tokenize_text(text: str) -> List[str]:
-    """Passage tokenization: split on ASCII whitespace, then keep ASCII
-    alphanumeric runs whole and split everything else char-by-char
-    (the reference's numbers-kept-whole character convention,
-    README.md:128 ``passage_tokens``).  ASCII-only splitting (not
-    ``str.split()``'s Unicode whitespace) keeps the kernel identical to the
-    SQL oracle's RE2 ``[^A-Za-z0-9\\s]`` tokenizer for inputs containing
-    NBSP and other Unicode spaces — those are treated as (single-char)
-    tokens by both."""
+    """Passage tokenization: split on RE2-whitespace ([ \\t\\n\\r\\f]), then
+    keep ASCII alphanumeric runs whole and split everything else
+    char-by-char (the reference's numbers-kept-whole character convention,
+    README.md:128 ``passage_tokens``).  The explicit whitespace class (not
+    ``str.split()``'s Unicode whitespace, not Python's ASCII ``\\s`` which
+    adds \\x0b) keeps the kernel identical to the SQL oracle's RE2
+    ``[^A-Za-z0-9\\s]`` tokenizer: NBSP, vertical tab and other non-RE2
+    spaces are treated as (single-char) tokens by both."""
     out: List[str] = []
     for word in _ASCII_WS.split(text):
         if not word:

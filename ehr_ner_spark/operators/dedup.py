@@ -53,9 +53,13 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
     pseudo_mentions = docs.select(F.col(text_col).alias("text"), F.col(id_col))
     from .linking import surface_signatures
 
-    sigs = surface_signatures(pseudo_mentions)
+    # sigs feeds three consumers (pairs, verify, components) and edges two
+    # (verify output + the CC strategy probe's eager count) — persist the
+    # small per-surface frames, like canonicalize() does, so the signature
+    # stage runs ONCE instead of once per consumer
+    sigs = surface_signatures(pseudo_mentions).persist()
     pairs = candidate_pairs(sigs)
-    edges = verified_edges(sigs, pairs, threshold)
+    edges = verified_edges(sigs, pairs, threshold).persist()
     comps = connected_components(sigs.select("surface_id"), edges)
     return (
         pseudo_mentions.withColumn("surface_id", md5_60_expr(F.col("text")))
@@ -81,15 +85,17 @@ def word_hash60(w: str) -> int:
     return md5_60(w)
 
 
-_ASCII_WS = re.compile(r"\s+", re.ASCII)
+# RE2's \s set exactly ([ \t\n\r\f]); Python's ASCII \s would add \x0b
+_ASCII_WS = re.compile(r"[ \t\n\r\f]+")
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over whitespace-token features (Arrow-batched; per-word
     md5 hashes memoized per batch so repeated tokens hash once).  Tokens are
-    split on ASCII whitespace (re.ASCII \\s+) so the DuckDB twin's RE2
-    ``string_split_regex(text, '\\s+')`` sees the same tokens — Python's
-    ``str.split()`` would additionally split on Unicode spaces like NBSP."""
+    split on the explicit RE2 whitespace class ([ \\t\\n\\r\\f]) so the
+    DuckDB twin's RE2 ``string_split_regex(text, '\\s+')`` sees the same
+    tokens — Python's ``str.split()`` would additionally split on Unicode
+    spaces like NBSP, and Python's ASCII ``\\s`` on vertical tab."""
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.arange(SIMHASH_BITS, dtype=np.uint64)
         for pdf in batches:
@@ -321,8 +327,11 @@ def minhash_sig_sql() -> str:
 """
 
 
-def minhash_pairs_sql() -> str:
-    return minhash_sig_sql() + """,
+def minhash_pairs_sql(threshold: float = 0.4) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs(docs, threshold)`` — the threshold
+    is a parameter on BOTH sides so engine and oracle can never silently
+    desynchronize."""
+    return minhash_sig_sql() + f""",
     bands AS (
       SELECT doc_id, perm // 4 AS band,
              string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_sig
@@ -343,22 +352,45 @@ def minhash_pairs_sql() -> str:
     FROM inter
     JOIN sizes sa ON sa.doc_id = src
     JOIN sizes sb ON sb.doc_id = dst
-    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {threshold}
 """
 
 
+NGRAM_DF_CAP = 64  # shingles in more docs than this are dropped (skew guard)
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs, expressed entirely with built-in
     relational algebra (shuffle on shingle, then on pair) so it is
     SQL-oracle-checkable and Catalyst-optimizable end to end.
-    Output: (src, dst, jaccard) with src < dst, jaccard >= threshold."""
+    Output: (src, dst, jaccard) with src < dst, jaccard >= threshold.
+
+    Hot-shingle guard (standard winnowing practice): a shingle appearing in
+    k documents emits k^2/2 candidate rows from the self-join, so head
+    shingles make the join quadratic.  Shingles with document frequency
+    > ``df_cap`` are dropped from the shingle space BEFORE the join — from
+    both the intersections and the set sizes, so the emitted value is the
+    exact Jaccard over the capped shingle space (the DuckDB oracle applies
+    the identical cap; the two engines stay bit-equal).  Consequence: a pair
+    whose overlap consists ONLY of corpus-frequent shingles is not recalled
+    — by design: such overlap is boilerplate, not near-duplication.  The
+    hot set is tiny (heavy hitters), so the filter is a broadcast anti-join,
+    map-side, no extra shuffle on the big side."""
     # row-local array_distinct == distinct (doc_id, shingle) but map-side:
     # no dedup shuffle before the shingle join (and guarded for <n-word docs)
-    sh = docs.select(
+    sh_all = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_word_shingles(text_col, n)).alias("shingle"),
     )
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

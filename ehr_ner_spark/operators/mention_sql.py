@@ -345,11 +345,22 @@ def featurize_oracle_sql(gold_prelude: str, max_seq_length: int = 128) -> str:
                           AND pl.tok_idx = p.tok_idx AND pl.tag = b.tag
       WHERE p.pos < {m} - b.qlen - 3),
     fagg AS (
-      SELECT doc_id, tag, qlen, q_ids,
+      SELECT doc_id, tag,
              list(piece_id ORDER BY pos) AS p_ids,
              list(lab ORDER BY pos)      AS p_labs,
              COUNT(*)                    AS n_p
-      FROM prows GROUP BY doc_id, tag, qlen, q_ids)
+      FROM prows GROUP BY doc_id, tag),
+    -- every (doc x query) emits a row, even when the document tokenizes to
+    -- ZERO passage pieces (the engine pads those to [CLS] Q [SEP] [SEP]):
+    -- build the frame from corpus x battery and left-join the piece aggs
+    frows AS (
+      SELECT c.doc_id, b.tag, b.qlen, b.q_ids,
+             COALESCE(f.p_ids, CAST([] AS BIGINT[]))   AS p_ids,
+             COALESCE(f.p_labs, CAST([] AS INTEGER[])) AS p_labs,
+             COALESCE(f.n_p, 0)     AS n_p
+      FROM (SELECT doc_id FROM corpus) c
+      CROSS JOIN fbattery b
+      LEFT JOIN fagg f ON f.doc_id = c.doc_id AND f.tag = b.tag)
     SELECT doc_id, tag AS q_tag,
            [{CLS_ID}] || q_ids || [{SEP_ID}] || p_ids || [{SEP_ID}]
              || list_transform(range({m} - qlen - 3 - n_p), x -> 0) AS input_ids,
@@ -360,7 +371,7 @@ def featurize_oracle_sql(gold_prelude: str, max_seq_length: int = 128) -> str:
              || list_transform(range({m} - qlen - 3 - n_p), x -> 0) AS token_type_ids,
            list_transform(range(qlen + 2), x -> {pad}) || p_labs || [{pad}]
              || list_transform(range({m} - qlen - 3 - n_p), x -> {pad}) AS label_ids
-    FROM fagg
+    FROM frows
     """
     )
 

@@ -63,20 +63,45 @@ def brute_force_topk(
     )
 
 
+def round_half_away_3(x: np.ndarray) -> np.ndarray:
+    """Shared engine/oracle rounding: 3 decimals, half away from zero for
+    the positive scores that can pass a positive threshold.  The DuckDB twin
+    is literally ``FLOOR(x * 1000 + 0.5) / 1000`` — the SAME function on
+    both sides, unlike np.round (half-to-even) vs SQL ROUND (half-away),
+    which genuinely disagree at .0005 boundaries."""
+    return np.floor(x * 1000.0 + 0.5) / 1000.0
+
+
+ROUND_HALF_AWAY_3_SQL = "FLOOR(({x}) * 1000 + 0.5) / 1000"
+
+
 def embedding_neardup(
     embeddings: DataFrame, threshold: float = 0.4,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (src, dst, score) with src < dst and
-    cosine >= threshold.
+    rounded cosine >= threshold.  Exact all-pairs, FULLY DISTRIBUTED — no
+    driver-side collect anywhere in the plan.
 
-    Exact all-pairs via blocked BLAS: the normalized matrix is broadcast to
-    every worker once and each Arrow batch computes ``batch @ all.T`` in one
-    float64 matmul — ~100x the throughput of evaluating a per-pair codegen
-    ``aggregate(zip_with(...))`` expression over an O(n^2) join.  Exact
-    all-pairs is inherently O(n^2); at corpus scale block first with
-    :func:`lsh_buckets` and verify only bucket-colliding pairs (same shape
-    as minhash_lsh_pairs), or shard the broadcast side into column blocks."""
+    Block-pair decomposition (the classic distributed nested-loop): every
+    vector lands in block ``b = xxhash64(id) mod B``; each of the
+    B*(B+1)/2 unordered block pairs (bi <= bj) is one task, and a vector in
+    block k is map-side replicated to exactly the B tasks containing k (an
+    ``explode`` — shuffle volume n*B rows).  Each task gathers its two
+    blocks via ``applyInPandas`` and computes the cross-block cosine matrix
+    as ONE float64 BLAS matmul, emitting each unordered pair exactly once.
+    O(n^2) work is inherent to the exact operator, but it is spread over
+    B*(B+1)/2 independent tasks with (n/B)-row operands — size ``n_blocks``
+    so a block fits executor memory (B grows with sqrt(n); no single node
+    ever sees the whole table, unlike a broadcast/collect design).  At
+    corpus scale, when approximate recall suffices, block with
+    :func:`lsh_buckets` instead and verify only bucket-colliding pairs.
+
+    Zero-norm embeddings are guarded explicitly: their unit vector is the
+    zero vector, so every cosine involving them is 0.0 and (for a positive
+    threshold) they are excluded — no NaN rows, matching the oracle where
+    NaN fails the >= comparison."""
     from typing import Iterator
 
     import pandas as pd
@@ -99,38 +124,49 @@ def embedding_neardup(
             StructField("score", DoubleType()),
         ]
     )
-    rows = embeddings.select(id_col, emb_col).collect()
-    if not rows:
-        return spark.createDataFrame([], schema)
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, unit))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_unit = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            B = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
-            cos = np.round(B @ all_unit.T, 3)  # (batch, n)
-            # threshold on the ROUNDED value (oracle does the same): the two
-            # engines' raw cosines differ by ulps (BLAS vs sequential sum),
-            # so comparing rounded values keeps the emitted SETS identical
-            # except on .0005 rounding boundaries (measure-zero in float64)
-            mask = (b_ids[:, None] < all_ids[None, :]) & (cos >= threshold)
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "src": b_ids[r],
-                    "dst": all_ids[c],
-                    "score": cos[r, c],
-                }
+    B = int(n_blocks)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(B)).cast("int"))
+    replicated = e.withColumn(
+        "task",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {B - 1}),"
+                " j -> struct(least(blk, j) AS bi, greatest(blk, j) AS bj))"
             )
+        ),
+    ).select(F.col("task.bi").alias("bi"), F.col("task.bj").alias("bj"),
+             "vec_id", "embedding", "blk")
 
-    return embeddings.select(id_col, emb_col).mapInPandas(run, schema)
+    def _unit(mat: np.ndarray) -> np.ndarray:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0  # zero-norm guard: unit stays all-zero
+        return mat / norms
+
+    def pairs_of_task(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"src": [], "dst": [], "score": []}
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        if bi == bj:
+            U = _unit(mat)
+            cos = round_half_away_3(U @ U.T)
+            mask = (ids[:, None] < ids[None, :]) & (cos >= threshold)
+            r, c = np.nonzero(mask)
+            a_ids, b_ids, sc = ids[r], ids[c], cos[r, c]
+        else:
+            ka = pdf["blk"].to_numpy() == bi
+            Ua, Ub = _unit(mat[ka]), _unit(mat[~ka])
+            ia, ib = ids[ka], ids[~ka]
+            cos = round_half_away_3(Ua @ Ub.T)
+            r, c = np.nonzero(cos >= threshold)
+            a_ids, b_ids, sc = ia[r], ib[c], cos[r, c]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"src": lo, "dst": hi, "score": sc})
+
+    return replicated.groupBy("bi", "bj").applyInPandas(pairs_of_task, schema)
 
 
 _PLANES_MAT = np.concatenate(_PLANES, axis=0)  # (T * P, DIM)

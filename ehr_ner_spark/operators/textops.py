@@ -12,14 +12,14 @@ from pyspark.sql import functions as F
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 # BPE-ish token regex: alpha runs, single digits, single punct
-BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]"  # explicit RE2 \s set (Java \s adds \x0b)
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish token counting (pure built-ins)."""
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_words"),
+        F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+")).alias("n_words"),
         F.regexp_count(F.col(text_col), F.lit(BPE_RE)).alias("n_bpe_tokens"),
         F.length(text_col).alias("n_chars"),
     )
@@ -29,12 +29,12 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document-quality features + composite score (all built-ins,
     pushdown-friendly): word count, mean word length, stopword ratio, digit
     ratio, punctuation ratio."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+")
     n_words = F.size(words)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
     n_digit = F.regexp_count(F.col(text_col), F.lit(r"[0-9]"))
-    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9 \t\n\r\f]"))
     n_chars = F.length(text_col)
     out = docs.select(
         "doc_id",
@@ -67,7 +67,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     _m = 1 << 55
     staged = docs.select(
         "doc_id",
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("norm"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\r\f]+", " ").alias("norm"),
     ).select(
         "doc_id",
         "norm",
