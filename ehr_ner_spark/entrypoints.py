@@ -174,6 +174,27 @@ def kg_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mentions_crf_oracle() -> str:
+    from .operators.crf_sql import mentions_crf_oracle_sql
+
+    return mentions_crf_oracle_sql(CORPUS_SQL, max_seq_length=128)
+
+
+@_register("kg_mentions_crf", oracle=_mentions_crf_oracle)
+def kg_mentions_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/W4/W6: battery mention detection through the CRF decode path
+    (BertBiLSTMCRF-QASL family: crf.decode(logits * class_weights),
+    bert_qasl_predictor.py:62-71).  The Viterbi DP is replayed in DuckDB as
+    two linear recursive CTEs (forward scores + backpointers, then the
+    backtrace walk) — operators/crf_sql.py.  max_seq_length=128 keeps the
+    oracle recursion shallow; tests cover the 512 contract."""
+    from .operators.crf_detect import detect_mentions_crf
+
+    return detect_mentions_crf(
+        corpus(spark, sf_dir), num_partitions=8, max_seq_length=128
+    ).select("doc_id", "type", "start_pos", "end_pos", "text")
+
+
 def _sl_mentions_oracle() -> str:
     from .operators.mention_sql import sl_mentions_oracle_sql
 

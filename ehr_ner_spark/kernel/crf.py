@@ -73,6 +73,54 @@ def viterbi_decode(
     return path
 
 
+def crf_forward_prefix(em_w: np.ndarray) -> np.ndarray:
+    """Max-product forward scores after consuming the ``(m, 3)``
+    already-class-weighted emissions sequentially from START.  Float ops are
+    written in EXACTLY :func:`viterbi_decode`'s order (add transition, add
+    emission, then max), so composing ``crf_forward_prefix(prefix_em)`` with
+    a continuation is bitwise identical to one long forward pass — the
+    invariant both the battery fast path and the SQL oracle rely on (the
+    prefix over ``[CLS] Q [SEP]`` is a per-tag constant embedded as float64
+    literals)."""
+    v = START_TRANSITIONS + em_w[0]
+    for i in range(1, em_w.shape[0]):
+        v = (v[:, None] + TRANSITIONS + em_w[i][None, :]).max(axis=0)
+    return v
+
+
+def viterbi_battery(
+    prefix: np.ndarray, em_w: np.ndarray, final_em_w: np.ndarray
+) -> np.ndarray:
+    """Vectorized continuation Viterbi for the whole query battery.
+
+    ``prefix (Q, 3)``: per-tag forward scores after ``[CLS] Q [SEP]``;
+    ``em_w (Q, n, 3)``: class-weighted passage-piece emissions;
+    ``final_em_w (Q, 3)``: the trailing ``[SEP]`` emissions.
+    Returns ``(Q, n)`` int states (0=B, 1=I, 2=O) over the passage pieces —
+    bitwise identical to running :func:`viterbi_decode` per tag over the
+    full assembled sequence and slicing out the passage region (parity held
+    by tests/test_crf_detect.py)."""
+    q, n, _ = em_w.shape
+    v = prefix
+    bps = np.empty((n, q, N_TAGS), dtype=np.int64)
+    for t in range(n):
+        comb = v[:, :, None] + TRANSITIONS[None, :, :] + em_w[:, t][:, None, :]
+        bps[t] = comb.argmax(axis=1)
+        v = comb.max(axis=1)
+    combf = v[:, :, None] + TRANSITIONS[None, :, :] + final_em_w[:, None, :]
+    bpf = combf.argmax(axis=1)
+    v = combf.max(axis=1) + END_TRANSITIONS
+    last = v.argmax(axis=1)
+    states = np.empty((q, n), dtype=np.int64)
+    qi = np.arange(q)
+    s = bpf[qi, last]
+    for t in range(n - 1, -1, -1):
+        states[:, t] = s
+        if t > 0:
+            s = bps[t][qi, s]
+    return states
+
+
 def viterbi_decode_bruteforce(
     emissions: np.ndarray,
     class_weights: np.ndarray | None = CLASS_WEIGHTS,

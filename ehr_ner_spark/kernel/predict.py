@@ -114,6 +114,104 @@ def predict_battery(
     return out
 
 
+def predict_one_query_crf(
+    scorer: DeterministicQAScorer,
+    query_tag: str,
+    query_tokens: Sequence[str],
+    passage_tokens: Sequence[str],
+    pid: int = 0,
+    max_seq_length: int = 512,
+) -> List[Span]:
+    """CRF-decode variant of :func:`predict_one_query` — the BiLSTM-CRF QASL
+    model family: ``crf.decode(emissions = logits * class_weights)`` over the
+    full assembled sequence, then the same merge/strip/IOB2 pipeline
+    (/root/reference/api/bert_qasl_predictor.py:62-71, 81-106;
+    models/bertbilstmcrf_qasl.py:16-92)."""
+    from .crf import viterbi_decode
+    from .scorer import CLASS_WEIGHTS
+
+    seq = assemble(query_tokens, passage_tokens, max_seq_length)
+    em = scorer.logits(query_tag, seq)
+    path = viterbi_decode(em, class_weights=CLASS_WEIGHTS)
+    labels = []
+    for i in path:
+        lp = ID2LABEL[i]
+        labels.append(f"{lp}-{query_tag}" if lp != "O" else lp)
+    m_tokens, m_labels = merge_wordpieces(seq, labels)
+    p_tokens, p_labels = strip_specials(m_tokens, m_labels)
+    return decode_bio(p_tokens, p_labels, pid=pid)
+
+
+def predict_battery_crf(
+    scorer: DeterministicQAScorer,
+    battery: Sequence[Tuple[str, Sequence[str]]],
+    passage_tokens: Sequence[str],
+    pid: int = 0,
+    max_seq_length: int = 512,
+    _prefix_cache: dict = {},  # noqa: B006 — intentional per-worker memo
+) -> List[Span]:
+    """Whole-battery CRF fast path, bitwise identical to looping
+    :func:`predict_one_query_crf` (parity test in tests/test_crf_detect.py):
+
+    * the Viterbi forward over the per-tag constant ``[CLS] Q [SEP]`` region
+      is precomputed ONCE per (worker, tag) — ``crf_forward_prefix`` — and
+      the per-document DP runs only over passage pieces + trailing [SEP];
+    * emissions for the whole battery come from one ``logits_battery``
+      matrix call (scored sequence ``[SEP] P [SEP]``: the previous-token
+      term sees the mid [SEP] exactly as in the full assembly);
+    * backtrace is vectorized across tags (``viterbi_battery``).
+    """
+    from .crf import crf_forward_prefix, viterbi_battery
+    from .iob2 import decode_bio_uniform_battery
+    from .scorer import CLASS_WEIGHTS
+    from .wordpiece import CLS, SEP, wp_split
+
+    p_sub: List[str] = []
+    for t in passage_tokens:
+        p_sub.extend(wp_split(t))
+
+    by_len: dict = {}
+    max_qlen = 0
+    prefixes: dict = {}
+    for q_tag, q_tokens in battery:
+        q_sub = []
+        for t in q_tokens:
+            q_sub.extend(wp_split(t))
+        max_qlen = max(max_qlen, len(q_sub))
+        by_len.setdefault(len(q_sub), []).append(q_tag)
+        pref = _prefix_cache.get(q_tag)
+        if pref is None:
+            em_q = scorer.logits(q_tag, [CLS] + q_sub + [SEP]) * CLASS_WEIGHTS
+            pref = _prefix_cache[q_tag] = crf_forward_prefix(em_q)
+        prefixes[q_tag] = pref
+    if len(p_sub) <= max_seq_length - max_qlen - 3:
+        by_len = {max_qlen: [t for t, _q in battery]}
+
+    out: List[Span] = []
+    for qlen, tags in by_len.items():
+        limit = max_seq_length - qlen - 3
+        pieces = p_sub[:limit]
+        if not pieces:
+            continue
+        scored = [SEP] + pieces + [SEP]
+        em_w = scorer.logits_battery(tags, scored) * CLASS_WEIGHTS
+        prefix = np.stack([prefixes[t] for t in tags])
+        states = viterbi_battery(prefix, em_w[:, 1:-1], em_w[:, -1])
+        heads = [i for i, p in enumerate(pieces) if "##" not in p]
+        if not heads:
+            continue
+        merged: List[str] = []
+        for j, hidx in enumerate(heads):
+            stop = heads[j + 1] if j + 1 < len(heads) else len(pieces)
+            merged.append(
+                pieces[hidx] + "".join(p[2:] for p in pieces[hidx + 1 : stop])
+            )
+        head_arr = np.asarray(heads, dtype=np.int64)
+        char_mat = np.array(["B", "I", "O"], dtype="U1")[states[:, head_arr]]
+        out.extend(decode_bio_uniform_battery(merged, char_mat, tags, pid=pid))
+    return out
+
+
 def predict_overall(
     scorer: DeterministicQAScorer,
     queries: Dict[str, str],

@@ -131,6 +131,27 @@ class DeterministicQAScorer:
         l_o = np.full(n, self.O_BIAS)
         return np.stack([l_b, l_i, l_o], axis=1)
 
+    def logits_battery(
+        self, query_tags: Sequence[str], tokens: Sequence[str]
+    ) -> np.ndarray:
+        """Vectorized battery logits of shape ``(Q, n, 3)`` — value-identical
+        to stacking :meth:`logits` per tag (same elementwise float ops; the
+        hash matrix is just gathered once per token instead of per tag).
+        Feeds the CRF decode path, which needs raw emissions, not top-1."""
+        n = len(tokens)
+        q = len(query_tags)
+        if n == 0 or q == 0:
+            return np.zeros((q, n, 3), dtype=np.float64)
+        h = self._hash_matrix(tuple(query_tags), tokens)  # (Q, n)
+        u1 = (h % 997).astype(np.float64) / 997.0
+        u2 = ((h >> 10) % 991).astype(np.float64) / 991.0
+        l_b = self.B_GAIN * u1 + self.B_BIAS
+        prev_hot = np.zeros((q, n), dtype=np.float64)
+        hot = (u1 > 0.985) | (u2 > 0.93)
+        prev_hot[:, 1:] = hot[:, :-1].astype(np.float64)
+        l_i = self.I_GAIN * u2 + self.I_BIAS + self.I_PREV_BOOST * prev_hot
+        return np.stack([l_b, l_i, np.full((q, n), self.O_BIAS)], axis=2)
+
     def top1_tags_battery(
         self, query_tags: Sequence[str], tokens: Sequence[str]
     ) -> np.ndarray:

@@ -43,7 +43,7 @@ def _battery_values() -> str:
     return ",\n        ".join(rows)
 
 
-def _battery_prelude(corpus_sql: str) -> str:
+def _battery_prelude(corpus_sql: str, max_seq_length: int = MAX_SEQ_LENGTH) -> str:
     """Shared CTE chain corpus -> toks -> pieces -> tags -> scored -> lg
     (per-(doc, tag, pos) logits retained for downstream consumers)."""
     return f"""
@@ -82,7 +82,7 @@ def _battery_prelude(corpus_sql: str) -> str:
       FROM pieces p
       CROSS JOIN tags t
       CROSS JOIN LATERAL (SELECT ('0x' || substr(md5(t.tag || '|' || p.piece), 1, 15))::BIGINT AS h) hh
-      WHERE p.pos < {MAX_SEQ_LENGTH} - t.qlen - 3),
+      WHERE p.pos < {max_seq_length} - t.qlen - 3),
     lg AS (
       SELECT *,
              {_S.B_GAIN} * u1 + ({_S.B_BIAS}) AS l_b,
@@ -95,16 +95,12 @@ def _battery_prelude(corpus_sql: str) -> str:
       WINDOW w AS (PARTITION BY doc_id, tag ORDER BY pos))"""
 
 
-def _mention_span_ctes() -> str:
-    """CTE chain lg -> labeled -> merged -> starts -> runs -> m_spans
-    (the top-1 typed spans of the whole battery)."""
+def _span_decode_ctes(src: str) -> str:
+    """CTE chain ``src`` -> merged -> starts -> runs -> m_spans: WordPiece
+    merge (head keeps label) + uniform-type IOB2 decode with transition
+    repair, over any relation with (doc_id, tag, tok, tok_idx, k, lab)
+    columns — shared by the softmax (argmax) and CRF (Viterbi) twins."""
     return f""",
-    labeled AS (
-      SELECT doc_id, tag, tok, tok_idx, k,
-             CASE WHEN l_b >= l_i AND l_b >= l_o THEN 'B'
-                  WHEN l_i >= l_o THEN 'I'
-                  ELSE 'O' END AS lab
-      FROM lg),
     merged AS (
       -- WordPiece merge: the head piece (k=0) keeps the label; the surface
       -- string is the prefix of the token covered by truncation-surviving
@@ -112,7 +108,7 @@ def _mention_span_ctes() -> str:
       SELECT doc_id, tag, tok_idx,
              MAX(CASE WHEN k = 0 THEN lab END) AS m_lab,
              substr(MIN(tok), 1, LEAST(length(MIN(tok)), {PIECE} * COUNT(*))) AS m_text
-      FROM labeled
+      FROM {src}
       GROUP BY doc_id, tag, tok_idx),
     starts AS (
       -- IOB2 decode (uniform type): start = B, or I whose predecessor is O
@@ -137,6 +133,18 @@ def _mention_span_ctes() -> str:
       FROM runs
       WHERE m_lab <> 'O'
       GROUP BY doc_id, tag, grp)"""
+
+
+def _mention_span_ctes() -> str:
+    """CTE chain lg -> labeled -> merged -> ... -> m_spans (the top-1 typed
+    spans of the whole battery: softmax argmax labels + shared decode)."""
+    return """,
+    labeled AS (
+      SELECT doc_id, tag, tok, tok_idx, k,
+             CASE WHEN l_b >= l_i AND l_b >= l_o THEN 'B'
+                  WHEN l_i >= l_o THEN 'I'
+                  ELSE 'O' END AS lab
+      FROM lg)""" + _span_decode_ctes("labeled")
 
 
 def mentions_oracle_sql(corpus_sql: str) -> str:
