@@ -213,6 +213,26 @@ def kg_sl_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sl_crf_oracle() -> str:
+    from .operators.sl_crf_sql import sl_crf_oracle_sql
+
+    return sl_crf_oracle_sql(CORPUS_SQL, max_seq_length=128)
+
+
+@_register("kg_sl_crf_mentions", oracle=_sl_crf_oracle)
+def kg_sl_crf_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model family #4 (BertBiLSTMCRF-SL): 65-label CRF decode over the flat
+    SL emissions (bert_sl_predictor.py:44-46, no class weights).  The
+    type-tied transitions + max-product posterior decode make the 65-state
+    DP expressible as two LIST-typed linear recursions in DuckDB
+    (operators/sl_crf_sql.py)."""
+    from .operators.sl_detect import detect_mentions_sl_crf
+
+    return detect_mentions_sl_crf(
+        corpus(spark, sf_dir), num_partitions=8, max_seq_length=128
+    ).select("doc_id", "type", "start_pos", "end_pos", "text")
+
+
 def _sl_vs_qasl_oracle() -> str:
     from .operators.mention_sql import mentions_oracle_sql, sl_mentions_oracle_sql
 
@@ -263,6 +283,66 @@ def kg_sl_vs_qasl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "pid")
     )
     return micro_prf(qasl, sl)
+
+
+def _model_matrix_oracle() -> str:
+    from .operators.matrix_sql import model_matrix_oracle_sql
+
+    return model_matrix_oracle_sql(CORPUS_SQL, max_seq_length=128)
+
+
+@_register("kg_model_matrix", oracle=_model_matrix_oracle)
+def kg_model_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the full 4-model comparison matrix of evaluate.py:160-197 —
+    {BERT-SL, BertBiLSTMCRF-SL, BERT-QASL, BertBiLSTMCRF-QASL} x
+    {flat, nested} answer sets, micro counts + P/R/F1 per cell.  Answers =
+    the QASL battery output (nested) and its priority flat projection (D4,
+    the reference PRIORITY table); DIN excluded everywhere (P9).  All four
+    decode paths run at max_seq_length=128 (one consistent truncation; the
+    512 contracts are pytest-covered), and every cell is hash-checked by
+    ONE DuckDB query embedding all four oracle pipelines."""
+    from .operators.crf_detect import detect_mentions_crf
+    from .operators.metrics import micro_prf
+    from .operators.priority import flat_projection
+    from .operators.sl_detect import detect_mentions_sl, detect_mentions_sl_crf
+    from .queries_battery import PRIORITY
+
+    c = corpus(spark, sf_dir)
+
+    def spans(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("type") != "DIN")
+            .withColumnRenamed("doc_id", "pid")
+            .select("pid", "type", "start_pos", "end_pos", "text")
+        )
+
+    # each span set feeds 2+ comparisons -> persist (scoring is the
+    # expensive stage; the micro aggregations are trivial)
+    qasl = spans(detect_mentions(c, num_partitions=8, max_seq_length=128)).persist()
+    models = [
+        ("bert_sl",
+         spans(detect_mentions_sl(c, num_partitions=8, max_seq_length=128)).persist()),
+        ("bertbilstmcrf_sl",
+         spans(detect_mentions_sl_crf(c, num_partitions=8, max_seq_length=128)).persist()),
+        ("bert_qasl", qasl),
+        ("bertbilstmcrf_qasl",
+         spans(detect_mentions_crf(c, num_partitions=8, max_seq_length=128)).persist()),
+    ]
+    answer_sets = [
+        ("flat", flat_projection(qasl, PRIORITY).persist()),
+        ("nested", qasl),
+    ]
+    out = None
+    for mname, m in models:
+        for aname, a in answer_sets:
+            row = micro_prf(a, m).select(
+                F.lit(mname).alias("model"),
+                F.lit(aname).alias("answers"),
+                "nb_correct", "nb_pred", "nb_true",
+                "precision", "recall", "f1",
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
 
 
 def _canonical_triples_oracle() -> str:

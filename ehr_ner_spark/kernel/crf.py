@@ -28,10 +28,15 @@ START_TRANSITIONS = _rng.uniform(-0.1, 0.1, N_TAGS)
 END_TRANSITIONS = _rng.uniform(-0.1, 0.1, N_TAGS)
 TRANSITIONS = _rng.uniform(-0.1, 0.1, (N_TAGS, N_TAGS))
 # encode IOB2 structure the way a trained CRF would: O->I strongly penalized,
-# B->I / I->I favored (values fixed, deterministic)
+# B->I / I->I favored, O sticky and entity entry costly (so span density
+# stays in the same regime as the softmax path instead of everything
+# collapsing into long I-runs; values fixed, deterministic)
 TRANSITIONS[2, 1] -= 3.0   # O -> I
 TRANSITIONS[0, 1] += 1.5   # B -> I
 TRANSITIONS[1, 1] += 1.0   # I -> I
+TRANSITIONS[2, 2] += 1.5   # O -> O (outside is sticky)
+TRANSITIONS[2, 0] -= 1.5   # O -> B (entering an entity costs)
+TRANSITIONS[1, 0] -= 1.0   # I -> B (immediate re-entry costs)
 START_TRANSITIONS[1] -= 3.0  # can't start with I
 
 

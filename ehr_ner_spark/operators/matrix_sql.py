@@ -1,0 +1,78 @@
+"""DuckDB twin of the 4-model comparison matrix (A6,
+/root/reference/results/evaluate.py:160-197): every model family's span set
+scored against the flat and nested answer sets with micro P/R/F1.
+
+Each model's span set is the FULL oracle pipeline of that family embedded
+as a subquery (softmax battery, flat SL argmax, and the two CRF recursions)
+— so one hash check covers all four decode paths side by side.  The answer
+sets are the QASL battery output (nested) and its priority flat projection
+(the reference's `flat_ne_answers` / `nested_ne_answers` stand-ins: the
+sandbox has no human annotation, and kg_sl_vs_qasl already uses QASL as the
+comparison anchor).  DIN is excluded on every side (P9, asserts.py:13-19).
+"""
+
+from __future__ import annotations
+
+from ..queries_battery import PRIORITY
+from .crf_sql import mentions_crf_oracle_sql
+from .mention_sql import mentions_oracle_sql, sl_mentions_oracle_sql
+from .sl_crf_sql import sl_crf_oracle_sql
+
+SPAN_COLS = "pid, type, start_pos, end_pos, text"
+
+
+def _prio_case() -> str:
+    whens = " ".join(f"WHEN '{t}' THEN {p}" for t, p in PRIORITY.items())
+    return f"CASE type {whens} ELSE -1.0 END"
+
+
+def _micro_row(model: str, answers: str, m: str, a: str) -> str:
+    """One matrix row: micro counts + P/R/F1 of model set ``m`` vs answer
+    set ``a`` (both already deduped CTEs) — the metrics.py::micro_prf twin."""
+    pr = "CASE WHEN p > 0 THEN c / CAST(p AS DOUBLE) ELSE 0 END"
+    rc = "CASE WHEN t > 0 THEN c / CAST(t AS DOUBLE) ELSE 0 END"
+    return f"""
+    SELECT '{model}' AS model, '{answers}' AS answers,
+           c AS nb_correct, p AS nb_pred, t AS nb_true,
+           ROUND({pr}, 6) AS precision,
+           ROUND({rc}, 6) AS recall,
+           ROUND(CASE WHEN ({pr}) + ({rc}) > 0
+                 THEN 2 * ({pr}) * ({rc}) / (({pr}) + ({rc}))
+                 ELSE 0 END, 6) AS f1
+    FROM (SELECT
+            (SELECT COUNT(*) FROM (SELECT * FROM {m} INTERSECT SELECT * FROM {a})) AS c,
+            (SELECT COUNT(*) FROM {m}) AS p,
+            (SELECT COUNT(*) FROM {a}) AS t)"""
+
+
+def model_matrix_oracle_sql(corpus_sql: str, max_seq_length: int = 128) -> str:
+    models = {
+        "bert_sl": sl_mentions_oracle_sql(corpus_sql, max_seq_length),
+        "bertbilstmcrf_sl": sl_crf_oracle_sql(corpus_sql, max_seq_length),
+        "bert_qasl": mentions_oracle_sql(corpus_sql, max_seq_length),
+        "bertbilstmcrf_qasl": mentions_crf_oracle_sql(corpus_sql, max_seq_length),
+    }
+    sets = ",\n".join(
+        f"""m_{name} AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS pid, type, start_pos, end_pos, text
+      FROM ({sql})
+      WHERE type <> 'DIN')"""
+        for name, sql in models.items()
+    )
+    rows = "\n    UNION ALL".join(
+        _micro_row(name, aname, f"m_{name}", f"a_{aname}")
+        for name in models
+        for aname in ("flat", "nested")
+    )
+    return f"""
+    WITH RECURSIVE
+    {sets},
+    a_nested AS (SELECT * FROM m_bert_qasl),
+    prioranked AS (
+      SELECT {SPAN_COLS},
+             ROW_NUMBER() OVER (PARTITION BY pid, start_pos, end_pos
+                                ORDER BY {_prio_case()} DESC, type ASC) AS rk
+      FROM m_bert_qasl),
+    a_flat AS (SELECT {SPAN_COLS} FROM prioranked WHERE rk = 1)
+    {rows}
+    """

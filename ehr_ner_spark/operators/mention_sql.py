@@ -147,14 +147,68 @@ def _mention_span_ctes() -> str:
       FROM lg)""" + _span_decode_ctes("labeled")
 
 
-def mentions_oracle_sql(corpus_sql: str) -> str:
+def mentions_oracle_sql(corpus_sql: str,
+                        max_seq_length: int = MAX_SEQ_LENGTH) -> str:
     """DuckDB SQL producing exactly ``detect_mentions(corpus(...))``'s
     (doc_id, type, start_pos, end_pos, text) rows."""
     return (
-        _battery_prelude(corpus_sql)
+        _battery_prelude(corpus_sql, max_seq_length)
         + _mention_span_ctes()
         + "\n    SELECT doc_id, type, start_pos, end_pos, text FROM m_spans"
     )
+
+
+def sl_typed_decode_tail() -> str:
+    """Shared typed-label decode tail for the flat (SL / SL-CRF) twins:
+    from a ``best`` CTE with (doc_id, tok, tok_idx, k, lp, typ) rows, merge
+    wordpieces (head keeps label), run the GENERAL typed IOB2 automaton of
+    kernel/iob2.py::decode_bio (scheme.py truth tables, incl. the
+    begin-fallback-0 and sentinel quirks), and emit the final span rows."""
+    return f""",
+    merged AS (
+      SELECT doc_id, tok_idx,
+             MAX(CASE WHEN k = 0 THEN lp END) AS lp,
+             MAX(CASE WHEN k = 0 THEN typ END) AS typ,
+             substr(MIN(tok), 1, LEAST(length(MIN(tok)), {PIECE} * COUNT(*))) AS m_text
+      FROM best
+      GROUP BY doc_id, tok_idx),
+    seq AS (
+      SELECT doc_id, tok_idx, lp, typ, m_text FROM merged
+      UNION ALL  -- decode sentinel ("", "O") (entity.py:52)
+      SELECT doc_id, MAX(tok_idx) + 1, 'O', '', '' FROM merged GROUP BY doc_id),
+    ext AS (
+      SELECT *,
+             LAG(lp, 1, 'O') OVER w AS prev_lp,
+             LAG(typ, 1, '') OVER w AS prev_typ
+      FROM seq
+      WINDOW w AS (PARTITION BY doc_id ORDER BY tok_idx)),
+    masked AS (
+      SELECT *,
+             (prev_lp IN ('B', 'I'))
+               AND (lp = 'B' OR (lp IN ('I', 'O') AND prev_typ <> typ)) AS end_mask,
+             (lp = 'B' AND (prev_lp IN ('B', 'I')
+                            OR (prev_lp = 'O' AND prev_typ <> typ)))
+               OR (lp = 'I' AND prev_typ <> typ) AS start_mask
+      FROM ext),
+    withbegin AS (
+      SELECT *,
+             COALESCE(MAX(CASE WHEN start_mask THEN tok_idx END) OVER
+                        (PARTITION BY doc_id ORDER BY tok_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS begin_i
+      FROM masked),
+    spans AS (
+      SELECT doc_id, begin_i, tok_idx - 1 AS end_i, prev_typ AS span_typ
+      FROM withbegin WHERE end_mask)
+    SELECT s.doc_id, s.span_typ AS type,
+           s.begin_i::INTEGER AS start_pos,
+           s.end_i::INTEGER AS end_pos,
+           STRING_AGG(m.m_text, '' ORDER BY m.tok_idx) AS text
+    FROM spans s
+    JOIN merged m ON m.doc_id = s.doc_id
+                 AND m.tok_idx BETWEEN s.begin_i AND s.end_i
+    GROUP BY s.doc_id, s.span_typ, s.begin_i, s.end_i
+    """
 
 
 def _sl_types_values() -> str:
@@ -165,14 +219,15 @@ def _sl_types_values() -> str:
     )
 
 
-def sl_mentions_oracle_sql(corpus_sql: str) -> str:
+def sl_mentions_oracle_sql(corpus_sql: str,
+                           max_seq_length: int = MAX_SEQ_LENGTH) -> str:
     """DuckDB SQL producing exactly ``detect_mentions_sl(corpus(...))``'s
     (doc_id, type, start_pos, end_pos, text) rows — the flat 65-label
     model family (kernel/sl.py): one argmax over [O] + [B-t, I-t]*types,
     [CLS] P [SEP] assembly, head-keeps-label merge, and the GENERAL typed
     IOB2 automaton of kernel/iob2.py::decode_bio (scheme.py truth tables,
     including the begin-fallback-0 and B-after-O-same-type quirks)."""
-    limit = MAX_SEQ_LENGTH - 2
+    limit = max_seq_length - 2
     g, bb = _S.B_GAIN, _S.B_BIAS
     ig, ib, pb = _S.I_GAIN, _S.I_BIAS, _S.I_PREV_BOOST
     ob = _S.O_BIAS
@@ -231,51 +286,7 @@ def sl_mentions_oracle_sql(corpus_sql: str) -> str:
       SELECT doc_id, tok, tok_idx, k, lp, typ FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, pos
                                      ORDER BY logit DESC, label_idx ASC) AS rn
-        FROM cand) WHERE rn = 1),
-    merged AS (
-      SELECT doc_id, tok_idx,
-             MAX(CASE WHEN k = 0 THEN lp END) AS lp,
-             MAX(CASE WHEN k = 0 THEN typ END) AS typ,
-             substr(MIN(tok), 1, LEAST(length(MIN(tok)), {PIECE} * COUNT(*))) AS m_text
-      FROM best
-      GROUP BY doc_id, tok_idx),
-    seq AS (
-      SELECT doc_id, tok_idx, lp, typ, m_text FROM merged
-      UNION ALL  -- decode sentinel ("", "O") (entity.py:52)
-      SELECT doc_id, MAX(tok_idx) + 1, 'O', '', '' FROM merged GROUP BY doc_id),
-    ext AS (
-      SELECT *,
-             LAG(lp, 1, 'O') OVER w AS prev_lp,
-             LAG(typ, 1, '') OVER w AS prev_typ
-      FROM seq
-      WINDOW w AS (PARTITION BY doc_id ORDER BY tok_idx)),
-    masked AS (
-      SELECT *,
-             (prev_lp IN ('B', 'I'))
-               AND (lp = 'B' OR (lp IN ('I', 'O') AND prev_typ <> typ)) AS end_mask,
-             (lp = 'B' AND (prev_lp IN ('B', 'I')
-                            OR (prev_lp = 'O' AND prev_typ <> typ)))
-               OR (lp = 'I' AND prev_typ <> typ) AS start_mask
-      FROM ext),
-    withbegin AS (
-      SELECT *,
-             COALESCE(MAX(CASE WHEN start_mask THEN tok_idx END) OVER
-                        (PARTITION BY doc_id ORDER BY tok_idx
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS begin_i
-      FROM masked),
-    spans AS (
-      SELECT doc_id, begin_i, tok_idx - 1 AS end_i, prev_typ AS span_typ
-      FROM withbegin WHERE end_mask)
-    SELECT s.doc_id, s.span_typ AS type,
-           s.begin_i::INTEGER AS start_pos,
-           s.end_i::INTEGER AS end_pos,
-           STRING_AGG(m.m_text, '' ORDER BY m.tok_idx) AS text
-    FROM spans s
-    JOIN merged m ON m.doc_id = s.doc_id
-                 AND m.tok_idx BETWEEN s.begin_i AND s.end_i
-    GROUP BY s.doc_id, s.span_typ, s.begin_i, s.end_i
-    """
+        FROM cand) WHERE rn = 1)""" + sl_typed_decode_tail()
 
 
 def _featurize_battery_values() -> str:

@@ -56,3 +56,51 @@ def detect_mentions_sl(
     if num_partitions:
         inp = inp.repartition(num_partitions, "doc_id")
     return inp.mapInPandas(run, MENTION_SCHEMA)
+
+
+def detect_mentions_sl_crf(
+    corpus_df: DataFrame,
+    types: Optional[Sequence[str]] = None,
+    num_partitions: Optional[int] = None,
+    max_seq_length: int = 512,
+) -> DataFrame:
+    """Model family #4: flat SL + 65-label CRF decode
+    (api/bert_sl_predictor.py:44-46 with_bilstmcrf=True; kernel/sl_crf.py).
+    Same Spark plan as detect_mentions_sl — only the decode kernel differs."""
+    from ..kernel.scorer import DeterministicQAScorer
+    from ..kernel.sl_crf import sl_crf_predict
+    from ..pyfiles import ensure_shipped
+
+    spark = corpus_df.sparkSession
+    ensure_shipped(spark)
+    types = list(types or QUERIES.keys())
+    bc_types = spark.sparkContext.broadcast(types)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = DeterministicQAScorer()
+        tps = bc_types.value
+        for pdf in batches:
+            rows: dict = {k: [] for k in (
+                "doc_id", "repo", "content_sha", "type",
+                "start_pos", "end_pos", "text")}
+            for doc_id, repo, sha, content in zip(
+                pdf["doc_id"], pdf["repo"], pdf["content_sha"], pdf["content"]
+            ):
+                toks = tokenize_text(content)
+                for (_pid, typ, s, e, txt) in sl_crf_predict(
+                    scorer, tps, toks, pid=int(doc_id),
+                    max_seq_length=max_seq_length,
+                ):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["repo"].append(repo)
+                    rows["content_sha"].append(sha)
+                    rows["type"].append(typ)
+                    rows["start_pos"].append(s)
+                    rows["end_pos"].append(e)
+                    rows["text"].append(txt)
+            yield pd.DataFrame(rows)
+
+    inp = corpus_df.select("doc_id", "repo", "content_sha", "content")
+    if num_partitions:
+        inp = inp.repartition(num_partitions, "doc_id")
+    return inp.mapInPandas(run, MENTION_SCHEMA)

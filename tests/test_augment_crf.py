@@ -26,7 +26,10 @@ def test_viterbi_matches_bruteforce():
 
 
 def test_viterbi_class_weights_matter():
-    em = np.array([[3.5, 0.1, 2.9]] * 4)
+    # unweighted: B (7.0) clears O (5.0) by 2.0/token — more than the
+    # O-sticky transition structure can claw back; weighted: B*0.11 = 0.77
+    # falls below O*0.16 = 0.80, so the decode flips to all-O
+    em = np.array([[7.0, 0.1, 5.0]] * 4)
     with_w = viterbi_decode(em, class_weights=CLASS_WEIGHTS)
     without = viterbi_decode(em, class_weights=None)
     assert without == [0, 0, 0, 0]      # unweighted: B dominates everywhere
