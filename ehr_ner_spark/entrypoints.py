@@ -760,6 +760,54 @@ def ds_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
 
 
+@_register(
+    "ds_ivf_ann",
+    # exact twin: deterministic centroid seeding (vec_id % stride = 0),
+    # argmax-cosine assignment, nprobe-cell probing, exact rerank
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      FROM embeddings WHERE vec_id % 25 = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    ass AS (
+      SELECT vec_id, emb, cent_id AS cell FROM (
+        SELECT e.vec_id, e.emb, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC,
+                           c.cent_id) AS crk
+        FROM e CROSS JOIN cents c) WHERE crk = 1),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+          WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+    probes AS (
+      SELECT query_id, q_emb, cent_id AS cell FROM (
+        SELECT q.query_id, q.q_emb, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC,
+                           c.cent_id) AS prk
+        FROM q CROSS JOIN cents c) WHERE prk <= 4),
+    cand AS (
+      SELECT p.query_id, p.q_emb, a.vec_id, a.emb
+      FROM ass a JOIN probes p USING (cell)
+      WHERE a.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, vec_id,
+             list_cosine_similarity(emb, q_emb) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY list_cosine_similarity(emb, q_emb) DESC, vec_id) AS rank
+      FROM cand)
+    SELECT query_id, rank, vec_id, ROUND(cos, 3) AS score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ds_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse cells (every 25th vector), broadcast
+    argmax-cosine assignment, nprobe=4 probing, exact rerank on candidates —
+    the inverted-file scale path next to ds_lsh_ann's hash-bucket path."""
+    from .operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(_t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
 def _minhash_dedup_oracle() -> str:
     from .operators.mention_sql import minhash_dedup_oracle_sql
 

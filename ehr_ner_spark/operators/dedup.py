@@ -390,7 +390,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .where(F.col("df") > df_cap)
         .select("shingle")
     )
-    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+    # the filtered shingle frame feeds THREE consumers (sizes + both join
+    # sides); persist it or the explode + anti-join re-executes per consumer
+    # (Catalyst does not reuse the exchange across the self-join aliases).
+    # At petabyte scale the equivalent is materializing the shingle table
+    # once (bucketed by shingle) before the join.
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -231,6 +231,82 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("vec_id", "embedding").mapInPandas(run, schema)
 
 
+IVF_CENTROID_STRIDE = 25  # every 25th vec_id seeds a coarse cell
+IVF_NPROBE = 4
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroid_stride: int = IVF_CENTROID_STRIDE,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assigned) — IVF coarse quantization, built-ins only.
+
+    Centroids are the vectors whose id is a multiple of ``centroid_stride``
+    (deterministic + SQL-expressible; a trained k-means would drop in the
+    same way — the index structure, not the centroid fitting, is the
+    operator).  Assignment = argmax cosine over the broadcast centroid set
+    (ties -> min centroid id), i.e. a map-side broadcast nested loop + one
+    window rank: no shuffle of the big side beyond the rank's cell
+    partitioning.  At corpus scale the assigned table is written partitioned
+    BY cell, so a probe touches only nprobe directories."""
+    cents = embeddings.where(
+        F.col("vec_id") % centroid_stride == 0
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cent_id",
+        _cosine(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    return cents, assigned
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5,
+    centroid_stride: int = IVF_CENTROID_STRIDE, nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    coarse cells and scores only the vectors assigned there — the inverted-
+    file counterpart of :func:`lsh_ann_topk` (candidate generation is a
+    cell equi-join instead of an all-pairs scan).
+    Output: (query_id, rank, vec_id, score)."""
+    cents, assigned = ivf_assign(embeddings, centroid_stride)
+    q = embeddings.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "q_emb", "cent_id",
+        _cosine(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    probes = (
+        qscored.withColumn("prk", F.row_number().over(wq))
+        .where(F.col("prk") <= nprobe)
+        .select("query_id", "q_emb", F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "vec_id", "embedding")
+    )
+    scored = cand.select(
+        "query_id", "vec_id",
+        _cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cos", 3).alias("score"))
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:
