@@ -1128,6 +1128,41 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rel_range_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           COUNT(p.ts)                           AS n_in_window,
+           ROUND(COALESCE(SUM(p.value), 0.0), 2) AS sum_in_window
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts <= c.ts AND p.ts > c.ts - INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (interval theta-join made scale-safe): per click,
+    count/sum of the user's purchases in the trailing hour.  The engine
+    buckets time into window-width bands and replicates the small side to
+    its two candidate buckets -> plain equi-join + exact residual filter
+    instead of a BroadcastNestedLoopJoin (operators/rangejoin.py)."""
+    from .operators.rangejoin import range_join_count
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return range_join_count(
+        clicks, purchases, key="user_id", probe_ts="ts", ref_ts="ts",
+        window_sec=3600, agg_col="value",
+    )
+
+
+@_register(
     "rel_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -150,3 +150,13 @@ def test_minhash_dedup_reuses_persisted_signatures(spark, sf_dir):
     df = entrypoints.QUERIES_REGISTRY["ds_minhash_dedup"](spark, sf_dir)
     plan = _plan(df)
     assert "InMemoryTableScan" in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The banded range join plans as a shuffled/sort-merge or hash
+    equi-join on (bucket, key) — never the BroadcastNestedLoopJoin a raw
+    interval theta-join would force."""
+    df = entrypoints.QUERIES_REGISTRY["rel_range_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

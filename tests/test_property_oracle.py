@@ -98,3 +98,72 @@ def test_sl_oracle_matches_kernel_on_adversarial_text(texts):
     )
     got = set(con.execute(sl_mentions_oracle_sql(CORPUS_SQL)).fetchall())
     assert got == _sl_kernel_spans(texts)
+
+
+def _crf_kernel_spans(texts, max_seq_length=128):
+    from ehr_ner_spark.kernel.predict import predict_battery_crf
+
+    scorer = DeterministicQAScorer()
+    out = set()
+    for did, text in enumerate(texts):
+        for (_p, typ, s, e, txt) in predict_battery_crf(
+            scorer, _BATTERY, tokenize_text(text), pid=did,
+            max_seq_length=max_seq_length, _prefix_cache={},
+        ):
+            out.add((did, typ, s, e, txt))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs)
+def test_crf_oracle_matches_kernel_on_adversarial_text(texts):
+    """The recursive-CTE Viterbi twin (forward + backtrace) agrees with the
+    kernel on adversarial Unicode/long-token documents — the fuzz layer on
+    top of the fixed-corpus kg_mentions_crf hash check."""
+    from ehr_ner_spark.operators.crf_sql import mentions_crf_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents"
+        " (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en', 's', ?)",
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+    )
+    got = set(con.execute(mentions_crf_oracle_sql(CORPUS_SQL, 128)).fetchall())
+    assert got == _crf_kernel_spans(texts, 128)
+
+
+def _sl_crf_kernel_spans(texts, max_seq_length=128):
+    from ehr_ner_spark.kernel.sl_crf import sl_crf_predict
+
+    scorer = DeterministicQAScorer()
+    types = list(QUERIES.keys())
+    out = set()
+    for did, text in enumerate(texts):
+        for (_p, typ, s, e, txt) in sl_crf_predict(
+            scorer, types, tokenize_text(text), pid=did,
+            max_seq_length=max_seq_length,
+        ):
+            out.add((did, typ, s, e, txt))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs)
+def test_sl_crf_oracle_matches_kernel_on_adversarial_text(texts):
+    """The LIST-typed 65-state CRF twin agrees with the kernel under fuzz."""
+    from ehr_ner_spark.operators.sl_crf_sql import sl_crf_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents"
+        " (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en', 's', ?)",
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+    )
+    got = set(con.execute(sl_crf_oracle_sql(CORPUS_SQL, 128)).fetchall())
+    assert got == _sl_crf_kernel_spans(texts, 128)
