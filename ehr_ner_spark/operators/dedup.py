@@ -272,10 +272,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4,
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
+    # the exploded shingle frame feeds three consumers (sizes + both sides
+    # of the intersection join) — persist it; Catalyst re-executes the
+    # explode per consumer otherwise (see ngram_jaccard_pairs)
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_word_shingles(text_col)).alias("shingle"),
-    )
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh.alias("sa"), F.col("src") == F.col("sa.doc_id"))

@@ -160,3 +160,12 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert "NestedLoop" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_pairs_reuses_persisted_shingles(spark, sf_dir):
+    """minhash_lsh_pairs persists the exploded shingle frame shared by its
+    three consumers (sizes + both intersection-join sides)."""
+    from ehr_ner_spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    assert "InMemoryTableScan" in _plan(df)
