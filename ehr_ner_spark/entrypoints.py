@@ -508,6 +508,31 @@ def kg_metrics_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kg_review_sheet",
+    oracle=lambda: _gold_prelude()
+    + r"""
+    SELECT pid,
+           string_agg('[' || type || '][' || text || '][' ||
+                      CAST(start_pos AS VARCHAR) || '-' ||
+                      CAST(end_pos AS VARCHAR) || ']',
+                      ',' || chr(10)
+                      ORDER BY start_pos, end_pos, type, text) AS flat_ne_answers
+    FROM gold GROUP BY pid
+    """,
+)
+def kg_review_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: the human-review serialization (squad2df,
+    dataTransformer.py:105-128) — one row per passage with the
+    ",\\n"-joined [TYPE][text][s-e] answers cell, canonically ordered.  The
+    parse direction (df2squad's greedy regex) is io/review.py::
+    review_to_spans, round-trip-tested in tests/test_review.py."""
+    from .operators.gold import gold_mentions
+    from .io.review import spans_to_review
+
+    return spans_to_review(gold_mentions(corpus(spark, sf_dir)))
+
+
+@_register(
     "kg_type_report",
     oracle=lambda: _gold_prelude().rstrip()
     + ",\n"
