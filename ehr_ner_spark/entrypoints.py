@@ -195,6 +195,27 @@ def kg_mentions_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "type", "start_pos", "end_pos", "text")
 
 
+def _crf_confidence_oracle() -> str:
+    from .operators.crf_confidence_sql import crf_confidence_oracle_sql
+
+    return crf_confidence_oracle_sql(CORPUS_SQL, max_seq_length=128)
+
+
+@_register("kg_crf_confidence", oracle=_crf_confidence_oracle)
+def kg_crf_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4+W5 inference-side: per-(doc, query) confidence of the decoded
+    CRF path — score(path) - logZ, the sum-product forward algorithm
+    (crf_layer.py:216-262) consumed as the reference's commented-out
+    confidence line (bert_qasl_predictor.py:68).  Passage-local CRF window;
+    the DuckDB twin runs the Viterbi AND the log-sum-exp forward as linear
+    recursions (operators/crf_confidence_sql.py)."""
+    from .operators.crf_confidence import crf_confidence
+
+    return crf_confidence(
+        corpus(spark, sf_dir), num_partitions=8, max_seq_length=128
+    )
+
+
 def _sl_mentions_oracle() -> str:
     from .operators.mention_sql import sl_mentions_oracle_sql
 

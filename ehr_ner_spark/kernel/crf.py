@@ -126,6 +126,31 @@ def viterbi_battery(
     return states
 
 
+def crf_sequence_score(em_w: np.ndarray, tags: Sequence[int]) -> float:
+    """Unnormalized path score: START + sum(transition + emission) + END
+    (crf_layer.py:169-214 ``_compute_score``, single sequence)."""
+    t = list(tags)
+    s = START_TRANSITIONS[t[0]] + em_w[0, t[0]]
+    for i in range(1, len(t)):
+        s = s + TRANSITIONS[t[i - 1], t[i]] + em_w[i, t[i]]
+    return float(s + END_TRANSITIONS[t[-1]])
+
+
+def crf_log_partition(em_w: np.ndarray) -> float:
+    """log Z via the sum-product forward recursion (crf_layer.py:216-262
+    ``_compute_normalizer``): the W5 forward algorithm, consumed here
+    inference-side for path confidence = score - logZ (the commented-out
+    confidence line at bert_qasl_predictor.py:68).  The training LOOP that
+    would backprop through this remains a non-goal."""
+    v = START_TRANSITIONS + em_w[0]
+    for i in range(1, em_w.shape[0]):
+        x = v[:, None] + TRANSITIONS + em_w[i][None, :]
+        m = x.max(axis=0)
+        v = np.log(np.exp(x - m[None, :]).sum(axis=0)) + m
+    m = (v + END_TRANSITIONS).max()
+    return float(np.log(np.exp((v + END_TRANSITIONS) - m).sum()) + m)
+
+
 def viterbi_decode_bruteforce(
     emissions: np.ndarray,
     class_weights: np.ndarray | None = CLASS_WEIGHTS,

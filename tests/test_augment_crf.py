@@ -104,3 +104,43 @@ def test_augment_corpus_spark_matches_kernel(spark, sf_dir):
                 expected.add((row.doc_id, typ, s, e, txt, "top2"))
     assert spark_spans == expected
     assert any(o == "top2" for *_x, o in spark_spans)  # get-back fired
+
+
+def test_log_partition_matches_enumeration():
+    """crf_log_partition == logsumexp over ALL path scores (tiny n)."""
+    from ehr_ner_spark.kernel.crf import (
+        N_TAGS,
+        crf_log_partition,
+        crf_sequence_score,
+    )
+    import itertools
+
+    rng = np.random.RandomState(7)
+    for n in (1, 2, 3, 4):
+        em = rng.uniform(-2, 2, size=(n, 3))
+        scores = [
+            crf_sequence_score(em, seq)
+            for seq in itertools.product(range(N_TAGS), repeat=n)
+        ]
+        m = max(scores)
+        expected = m + np.log(sum(np.exp(s - m) for s in scores))
+        assert abs(crf_log_partition(em) - expected) < 1e-9
+
+
+def test_confidence_is_log_probability():
+    """score(viterbi path) - logZ is a log-probability: <= 0, and the
+    Viterbi path maximizes it over sampled alternative paths."""
+    from ehr_ner_spark.kernel.crf import (
+        crf_log_partition,
+        crf_sequence_score,
+        viterbi_decode,
+    )
+
+    rng = np.random.RandomState(13)
+    em = rng.uniform(-2, 2, size=(6, 3))
+    path = viterbi_decode(em, class_weights=None)
+    conf = crf_sequence_score(em, path) - crf_log_partition(em)
+    assert conf <= 1e-12
+    for _ in range(50):
+        alt = list(rng.randint(0, 3, size=6))
+        assert crf_sequence_score(em, alt) <= crf_sequence_score(em, path) + 1e-12
