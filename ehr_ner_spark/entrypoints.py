@@ -174,6 +174,26 @@ def kg_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mrc_oracle() -> str:
+    from .operators.mrc_detect import mrc_oracle_sql
+
+    return mrc_oracle_sql(CORPUS_SQL)
+
+
+@_register("kg_mrc_spans", oracle=_mrc_oracle)
+def kg_mrc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: BERT-MRC span extraction (models/bert_mrc.py:13-61 — per-token
+    binary start/end classifiers, nearest-end decode, nested across
+    queries).  The reference's MRC hookup is a dead code path
+    (train/run_ner.py:376-446); this operator supplies the inference
+    surface so the fourth model formulation runs end to end."""
+    from .operators.mrc_detect import detect_mentions_mrc
+
+    return detect_mentions_mrc(corpus(spark, sf_dir), num_partitions=8).select(
+        "doc_id", "type", "start_pos", "end_pos", "text"
+    )
+
+
 def _mentions_crf_oracle() -> str:
     from .operators.crf_sql import mentions_crf_oracle_sql
 
