@@ -124,7 +124,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     from ..pyfiles import ensure_shipped
 
     ensure_shipped(docs.sparkSession)
-    return docs.select(id_col, text_col).mapInPandas(compute, _SIMHASH_SCHEMA)
+    return _fan_out(docs.select(id_col, text_col)).mapInPandas(
+        compute, _SIMHASH_SCHEMA
+    )
 
 
 SIMHASH_SQL = """
@@ -192,8 +194,12 @@ MINHASH_BAND_PERMS = 4  # 4 bands x 4 permutations
 
 def _word_shingles(text_col: str, n: int = 3):
     """Distinct word n-gram shingles as an array column (built-ins only;
-    same shingle definition as ngram_jaccard_pairs / the DuckDB oracles)."""
-    words = F.split(F.col(text_col), " ")
+    same shingle definition as ngram_jaccard_pairs / the DuckDB oracles).
+    NOTE: ``text_col`` should be an already-materialized WORD ARRAY column
+    (see :func:`shingle_rows`) — passing a raw split(...) expression inlines
+    the split into the per-element lambda and re-tokenizes the document
+    once per shingle (O(words^2) per doc)."""
+    words = F.col(text_col)
     sh = F.transform(
         F.sequence(F.lit(0), F.size(words) - n),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
@@ -201,6 +207,31 @@ def _word_shingles(text_col: str, n: int = 3):
     return F.when(F.size(words) >= n, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _fan_out(docs: DataFrame) -> DataFrame:
+    """Guarantee the pre-shuffle map stages have >= core-count parallelism.
+    A sub-row-group parquet file scans as ONE partition, serializing every
+    downstream explode/hash/Arrow stage onto one core; the explicit
+    repartition costs one tiny-input shuffle and is skipped entirely when
+    the scan is already parallel (the warehouse-scale case)."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
+def shingle_rows(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded word-n-gram frame with the word array
+    staged through its own projection so the split is computed ONCE per
+    row — not once per shingle inside the transform lambda (Catalyst
+    inlines unnamed expressions at every use site)."""
+    return _fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    ).select("doc_id", F.explode(_word_shingles("_w", n)).alias("shingle"))
 
 
 def _md5_60(col):
@@ -231,10 +262,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     the shuffle, so the exchange carries n_docs x n_perms longs, not
     n_shingles x n_perms rows.  Output: (doc_id, perm, minhash) — exactly
     SQL-oracle-checkable."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_word_shingles(text_col, n)).alias("shingle"),
-    ).select("doc_id", _md5_60(F.col("shingle")).alias("h"))
+    sh = shingle_rows(docs, text_col, id_col, n).select(
+        "doc_id", _md5_60(F.col("shingle")).alias("h")
+    )
     sig_wide = sh.groupBy("doc_id").agg(
         *[
             F.min(_perm_hash_expr(F.col("h"), p)).alias(f"mh{p}")
@@ -275,10 +305,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4,
     # the exploded shingle frame feeds three consumers (sizes + both sides
     # of the intersection join) — persist it; Catalyst re-executes the
     # explode per consumer otherwise (see ngram_jaccard_pairs)
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_word_shingles(text_col)).alias("shingle"),
-    ).persist()
+    sh = shingle_rows(docs, text_col, id_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh.alias("sa"), F.col("src") == F.col("sa.doc_id"))
@@ -383,10 +410,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     map-side, no extra shuffle on the big side."""
     # row-local array_distinct == distinct (doc_id, shingle) but map-side:
     # no dedup shuffle before the shingle join (and guarded for <n-word docs)
-    sh_all = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_word_shingles(text_col, n)).alias("shingle"),
-    )
+    sh_all = shingle_rows(docs, text_col, id_col, n)
     hot = (
         sh_all.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -41,6 +41,12 @@ def get_spark(
         # keep the scorer resident across tasks (model-load-once semantics)
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # small single-file inputs must still fan out across the executors:
+        # without a minimum split count a sub-128m table scans as ONE
+        # partition and every pre-shuffle stage (explode, hash, Arrow UDF)
+        # runs on one core.  At warehouse scale files outnumber cores and
+        # this floor is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(2 * (int(cpus) if cpus.isdigit() else 32)))
         # deterministic TIMESTAMP_NTZ <-> epoch conversions everywhere
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -83,7 +83,11 @@ def test_minhash_signatures_mapside_combine(spark, sf_dir):
 
     df = minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     plan = _plan(df)
-    assert plan.count("Exchange") == 1
+    # exactly ONE hash exchange (the doc_id aggregation); the only other
+    # permitted exchange is the small-input fan-out round-robin that gives
+    # the explode/hash stage core-count parallelism on tiny test files
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count("Exchange") <= 2
     assert "partial_min" in plan
     assert "Python" not in plan  # built-ins only
 
