@@ -30,6 +30,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from ..hashing import P31, md5_60, md5_60_expr, universal_coeffs
 from .linking import candidate_pairs, connected_components, verified_edges
+from .parallelism import fan_out as _fan_out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -207,19 +208,6 @@ def _word_shingles(text_col: str, n: int = 3):
     return F.when(F.size(words) >= n, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
-
-
-def _fan_out(docs: DataFrame) -> DataFrame:
-    """Guarantee the pre-shuffle map stages have >= core-count parallelism.
-    A sub-row-group parquet file scans as ONE partition, serializing every
-    downstream explode/hash/Arrow stage onto one core; the explicit
-    repartition costs one tiny-input shuffle and is skipped entirely when
-    the scan is already parallel (the warehouse-scale case)."""
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        return docs.repartition(par)
-    return docs
 
 
 def shingle_rows(docs: DataFrame, text_col: str = "text",

@@ -9,14 +9,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import fan_out
+
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 # BPE-ish token regex: alpha runs, single digits, single punct
 BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]"  # explicit RE2 \s set (Java \s adds \x0b)
 
 
-def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def token_stats(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish token counting (pure built-ins)."""
+    docs = fan_out(docs_in)
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+")).alias("n_words"),
@@ -25,10 +28,11 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_scores(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document-quality features + composite score (all built-ins,
     pushdown-friendly): word count, mean word length, stopword ratio, digit
     ratio, punctuation ratio."""
+    docs = fan_out(docs_in)
     words = F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+")
     n_words = F.size(words)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -53,7 +57,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality", F.round(score, 6))
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints: md5 of whitespace-normalized
     lowercase content + a positional 8-gram rolling-window min-hash
     ("winnowing"-style), both built-ins.  Words are hashed once
@@ -65,6 +69,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # |acc*31 + x| < 2^61, so the polynomial combine can never overflow
     # int64 (Spark 4 ANSI mode turns silent wraparound into a hard error)
     _m = 1 << 55
+    docs = fan_out(docs_in)
     staged = docs.select(
         "doc_id",
         F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\r\f]+", " ").alias("norm"),
@@ -107,10 +112,11 @@ LANG_MARKERS: dict[str, tuple[str | None, str | None, int]] = {
 }
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
     """Language-ID heuristic (deterministic stand-in for a fastText-style
     classifier).  Output: (doc_id, lang_pred, conf_ppm) where conf_ppm =
     floor(evidence * 1e6 / n_chars).  Ties break alphabetically."""
+    docs = fan_out(docs_in)
     low = F.lower(F.col(text_col))
     n = F.greatest(F.length(text_col), F.lit(1))
     scores = {}
