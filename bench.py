@@ -213,7 +213,7 @@ def main() -> None:
         # the sandbox VM is a shared host: throughput swings with neighbor
         # load, so sample up to `tries` times and report the best pair
         # (quiet-window sampling) alongside every try
-        tries = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_TRIES", "3"))
+        tries = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_TRIES", "2"))
         best, all_tries = None, []
         for _ in range(tries):
             # each level runs in its own subprocess: one JVM per measurement
