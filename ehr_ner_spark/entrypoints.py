@@ -754,6 +754,62 @@ def ds_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "md5_fp")
 
 
+def _pii_oracle() -> str:
+    from .operators.textops import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _name, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {clean} AS clean_text,
+           {counts}
+    FROM documents
+    """
+
+
+@_register("ds_pii_redact", oracle=_pii_oracle)
+def ds_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / phone shapes / IPv4 -> typed placeholders)
+    with per-class audit counts — pure built-ins, patterns shared
+    Java-regex/RE2 syntax so both engines see identical semantics."""
+    from .operators.textops import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ds_repetition",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+             unnest(CASE WHEN len(w) >= 2
+                    THEN list_transform(range(len(w) - 1),
+                                        i -> w[i + 1] || ' ' || w[i + 2])
+                    ELSE [''] END) AS gram
+      FROM w),
+    pg AS (SELECT doc_id, n_words, n_distinct, gram, COUNT(*) AS c
+           FROM g GROUP BY 1, 2, 3, 4)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_ratio,
+           ROUND(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_word_ratio
+    FROM pg GROUP BY doc_id, n_words, n_distinct
+    """,
+)
+def ds_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filter signals: most-frequent-bigram
+    fraction + distinct-word ratio (boilerplate detector)."""
+    from .operators.textops import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 _ANN_QUERY_IDS = list(range(10))
 
 

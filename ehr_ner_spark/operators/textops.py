@@ -168,3 +168,75 @@ def lang_id_sql(table: str = "documents", text_col: str = "text") -> str:
     SELECT doc_id, CASE {case} END AS lang_pred, best AS conf_ppm
     FROM m
     """
+
+
+# --- PII scrubbing (pure built-ins; patterns shared Java-regex/RE2 syntax:
+# ASCII classes, \b word boundaries — identical semantics in both engines)
+PII_PATTERNS = (
+    # (name, pattern, replacement) — applied IN ORDER on both engines
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrubbing: emails, phone-shaped numbers and IPv4
+    literals replaced by typed placeholders; per-class hit counts emitted
+    for audit.  Counts are taken BEFORE any replacement (placeholders can
+    never feed a later pattern), then the replacements apply in the fixed
+    PII_PATTERNS order — the same sequence the DuckDB oracle runs.
+    Output: (doc_id, clean_text, n_email, n_phone, n_ipv4)."""
+    docs = fan_out(docs_in)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _name, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select("doc_id", clean.alias("clean_text"), *counts)
+
+
+def repetition_stats(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition signals: the fraction of word bigrams
+    taken by the single most frequent bigram, plus distinct-word ratio.
+    Documents dominated by one repeated phrase (boilerplate, scraped
+    navigation) score high top_bigram_ratio / low distinct_word_ratio.
+    Exploded bigrams -> per-(doc, gram) counts (map-side partial agg) ->
+    per-doc max/sum — two key-local shuffles, no skew (keys are doc-local).
+    Output: (doc_id, n_bigrams, top_bigram_ratio, distinct_word_ratio)."""
+    docs = fan_out(docs_in)
+    words = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_w")
+    )
+    grams = words.select(
+        "doc_id",
+        F.size("_w").alias("n_words"),
+        F.size(F.array_distinct("_w")).alias("n_distinct_words"),
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 2),
+                    lambda i: F.concat_ws(" ", F.element_at("_w", i + 1),
+                                          F.element_at("_w", i + 2)),
+                ),
+            ).otherwise(F.array(F.lit("")))
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_words", "n_distinct_words", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_gram.groupBy("doc_id", "n_words", "n_distinct_words")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(F.col("top_c") / F.col("n_bigrams"), 6).alias("top_bigram_ratio"),
+            F.round(
+                F.col("n_distinct_words") / F.col("n_words"), 6
+            ).alias("distinct_word_ratio"),
+        )
+    )

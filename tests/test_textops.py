@@ -64,3 +64,41 @@ def test_fingerprint_winnow_no_ansi_overflow(spark):
     rows = fingerprint(docs).collect()
     assert rows[0].winnow_fp is not None
     assert 0 <= rows[0].winnow_fp < (1 << 55)
+
+
+def test_redact_pii_semantics(spark):
+    from ehr_ner_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b-c_1@ex-ample.co.uk now"),
+            (1, "call 555-123 4567 or 02 2345 6789"),
+            (2, "host 10.0.255.1 and 999.999.999.999"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert rows[0].clean_text == "mail <EMAIL> now" and rows[0].n_email == 1
+    assert "<PHONE>" in rows[1].clean_text and rows[1].n_phone == 1
+    # both dotted quads match the shape pattern (audit, not validation)
+    assert rows[2].clean_text == "host <IP> and <IP>" and rows[2].n_ipv4 == 2
+    assert rows[3].clean_text == "clean text only"
+    assert (rows[3].n_email, rows[3].n_phone, rows[3].n_ipv4) == (0, 0, 0)
+
+
+def test_repetition_stats_semantics(spark):
+    from ehr_ner_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),        # one bigram dominates
+            (1, "all words here are unique now"),   # no repetition
+            (2, "x"),                               # degenerate: <2 words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[0].top_bigram_ratio == 1.0 and rows[0].distinct_word_ratio == 0.2
+    assert rows[1].top_bigram_ratio == 0.2 and rows[1].distinct_word_ratio == 1.0
+    assert rows[2].n_bigrams == 1  # the '' sentinel gram
