@@ -359,18 +359,20 @@ def kg_model_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # each span set feeds 2+ comparisons -> persist (scoring is the
     # expensive stage; the micro aggregations are trivial)
-    qasl = spans(detect_mentions(c, num_partitions=8, max_seq_length=128)).persist()
+    from .cache import tracked_persist
+
+    qasl = tracked_persist(spans(detect_mentions(c, num_partitions=8, max_seq_length=128)))
     models = [
         ("bert_sl",
-         spans(detect_mentions_sl(c, num_partitions=8, max_seq_length=128)).persist()),
+         tracked_persist(spans(detect_mentions_sl(c, num_partitions=8, max_seq_length=128)))),
         ("bertbilstmcrf_sl",
-         spans(detect_mentions_sl_crf(c, num_partitions=8, max_seq_length=128)).persist()),
+         tracked_persist(spans(detect_mentions_sl_crf(c, num_partitions=8, max_seq_length=128)))),
         ("bert_qasl", qasl),
         ("bertbilstmcrf_qasl",
-         spans(detect_mentions_crf(c, num_partitions=8, max_seq_length=128)).persist()),
+         tracked_persist(spans(detect_mentions_crf(c, num_partitions=8, max_seq_length=128)))),
     ]
     answer_sets = [
-        ("flat", flat_projection(qasl, PRIORITY).persist()),
+        ("flat", tracked_persist(flat_projection(qasl, PRIORITY))),
         ("nested", qasl),
     ]
     out = None

@@ -179,10 +179,14 @@ def predict_battery_crf(
             q_sub.extend(wp_split(t))
         max_qlen = max(max_qlen, len(q_sub))
         by_len.setdefault(len(q_sub), []).append(q_tag)
-        pref = _prefix_cache.get(q_tag)
+        # memo key includes the question text: the cached prefix depends on
+        # the sub-token sequence, not just the tag (two batteries can map the
+        # same tag to different question phrasings)
+        memo_key = (q_tag, tuple(q_sub))
+        pref = _prefix_cache.get(memo_key)
         if pref is None:
             em_q = scorer.logits(q_tag, [CLS] + q_sub + [SEP]) * CLASS_WEIGHTS
-            pref = _prefix_cache[q_tag] = crf_forward_prefix(em_q)
+            pref = _prefix_cache[memo_key] = crf_forward_prefix(em_q)
         prefixes[q_tag] = pref
     if len(p_sub) <= max_seq_length - max_qlen - 3:
         by_len = {max_qlen: [t for t, _q in battery]}

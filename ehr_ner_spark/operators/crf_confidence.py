@@ -94,7 +94,12 @@ def crf_confidence(
                     rows["doc_id"].append(int(doc_id))
                     rows["type"].append(tag)
                     rows["n_pieces"].append(len(pieces))
-                    rows["confidence"].append(round(conf, 6))
+                    # identical FLOOR(x*1e6 + 0.5)/1e6 expression as the
+                    # DuckDB twin — Python round() is half-to-even and SQL
+                    # ROUND is half-away, which disagree at exact boundaries
+                    rows["confidence"].append(
+                        float(np.floor(conf * 1e6 + 0.5) / 1e6)
+                    )
             yield pd.DataFrame(rows)
 
     inp = corpus_df.select("doc_id", "content")

@@ -138,7 +138,7 @@ def crf_confidence_oracle_sql(corpus_sql: str, max_seq_length: int = 128) -> str
       CROSS JOIN LATERAL (
         SELECT GREATEST(z.zb + ({eB}), z.zi + ({eI}), z.zo + ({eO})) AS m) mm)
     SELECT n.doc_id, n.tag AS type, n.n_pieces::INTEGER AS n_pieces,
-           ROUND(d.s_start + d.s_end + es.s_em + COALESCE(tr.s_tr, 0.0) - lz.log_z, 6) AS confidence
+           FLOOR((d.s_start + d.s_end + es.s_em + COALESCE(tr.s_tr, 0.0) - lz.log_z) * 1000000 + 0.5) / 1000000 AS confidence
     FROM nmax n
     JOIN ends d   ON d.doc_id = n.doc_id AND d.tag = n.tag
     JOIN emsum es ON es.doc_id = n.doc_id AND es.tag = n.tag

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from ..cache import tracked_persist
 from ..hashing import P31, md5_60, md5_60_expr, universal_coeffs
 from .linking import candidate_pairs, connected_components, verified_edges
 from .parallelism import fan_out as _fan_out
@@ -58,9 +59,9 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
     # (verify output + the CC strategy probe's eager count) — persist the
     # small per-surface frames, like canonicalize() does, so the signature
     # stage runs ONCE instead of once per consumer
-    sigs = surface_signatures(pseudo_mentions).persist()
+    sigs = tracked_persist(surface_signatures(pseudo_mentions))
     pairs = candidate_pairs(sigs)
-    edges = verified_edges(sigs, pairs, threshold).persist()
+    edges = tracked_persist(verified_edges(sigs, pairs, threshold))
     comps = connected_components(sigs.select("surface_id"), edges)
     return (
         pseudo_mentions.withColumn("surface_id", md5_60_expr(F.col("text")))
@@ -293,7 +294,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4,
     # the exploded shingle frame feeds three consumers (sizes + both sides
     # of the intersection join) — persist it; Catalyst re-executes the
     # explode per consumer otherwise (see ngram_jaccard_pairs)
-    sh = shingle_rows(docs, text_col, id_col).persist()
+    sh = tracked_persist(shingle_rows(docs, text_col, id_col))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh.alias("sa"), F.col("src") == F.col("sa.doc_id"))
@@ -410,7 +411,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     # (Catalyst does not reuse the exchange across the self-join aliases).
     # At petabyte scale the equivalent is materializing the shingle table
     # once (bucketed by shingle) before the join.
-    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    sh = tracked_persist(sh_all.join(F.broadcast(hot), "shingle", "left_anti"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

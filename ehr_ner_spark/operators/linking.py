@@ -361,9 +361,11 @@ def canonicalize(mentions: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
     # sigs feeds four consumers (pairs, verify, components, labeling) and
     # edges feeds two — persist the small per-surface frames or the
     # mention-stream groupBy re-executes once per consumer
-    sigs = surface_signatures(mentions).persist()
+    from ..cache import tracked_persist
+
+    sigs = tracked_persist(surface_signatures(mentions))
     pairs = candidate_pairs(sigs)
-    edges = verified_edges(sigs, pairs, jaccard_threshold).persist()
+    edges = tracked_persist(verified_edges(sigs, pairs, jaccard_threshold))
     comps = connected_components(sigs.select("surface_id"), edges)
 
     labeled = sigs.select("surface_id", "text", "n_mentions").join(

@@ -63,7 +63,9 @@ def range_join_count(
     return (
         j.groupBy(*[p[c] for c in probe.columns])
         .agg(
-            F.count("_rval").alias("n_in_window"),
+            # count the timestamp, not the value: "rows in window" must not
+            # depend on agg_col nullability (the oracle counts p.ts too)
+            F.count("_rts").alias("n_in_window"),
             F.round(F.coalesce(F.sum("_rval"), F.lit(0.0)), 2).alias("sum_in_window"),
         )
     )

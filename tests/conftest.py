@@ -27,3 +27,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """The test session is long-lived (unlike bench's one-query
+    subprocesses): reclaim any operator-persisted intermediates so cached
+    frames don't accumulate in executor storage across the suite."""
+    yield
+    from ehr_ner_spark.cache import release_all
+
+    release_all()
