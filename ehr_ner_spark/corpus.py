@@ -28,7 +28,13 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (repo, path, commit, lang, content) corpus + lineage cols."""
-    docs = load_documents(spark, sf_dir)
+    return corpus_from_docs(load_documents(spark, sf_dir))
+
+
+def corpus_from_docs(docs: DataFrame) -> DataFrame:
+    """The corpus derivation over an arbitrary documents frame — the same
+    expressions as CORPUS_SQL, so a streamed micro-batch of documents rows
+    yields byte-identical corpus rows to the batch scan."""
     return docs.select(
         F.col("doc_id"),
         F.concat(F.lit("repo_"), (F.col("doc_id") % N_REPOS).cast("string")).alias("repo"),

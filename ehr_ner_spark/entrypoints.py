@@ -115,6 +115,18 @@ def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("kg_mentions_stream", oracle=_mentions_oracle)
+def kg_mentions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver evidence: the kg_mentions DAG run INCREMENTALLY under
+    Structured Streaming (file source, maxFilesPerTrigger=1, availableNow,
+    foreachBatch) over a deterministic 4-micro-batch schedule, accumulated
+    sink hash-checked against the SAME mentions oracle as the batch plan —
+    a green row proves stream==batch through the driver, not just pytest."""
+    from .streaming.jobs import incremental_mentions
+
+    return incremental_mentions(spark, sf_dir)
+
+
 def _augment_oracle() -> str:
     from .operators.mention_sql import augment_oracle_sql
 
@@ -426,6 +438,50 @@ def _triples_oracle() -> str:
 @_register("kg_triples", oracle=_triples_oracle)
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(spark, sf_dir).select("subj", "pred", "obj")
+
+
+@_register("kg_triples_resumed", oracle=_canonical_triples_oracle)
+def kg_triples_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 resume evidence through the driver (not just pytest): run the
+    checkpointed pipeline (pipeline.run_pipeline over io/icetable.py),
+    simulate a crash after 3 of 8 committed mention buckets, then resume.
+    The resumed run recomputes ONLY the missing buckets (anti-join on the
+    CURRENT manifest) and the emitted canonical-triples frame is
+    hash-checked against the SAME oracle as kg_canonical_triples — a green
+    row is a driver-verified kill/resume byte-equality proof (reference
+    analog: the FileLock feature cache, utils/feaproducer.py:57-99).
+
+    The frame is localCheckpoint-materialized so the temp table root can be
+    removed before the driver collects (evidence surface; production runs
+    point table_root at durable storage and skip the copy)."""
+    import shutil
+    import tempfile
+
+    from .pipeline import run_pipeline
+
+    root = tempfile.mkdtemp(prefix="kg_triples_resumed_")
+    try:
+        try:
+            run_pipeline(
+                spark, sf_dir, root, n_buckets=8, num_partitions=8,
+                fail_after={"mentions": 3},
+            )
+            raise AssertionError("simulated crash did not fire")
+        except RuntimeError:
+            pass  # mid-stage death: 3 of 8 mention buckets committed
+        from .io.icetable import IceTable
+
+        committed = IceTable(root).committed_buckets("mentions")
+        if len(committed) != 3:
+            raise AssertionError(
+                f"expected 3 committed buckets after crash, saw {len(committed)}"
+            )
+        trip = run_pipeline(spark, sf_dir, root, n_buckets=8, num_partitions=8)
+        return trip.select("subj", "pred", "obj", "surface").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

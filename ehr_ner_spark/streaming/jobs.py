@@ -55,3 +55,76 @@ def streaming_mentions(
         .option("checkpointLocation", source_dir + "/_checkpoint")
         .start()
     )
+
+
+def incremental_mentions(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4, timeout_sec: int = 600
+) -> DataFrame:
+    """Driver-checkable incremental mention detection (§2.9 evidence).
+
+    Deterministic micro-batch schedule: the documents table is split into
+    ``n_chunks`` single-file chunks by ``doc_id % n_chunks``; the file
+    source reads them with ``maxFilesPerTrigger=1`` under an availableNow
+    trigger, so the run is exactly ``n_chunks`` micro-batches regardless of
+    host timing.  Each micro-batch runs the SAME corpus derivation +
+    detect_mentions DAG as the batch ``kg_mentions`` plan (foreachBatch) and
+    appends to a parquet sink; the accumulated union is returned — per-doc
+    independence of the detector makes it equal to the batch result, so the
+    driver hash-checks it against the identical mentions oracle.
+
+    The returned frame is localCheckpoint-materialized so the temp dirs can
+    be removed before the caller collects (evidence-surface only — the
+    production streaming path writes to a durable sink instead).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..corpus import corpus_from_docs
+
+    work = tempfile.mkdtemp(prefix="kg_mentions_stream_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for i in range(n_chunks):
+            chunk_dir = os.path.join(work, f"chunk{i}")
+            docs.where(F.col("doc_id") % n_chunks == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(chunk_dir)
+            (part,) = glob.glob(os.path.join(chunk_dir, "part-*.parquet"))
+            os.replace(part, os.path.join(src, f"chunk-{i:03d}.parquet"))
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            from ..operators.mention_detect import detect_mentions
+
+            detect_mentions(corpus_from_docs(batch_df), num_partitions=4).select(
+                "doc_id", "type", "start_pos", "end_pos", "text"
+            ).write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError("incremental_mentions stream did not drain")
+        n_batches = len(q.recentProgress)
+        if n_batches < 2:
+            raise RuntimeError(
+                f"expected >=2 micro-batches, saw {n_batches} — the schedule "
+                "must be incremental for the evidence to mean anything"
+            )
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
