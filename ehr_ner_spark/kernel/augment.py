@@ -38,12 +38,14 @@ def predict_query_rows(
     query_tokens: Sequence[str],
     passage_tokens: Sequence[str],
     max_seq_length: int = 512,
+    top_k: int = 2,
 ) -> List[Top2Row]:
-    """predict_for_one_query with top_k=2: merged + stripped
-    (token, label1, prob1, label2, prob2) rows
-    (bert_qasl_predictor.py:50-106)."""
+    """predict_for_one_query with top_k=k: merged + stripped
+    (token, label1, prob1, ..., labelk, probk) rows
+    (bert_qasl_predictor.py:50-106).  k=2 is the augmentation path
+    (dataAugmentator.py:100-111); k=3 is the demo path (demo/app.py)."""
     seq = assemble(query_tokens, passage_tokens, max_seq_length)
-    idx, prob = scorer.predict_topk(q_tag, seq, top_k=2)
+    idx, prob = scorer.predict_topk(q_tag, seq, top_k=top_k)
 
     results: List[Top2Row] = []
     for i, t in enumerate(seq):
@@ -52,7 +54,7 @@ def predict_query_rows(
             results[-1] = (head[0] + t[2:],) + head[1:]
             continue
         r: Tuple = (t,)
-        for k in range(2):
+        for k in range(top_k):
             lp = ID2LABEL[int(idx[i, k])]
             lab = f"{lp}-{q_tag}" if lp != "O" else lp
             r += (lab, float(prob[i, k]))

@@ -197,3 +197,146 @@ class DeterministicQAScorer:
             lp = ID2LABEL[i]
             out.append(f"{lp}-{query_tag}" if lp != "O" else lp)
         return out
+
+
+# ---------------------------------------------------------------------------
+# The Scorer contract (the "real HF checkpoint drops in unchanged" claim,
+# SURVEY §7.2, made checkable)
+# ---------------------------------------------------------------------------
+
+class ScorerBase:
+    """Derived-method base for alternate Scorer implementations: subclasses
+    implement only :meth:`logits`; every other contract method is derived
+    from it in the contract-mandated way.  (``DeterministicQAScorer`` keeps
+    its hand-vectorized overrides for the hot path — the contract checker
+    verifies those agree with the derived definitions.)"""
+
+    def logits(self, query_tag: str, tokens: Sequence[str]) -> np.ndarray:
+        raise NotImplementedError
+
+    def logits_battery(
+        self, query_tags: Sequence[str], tokens: Sequence[str]
+    ) -> np.ndarray:
+        if len(query_tags) == 0 or len(tokens) == 0:
+            return np.zeros((len(query_tags), len(tokens), 3), dtype=np.float64)
+        return np.stack([self.logits(t, tokens) for t in query_tags])
+
+    def top1_tags_battery(
+        self, query_tags: Sequence[str], tokens: Sequence[str]
+    ) -> np.ndarray:
+        if len(query_tags) == 0 or len(tokens) == 0:
+            return np.empty((len(query_tags), len(tokens)), dtype="U1")
+        ids = self.logits_battery(query_tags, tokens).argmax(axis=2)
+        return np.array(["B", "I", "O"], dtype="U1")[ids]
+
+    def predict_topk(
+        self, query_tag: str, tokens: Sequence[str], top_k: int = 1
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        probs = softmax(self.logits(query_tag, tokens))
+        order = np.argsort(-probs, axis=1, kind="stable")[:, :top_k]
+        return order, np.take_along_axis(probs, order, axis=1)
+
+    def predict_labels(self, query_tag: str, tokens: Sequence[str]) -> List[str]:
+        idx, _ = self.predict_topk(query_tag, tokens, top_k=1)
+        out = []
+        for i in idx[:, 0].tolist():
+            lp = ID2LABEL[i]
+            out.append(f"{lp}-{query_tag}" if lp != "O" else lp)
+        return out
+
+
+class BigramGateScorer(ScorerBase):
+    """Second deterministic Scorer implementation (different emission
+    family: bigram-conditioned gates instead of unigram+prev-boost).  Exists
+    to exercise the plug point — anything passing
+    :func:`verify_scorer_contract` drops into ``detect_mentions`` unchanged."""
+
+    def logits(self, query_tag: str, tokens: Sequence[str]) -> np.ndarray:
+        n = len(tokens)
+        if n == 0:
+            return np.zeros((0, 3), dtype=np.float64)
+        out = np.empty((n, 3), dtype=np.float64)
+        prev = ""
+        for i, t in enumerate(tokens):
+            u_b = (md5_60(query_tag + "#b#" + t) % 1009) / 1009.0
+            u_i = (md5_60(query_tag + "#i#" + prev + "#" + t) % 1013) / 1013.0
+            out[i, 0] = 12.0 * u_b - 9.0   # beats O (1.8) when u_b > 0.9
+            out[i, 1] = 12.0 * u_i - 8.8   # beats O when u_i > ~0.883
+            out[i, 2] = 1.8
+            prev = t
+        return out
+
+
+def verify_scorer_contract(scorer, query_tags: Sequence[str],
+                           tokens: Sequence[str],
+                           fresh_factory=None) -> None:
+    """Assert the Scorer interface the Spark operators rely on.  A
+    torch-backed implementation must pass this unchanged (CPU-deterministic
+    mode) before being dropped into the pipeline.
+
+    Contract (n = len(tokens), Q = len(query_tags)):
+
+      1. ``logits(tag, tokens)`` -> float64 array of shape (n, 3), finite;
+         shape (0, 3) for empty input.
+      2. ``logits_battery(tags, tokens)`` -> (Q, n, 3), value-equal to
+         stacking per-tag ``logits`` (the battery fast path collapses Q
+         scoring calls into one; it must not change values).
+      3. ``top1_tags_battery`` -> (Q, n) of 'B'/'I'/'O' == argmax of the
+         battery logits with first-occurrence (lowest label id) tie-break.
+      4. ``predict_topk(tag, tokens, k)`` -> (indices, probs), both (n, k);
+         probs descending per row, equal to softmax(logits) gathered at
+         indices; k=3 covers the full label space (rows sum to ~1).
+      5. Determinism: a freshly constructed instance reproduces the same
+         logits bit-for-bit (no hidden RNG/state).
+      6. Context locality: logits at position i depend only on tokens
+         i-1 and i — scoring a suffix that keeps the same predecessor
+         yields identical logits.  predict_battery/predict_battery_crf
+         score ``[SEP] + passage`` instead of the full assembly under
+         exactly this assumption.
+    """
+    tags = list(query_tags)
+    n, q = len(tokens), len(tags)
+    assert n >= 4 and q >= 2, "need a non-trivial probe input"
+
+    # 1: shapes/dtype/finiteness
+    lg = scorer.logits(tags[0], tokens)
+    assert lg.shape == (n, 3) and lg.dtype == np.float64, lg.shape
+    assert np.isfinite(lg).all()
+    assert scorer.logits(tags[0], []).shape == (0, 3)
+
+    # 2: battery == stacked per-tag
+    bat = scorer.logits_battery(tags, tokens)
+    assert bat.shape == (q, n, 3)
+    stacked = np.stack([scorer.logits(t, tokens) for t in tags])
+    assert np.array_equal(bat, stacked), "battery logits != per-tag logits"
+
+    # 3: top1 == argmax with first-occurrence tie-break
+    top1 = scorer.top1_tags_battery(tags, tokens)
+    assert top1.shape == (q, n)
+    expect = np.array(["B", "I", "O"], dtype="U1")[bat.argmax(axis=2)]
+    assert np.array_equal(top1, expect)
+    assert set(np.unique(top1)) <= {"B", "I", "O"}
+
+    # 4: softmax + stable top-k
+    idx, probs = scorer.predict_topk(tags[0], tokens, top_k=3)
+    assert idx.shape == (n, 3) and probs.shape == (n, 3)
+    assert (np.diff(probs, axis=1) <= 1e-12).all(), "probs not descending"
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-9)
+    full = softmax(scorer.logits(tags[0], tokens))
+    np.testing.assert_array_equal(
+        np.take_along_axis(full, idx, axis=1), probs
+    )
+
+    # 5: determinism across fresh instances
+    fresh = (fresh_factory or type(scorer))()
+    assert np.array_equal(fresh.logits(tags[0], tokens), lg)
+    assert np.array_equal(fresh.logits_battery(tags, tokens), bat)
+
+    # 6: context locality (the fast-path precondition)
+    mid = n // 2
+    suffix = list(tokens[mid - 1:])  # keeps position mid's predecessor
+    lg_suffix = scorer.logits(tags[0], suffix)
+    assert np.array_equal(lg_suffix[1:], lg[mid:]), (
+        "logits are not (prev, cur)-local; the battery fast path "
+        "(predict_battery scoring [SEP]+passage) would change values"
+    )

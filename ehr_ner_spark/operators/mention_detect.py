@@ -69,8 +69,14 @@ def detect_mentions(
     queries: Optional[Dict[str, str]] = None,
     num_partitions: Optional[int] = None,
     max_seq_length: int = 512,
+    scorer_factory=DeterministicQAScorer,
 ) -> DataFrame:
-    """corpus (doc_id, repo, content, content_sha, ...) -> mentions."""
+    """corpus (doc_id, repo, content, content_sha, ...) -> mentions.
+
+    ``scorer_factory``: zero-arg picklable callable constructed ONCE per
+    Python worker — the model plug point.  Any implementation passing
+    ``kernel.scorer.verify_scorer_contract`` (e.g. a torch-backed HF
+    checkpoint loader) drops in without touching the Spark plan."""
     queries = dict(queries or QUERIES)
     spark = corpus_df.sparkSession
     from ..pyfiles import ensure_shipped
@@ -79,7 +85,7 @@ def detect_mentions(
     bc_queries = spark.sparkContext.broadcast(queries)
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        scorer = DeterministicQAScorer()  # once per worker/partition
+        scorer = scorer_factory()  # once per worker/partition
         battery = [(tag, tokenize_text(q)) for tag, q in bc_queries.value.items()]
         for pdf in batches:
             rows: dict = {k: [] for k in

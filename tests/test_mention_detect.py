@@ -79,3 +79,45 @@ def test_nested_overlay_has_overlaps(mention_rows):
     for r in mention_rows:
         by_pos.setdefault((r.doc_id, r.start_pos, r.end_pos), set()).add(r.type)
     assert any(len(v) > 1 for v in by_pos.values())
+
+
+@pytest.mark.parametrize("top_k", [1, 2, 3])
+def test_predict_query_rows_topk(top_k):
+    """The demo path (demo/app.py uses top_k=3): merged+stripped per-token
+    rows carry k (label, prob) pairs; k=1/2/3 agree on their common prefix
+    and the k=1 labels decode to exactly the predict_one_query spans."""
+    import numpy as np
+
+    from ehr_ner_spark.kernel.augment import predict_query_rows
+    from ehr_ner_spark.kernel.iob2 import decode_bio
+    from ehr_ner_spark.kernel.predict import predict_one_query
+    from ehr_ner_spark.kernel.wordpiece import tokenize_text
+
+    scorer = DeterministicQAScorer()
+    tag, query = next(iter(QUERIES.items()))
+    passage = (
+        "patient took aspirin 100 mg twice daily since 2019-03-04 then "
+        "switched to metformin 500 mg after hospitalization"
+    )
+    p_toks = tokenize_text(passage)
+    q_toks = tokenize_text(query)
+
+    rows = predict_query_rows(scorer, tag, q_toks, p_toks, top_k=top_k)
+    # one merged row per passage token, 1 + 2k fields each
+    assert len(rows) == len(p_toks)
+    assert all(len(r) == 1 + 2 * top_k for r in rows)
+    assert [r[0] for r in rows] == p_toks
+    for r in rows:
+        probs = [r[2 + 2 * k] for k in range(top_k)]
+        labels = [r[1 + 2 * k] for k in range(top_k)]
+        assert probs == sorted(probs, reverse=True)
+        assert len(set(labels)) == top_k  # distinct label ids per rank
+        if top_k == 3:
+            assert np.isclose(sum(probs), 1.0)  # full label space
+    # prefix property: rank columns are identical across k
+    if top_k > 1:
+        rows1 = predict_query_rows(scorer, tag, q_toks, p_toks, top_k=1)
+        assert [(r[0], r[1], r[2]) for r in rows] == [tuple(r) for r in rows1]
+    # decode parity: top-1 labels -> same spans as the span pipeline
+    spans = decode_bio([r[0] for r in rows], [r[1] for r in rows], pid=7)
+    assert spans == predict_one_query(scorer, tag, q_toks, p_toks, pid=7)

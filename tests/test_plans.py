@@ -176,3 +176,29 @@ def test_minhash_pairs_reuses_persisted_shingles(spark, sf_dir):
 
     df = minhash_lsh_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     assert "InMemoryTableScan" in _plan(df)
+
+
+def test_mrc_detect_single_repartition(spark, sf_dir):
+    """mrc_detect mirrors the flagship plan shape: one explicit doc-hash
+    exchange, one Arrow-batched Python stage, no row-wise Python UDFs."""
+    from ehr_ner_spark.operators.mrc_detect import detect_mentions_mrc
+
+    df = detect_mentions_mrc(corpus(spark, sf_dir), num_partitions=8)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(doc_id" in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sl_crf_detect_single_repartition(spark, sf_dir):
+    """The SL-CRF decode path keeps the same plan as detect_mentions_sl:
+    one doc-hash exchange, one Arrow stage (only the decode kernel differs)."""
+    from ehr_ner_spark.operators.sl_detect import detect_mentions_sl_crf
+
+    df = detect_mentions_sl_crf(corpus(spark, sf_dir), num_partitions=8)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(doc_id" in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert "BatchEvalPython" not in plan
