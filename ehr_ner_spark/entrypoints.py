@@ -1078,6 +1078,72 @@ def ds_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
+# Per-language sampling rates (ppm) for the stratified-sample evidence
+# query: up-weight the head language, down-weight the rest — the standard
+# pre-training data-mixture reweighting shape.
+SAMPLE_RATES_PPM = {"en": 600000, "zh": 500000, "de": 400000,
+                    "es": 300000, "fr": 250000}
+
+
+def _stratified_sample_oracle() -> str:
+    from .operators.sampling import stratified_sample_sql
+
+    return stratified_sample_sql(SAMPLE_RATES_PPM, default_ppm=100000)
+
+
+@_register("ds_stratified_sample", oracle=_stratified_sample_oracle)
+def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling (per-language data
+    mixture): kept iff md5_60('sample:'||doc_id) % 1e6 < rate_ppm(lang).
+    No RNG state -> reproducible across runs/resumes/cluster sizes; pure
+    map-side projection, zero shuffles."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), SAMPLE_RATES_PPM, default_ppm=100000
+    )
+
+
+def _pack_sequences_oracle() -> str:
+    from .operators.sampling import pack_sequences_sql
+
+    return pack_sequences_sql(chunk=2048)
+
+
+@_register("ds_pack_sequences", oracle=_pack_sequences_oracle)
+def ds_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk packing layout: per-doc global token
+    offset (distributed two-level prefix sum — the only global window runs
+    over the tiny per-bucket totals, never the corpus) + the 2048-token
+    training sequences the doc spans.  Oracle = the single-window
+    ORDER BY prefix sum the distributed plan must equal."""
+    from .operators.sampling import pack_sequences
+
+    p = pack_sequences(_t(spark, sf_dir, "documents"), chunk=2048)
+    return p.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "start_tok", "seq_first", "seq_last",
+    )
+
+
+def _decontaminate_oracle() -> str:
+    from .operators.dedup import decontaminate_sql
+
+    return decontaminate_sql(n=3, min_hits=2)
+
+
+@_register("ds_decontaminate", oracle=_decontaminate_oracle)
+def ds_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 2 distinct word
+    3-gram shingles with the held-out benchmark slice (doc_id % 97 == 0).
+    Benchmark shingle vocab is broadcast (eval sets are fixed-size), so the
+    corpus side never shuffles on shingle."""
+    from .operators.dedup import decontaminate
+
+    return decontaminate(_t(spark, sf_dir, "documents"), n=3, min_hits=2)
+
+
 @_register(
     "mm_features",
     # DuckDB twin: md5-byte-stream pixels; every feature is an exact

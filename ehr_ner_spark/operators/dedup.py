@@ -375,6 +375,57 @@ def minhash_pairs_sql(threshold: float = 0.4) -> str:
 """
 
 
+DECON_MOD = 97  # benchmark membership: doc_id % 97 == 0 (deterministic)
+
+
+def decontaminate(docs: DataFrame, n: int = 3, min_hits: int = 2,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination — the standard pre-training hygiene pass:
+    flag training documents sharing >= ``min_hits`` distinct word n-gram
+    shingles with ANY held-out benchmark document.  (Production runs use
+    13-grams against real eval sets; the synthetic benchmark here is the
+    deterministic membership ``doc_id % DECON_MOD == 0`` so the DuckDB twin
+    is exact and the test data needs no side files.)
+
+    Scale shape: the benchmark shingle vocabulary is tiny relative to the
+    corpus (eval sets are fixed-size while training data grows), so the
+    match is a BROADCAST semi-join onto the exploded training shingles —
+    the corpus-sized side never shuffles on shingle; the only big-side
+    shuffle is the per-doc hit count (map-side combinable).
+    Output: (doc_id, n_hits) for contaminated training docs."""
+    sh = shingle_rows(docs, text_col, id_col, n)
+    bench_sh = (
+        sh.where(F.col("doc_id") % DECON_MOD == 0).select("shingle").distinct()
+    )
+    train_sh = sh.where(F.col("doc_id") % DECON_MOD != 0)
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+
+
+def decontaminate_sql(n: int = 3, min_hits: int = 2) -> str:
+    """DuckDB twin of :func:`decontaminate` (same shingle space as the
+    minhash/ngram oracles)."""
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(len(w) - {n - 1}),
+                      i -> array_to_string(w[i + 1 : i + {n}], ' '))) AS shingle
+        FROM w)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0)
+    SELECT s.doc_id, COUNT(*) AS n_hits
+    FROM sh s JOIN bench b USING (shingle)
+    WHERE s.doc_id % {DECON_MOD} <> 0
+    GROUP BY s.doc_id
+    HAVING COUNT(*) >= {min_hits}
+    """
+
+
 NGRAM_DF_CAP = 64  # shingles in more docs than this are dropped (skew guard)
 
 

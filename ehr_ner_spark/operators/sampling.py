@@ -1,0 +1,178 @@
+"""Deterministic sampling + sequence packing for training-data pipelines.
+
+* :func:`stratified_sample` — per-stratum hash-threshold sampling.  A doc is
+  kept iff ``md5_60('sample:' || doc_id) % 1e6 < rate_ppm(stratum)``: no RNG
+  state, so the sample is reproducible across runs, resumes, cluster sizes
+  and engines (the DuckDB twin evaluates the identical expression).  Pure
+  map-side projection — zero shuffles at any scale.
+
+* :func:`pack_sequences` — the GPT-style packed-pretraining layout:
+  documents are concatenated in doc_id order and chunked every ``chunk``
+  tokens; each document's global token offset is a prefix sum of token
+  counts.  Spark-first prefix sum: instead of a global ORDER BY window (a
+  single-partition bottleneck at 100 TB), doc_ids are range-bucketed, the
+  per-bucket totals (a tiny frame: one row per bucket) take the only global
+  window, and the per-doc cumulative sum runs bucket-locally — two small
+  shuffles, both on bounded keys.  The DuckDB twin is the plain
+  ``SUM() OVER (ORDER BY doc_id)`` the distributed plan must equal.
+
+Reference analog: none (the reference trains on a fixed dataset) — these
+are engine-supplied pipeline components like the dedup/ANN family.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..hashing import md5_60_expr
+from .parallelism import fan_out
+
+SAMPLE_MOD = 1_000_000
+
+
+def sample_key(id_col, salt: str = "sample"):
+    """The shared engine/oracle sampling key: md5_60('<salt>:' || id) % 1e6."""
+    return F.pmod(
+        md5_60_expr(F.concat(F.lit(salt + ":"), id_col.cast("string"))),
+        F.lit(SAMPLE_MOD),
+    )
+
+
+def stratified_sample(
+    docs_in: DataFrame,
+    rates_ppm: Dict[str, int],
+    default_ppm: int = 0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row iff its deterministic sample key falls under its
+    stratum's rate (parts-per-million).  Output: (doc_id, stratum,
+    sample_key) for the kept rows."""
+    key = sample_key(F.col(id_col), salt)
+    rate = F.lit(default_ppm)
+    for stratum in sorted(rates_ppm):  # deterministic build order
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(rates_ppm[stratum])).otherwise(rate)
+    return (
+        fan_out(docs_in)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            key.alias("sample_key"),
+            rate.alias("_rate"),
+        )
+        .where(F.col("sample_key") < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def stratified_sample_sql(
+    rates_ppm: Dict[str, int],
+    default_ppm: int = 0,
+    table: str = "documents",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (identical expressions)."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {rates_ppm[s]}" for s in sorted(rates_ppm)
+    )
+    key = (
+        f"('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SAMPLE_MOD}"
+    )
+    return f"""
+    SELECT {id_col} AS doc_id, {stratum_col} AS stratum, {key} AS sample_key
+    FROM {table}
+    WHERE {key} < CASE {stratum_col} {whens} ELSE {default_ppm} END
+    """
+
+
+from .textops import BPE_RE  # noqa: E402  (shared token definition)
+
+
+def pack_sequences(
+    docs_in: DataFrame,
+    chunk: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 1024,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Concat-then-chunk packing layout.  Output per document:
+    (doc_id, n_tokens, start_tok, seq_first, seq_last) where start_tok is
+    the document's offset in the concatenated token stream (doc_id order)
+    and seq_first/seq_last are the first/last ``chunk``-token training
+    sequences the document lands in (empty docs span none: seq_last <
+    seq_first).
+
+    Distributed prefix sum: bucket = doc_id // bucket_width; the global
+    window runs only over the per-bucket totals (n_docs / bucket_width
+    rows), broadcast-joined back; the per-doc cumsum is bucket-local."""
+    toks = fan_out(docs_in).select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_RE)).alias("n_tokens"),
+        (F.col(id_col) / bucket_width).cast("long").alias("_bkt"),
+    )
+    bucket_totals = toks.groupBy("_bkt").agg(F.sum("n_tokens").alias("_btot"))
+    # ONE global window, over the tiny bucket frame only
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "_bkt", F.coalesce(F.sum("_btot").over(wb), F.lit(0)).alias("_boff")
+    )
+    wd = (
+        Window.partitionBy("_bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        toks.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("_boff") + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0))
+            ).alias("start_tok"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_tok",
+            (F.col("start_tok") / chunk).cast("long").alias("seq_first"),
+            (
+                (F.col("start_tok") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / chunk
+            ).cast("long").alias("seq_last"),
+        )
+    )
+    return packed
+
+
+def pack_sequences_sql(
+    chunk: int = 2048,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: the plain global-window prefix sum the distributed
+    bucket decomposition must equal."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id,
+             len(regexp_extract_all({text_col}, '{BPE_RE}')) AS n_tokens
+      FROM {table}),
+    pre AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM toks)
+    SELECT doc_id, n_tokens, start_tok,
+           start_tok // {chunk} AS seq_first,
+           (start_tok + GREATEST(n_tokens, 1) - 1) // {chunk} AS seq_last
+    FROM pre
+    """

@@ -1,0 +1,101 @@
+"""Stratified sampling + sequence packing + decontamination semantics and
+plan-shape tests (oracle parity runs in test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ehr_ner_spark.operators.dedup import decontaminate
+from ehr_ner_spark.operators.sampling import pack_sequences, stratified_sample
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_sample_rate_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 500000, "de": 200000}
+    s1 = stratified_sample(docs, rates, default_ppm=0)
+    rows = s1.collect()
+    # only the configured strata survive with default 0
+    assert {r.stratum for r in rows} <= {"en", "de"}
+    # empirical rate within a loose binomial band (small n)
+    n_en = docs.where(F.col("lang") == "en").count()
+    k_en = sum(1 for r in rows if r.stratum == "en")
+    assert 0.30 <= k_en / n_en <= 0.70
+    # determinism: bit-identical sample on re-run
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in rows
+    )
+    # the kept set is a SUBSET under a lower rate (nested samples — the
+    # property hash-threshold sampling has and rand()-sampling lacks)
+    s_lo = stratified_sample(docs, {"en": 200000}, default_ppm=0)
+    lo_ids = {r.doc_id for r in s_lo.collect()}
+    hi_ids = {r.doc_id for r in rows if r.stratum == "en"}
+    assert lo_ids <= hi_ids
+
+
+def test_stratified_sample_is_map_only(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(stratified_sample(docs, {"en": 500000}))
+    # no hash/range shuffle, no Python: a pure projection + filter
+    assert "hashpartitioning" not in plan
+    assert "RangePartitioning" not in plan
+    assert "Python" not in plan
+
+
+def test_pack_sequences_matches_serial_cumsum(spark):
+    rows = [(i * 7 % 95, "tok " * (i % 9)) for i in range(60)]  # shuffled ids
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in {i: t for i, t in rows}.items()],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pack_sequences(docs, chunk=10).collect()}
+    serial = sorted((r.doc_id, r.n_tokens) for r in
+                    pack_sequences(docs, chunk=10)
+                    .select("doc_id", "n_tokens").collect())
+    off = 0
+    for doc_id, n_tok in serial:
+        r = got[doc_id]
+        assert r.start_tok == off, (doc_id, r.start_tok, off)
+        assert r.seq_first == off // 10
+        assert r.seq_last == (off + max(n_tok, 1) - 1) // 10
+        off += n_tok
+
+
+def test_pack_sequences_bucket_width_invariant(spark, sf_dir):
+    """The distributed two-level prefix sum is bucket-decomposition
+    independent — the defining property of a correct parallel scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, pack_sequences(docs, chunk=512, bucket_width=16).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, chunk=512, bucket_width=4096).collect()))
+    assert a == b
+
+
+def test_pack_sequences_no_global_window_over_corpus(spark, sf_dir):
+    """The only non-partitioned window sort runs over the per-bucket totals
+    frame, never the document stream: the corpus-side window is keyed by
+    _bkt, and the bucket-offsets join is broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(pack_sequences(docs, chunk=2048))
+    assert "BroadcastHashJoin" in plan
+    # the corpus window is partitioned by the bucket key
+    assert "partitionBy=[_bkt" in plan.replace(" ", "") or "_bkt" in plan
+
+
+def test_decontaminate_semantics(spark):
+    bench_id, clean_id, contam_id = 97, 1, 2  # 97 % 97 == 0 -> benchmark
+    docs = spark.createDataFrame(
+        [
+            (bench_id, "alpha beta gamma delta epsilon"),
+            (contam_id, "alpha beta gamma delta zeta"),  # shares 2 shingles
+            (clean_id, "one two three four five"),
+            (3, "alpha beta gamma nope nope"),  # shares only 1 shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in decontaminate(docs, n=3, min_hits=2).collect()}
+    assert got == {contam_id: 2}
+    plan = _plan(decontaminate(docs, n=3, min_hits=2))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
