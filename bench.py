@@ -253,7 +253,7 @@ def main() -> None:
         # stop once a >=0.8-raw try lands) so the recorded artifact is
         # self-sufficient — no prose needed to find the green window.
         rep32 = 2 * rep
-        sat_tries = int(os.environ.get("SPARK_GRAFT_BENCH_SAT_TRIES", "3"))
+        sat_tries = int(os.environ.get("SPARK_GRAFT_BENCH_SAT_TRIES", "6"))
         sat_best, sat_all = None, []
         for _ in range(sat_tries):
             hw = _hw_calibration()
