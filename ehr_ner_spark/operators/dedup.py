@@ -251,9 +251,17 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     the shuffle, so the exchange carries n_docs x n_perms longs, not
     n_shingles x n_perms rows.  Output: (doc_id, perm, minhash) — exactly
     SQL-oracle-checkable."""
-    sh = shingle_rows(docs, text_col, id_col, n).select(
-        "doc_id", _md5_60(F.col("shingle")).alias("h")
+    return signatures_from_shingles(
+        shingle_rows(docs, text_col, id_col, n), n_perms
     )
+
+
+def signatures_from_shingles(sh_frame: DataFrame,
+                             n_perms: int = N_MINHASH_PERMS) -> DataFrame:
+    """Signature aggregation over an (already materialized) (doc_id,
+    shingle) frame — lets callers that ALSO need the shingles for exact
+    verification (minhash_lsh_pairs) tokenize/explode the corpus ONCE."""
+    sh = sh_frame.select("doc_id", _md5_60(F.col("shingle")).alias("h"))
     sig_wide = sh.groupBy("doc_id").agg(
         *[
             F.min(_perm_hash_expr(F.col("h"), p)).alias(f"mh{p}")
@@ -273,7 +281,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4,
     self-join -> exact Jaccard verify restricted to candidates (the 100-TB
     order: the expensive intersection join touches only candidate pairs).
     Output: (src, dst, jaccard) with src < dst, jaccard >= threshold."""
-    sig = minhash_signatures(docs, text_col, id_col)
+    # ONE tokenize/explode pass: the persisted shingle frame feeds the
+    # signature aggregation AND the three verify consumers (sizes + both
+    # sides of the intersection join) — previously the corpus was
+    # re-shingled separately for each role.  At sf0.1 this is neutral (the
+    # second corpus scan was free out of page cache); at warehouse scale
+    # one corpus read replacing two is the dominant term — the equivalent
+    # there is materializing the shingle table once, bucketed by shingle
+    sh = tracked_persist(shingle_rows(docs, text_col, id_col))
+    sig = signatures_from_shingles(sh)
     band = (
         sig.groupBy("doc_id", F.floor(F.col("perm") / MINHASH_BAND_PERMS).alias("band"))
         .agg(F.array_sort(F.collect_list(F.struct("perm", "minhash"))).alias("s"))
@@ -291,10 +307,6 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4,
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    # the exploded shingle frame feeds three consumers (sizes + both sides
-    # of the intersection join) — persist it; Catalyst re-executes the
-    # explode per consumer otherwise (see ngram_jaccard_pairs)
-    sh = tracked_persist(shingle_rows(docs, text_col, id_col))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh.alias("sa"), F.col("src") == F.col("sa.doc_id"))
