@@ -79,11 +79,24 @@ def review_to_spans(review: DataFrame, answers_col: str = "flat_ne_answers") -> 
     )
 
 
-def write_review_sheet(review: DataFrame, path: str) -> str:
+def write_review_sheet(review: DataFrame, path: str,
+                       max_rows: int = 100_000) -> str:
     """Materialize the review sheet for the human loop.  xlsx when openpyxl
     exists (the reference's format), CSV otherwise — one driver-side file
     either way: review sheets are per-batch human artifacts, not corpus-
-    sized data (the distributed form is the DataFrame itself)."""
+    sized data (the distributed form is the DataFrame itself).
+
+    ``max_rows`` guards the driver: a review sheet a human will read is
+    thousands of rows, so routing a corpus-sized frame through this sink is
+    a caller bug — fail loudly instead of OOMing the driver.  Raise the cap
+    explicitly if a genuinely larger sheet is intended."""
+    n = review.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"review sheet exceeds max_rows={max_rows}: this is a "
+            "driver-side human artifact — write the DataFrame to parquet "
+            "for corpus-sized data, or raise max_rows explicitly"
+        )
     pdf = review.toPandas()
     try:
         import openpyxl  # noqa: F401

@@ -73,3 +73,17 @@ def test_mangled_rows_are_skipped_not_fatal(spark):
         for r in review_to_spans(review).collect()
     )
     assert got == [(0, "T", 1, 2, "ok"), (0, "U", 3, 4, "also ok")]
+
+
+def test_write_review_sheet_guards_corpus_sized_frames(spark, tmp_path):
+    """The driver-side sink refuses frames beyond max_rows (a review sheet
+    is a human artifact; corpus-sized data belongs in parquet)."""
+    import pytest
+
+    from ehr_ner_spark.io.review import write_review_sheet
+
+    df = spark.range(50).selectExpr("id AS pid", "'x' AS answers")
+    with pytest.raises(ValueError, match="max_rows"):
+        write_review_sheet(df, str(tmp_path / "sheet"), max_rows=10)
+    out = write_review_sheet(df, str(tmp_path / "sheet"), max_rows=100)
+    assert out.endswith((".csv", ".xlsx"))
