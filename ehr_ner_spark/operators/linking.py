@@ -122,6 +122,17 @@ def surface_signatures(mentions: DataFrame) -> DataFrame:
         # component ids downstream are min surface_ids, so the whole
         # canonicalization output is DuckDB-oracle-checkable
         .withColumn("surface_id", md5_60_expr(F.col("text")))
+        # explicit width: the surface frame is small in BYTES but every
+        # downstream stage is CPU-heavy per byte (minhash UDF, x16 band
+        # explode, collect_set partials), so letting AQE size-coalesce the
+        # groupBy output (64 MB advisory -> 1-2 partitions) serializes the
+        # whole linking stage on a handful of cores.  An explicit
+        # repartition is respected by AQE and pins the cached partitioning
+        # every consumer inherits.
+        .repartition(
+            2 * mentions.sparkSession.sparkContext.defaultParallelism,
+            "surface_id",
+        )
     )
 
     def add_sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -169,26 +180,24 @@ def candidate_pairs(sigs: DataFrame) -> DataFrame:
     ).where(F.size("members") > 1)
 
     # small buckets: all pairs; oversized buckets: consecutive chain pairs
-    # (connectivity-preserving O(n) fallback for skewed head buckets)
-    all_pairs = (
-        grouped.where(F.size("members") <= PAIR_CAP)
-        .select(F.explode(_pairs_expr()).alias("pr"))
-        .select(F.col("pr.a").alias("src"), F.col("pr.b").alias("dst"))
+    # (connectivity-preserving O(n) fallback for skewed head buckets).
+    # Both branches emit from ONE conditional expression so the band
+    # groupBy above is consumed exactly once — a filter/union formulation
+    # would re-execute the shuffle per branch (two stages + a union), pure
+    # fixed latency that the whole-job N->4N pair pays at both levels.
+    chain_expr = F.zip_with(
+        F.slice("members", 1, F.size("members") - 1),
+        F.slice("members", 2, F.size("members") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
-    chain_pairs = (
-        grouped.where(F.size("members") > PAIR_CAP)
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice("members", 1, F.size("members") - 1),
-                    F.slice("members", 2, F.size("members") - 1),
-                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                )
-            ).alias("pr")
-        )
-        .select(F.col("pr.a").alias("src"), F.col("pr.b").alias("dst"))
+    pair_expr = F.when(F.size("members") <= PAIR_CAP, _pairs_expr()).otherwise(
+        chain_expr
     )
-    return all_pairs.unionByName(chain_pairs).dropDuplicates(["src", "dst"])
+    return (
+        grouped.select(F.explode(pair_expr).alias("pr"))
+        .select(F.col("pr.a").alias("src"), F.col("pr.b").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
 
 
 def _pairs_expr():
@@ -205,7 +214,13 @@ def _pairs_expr():
 def verified_edges(sigs: DataFrame, pairs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard over shingle-hash sets for candidate pairs (J2-style
     equi-joins; the shingle arrays ride along, no re-tokenization)."""
-    s = sigs.select("surface_id", "shingle_hashes")
+    # shuffle-hash, not sort-merge: the candidate frame is orders of
+    # magnitude larger than the verified survivors (chance band collisions
+    # among short surfaces), and sorting it twice — once per side lookup —
+    # is pure wasted memory bandwidth.  A hash join builds on the (smaller)
+    # signature side and streams the candidates; at warehouse scale both
+    # sides stay hash-partitioned on the same key, no sort ever needed.
+    s = sigs.select("surface_id", "shingle_hashes").hint("shuffle_hash")
     j = (
         pairs.join(s.withColumnRenamed("surface_id", "src").withColumnRenamed("shingle_hashes", "sh_a"), "src")
         .join(s.withColumnRenamed("surface_id", "dst").withColumnRenamed("shingle_hashes", "sh_b"), "dst")

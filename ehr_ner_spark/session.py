@@ -33,6 +33,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE does NOT coalesce beneath .persist() boundaries unless this is
+        # on — and the linking stage persists its small per-surface frames,
+        # so without it every cached sub-plan keeps the full shuffle width
+        # (64 near-empty tasks per stage at small SF; pure scheduler
+        # overhead).  Safe here: every query result is partition-order
+        # independent (hash-checked sorted), and at warehouse scale AQE
+        # sizes the cached output by bytes exactly as it does uncached.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow channel: the scorer UDF wants full batches (vectorized math
         # amortizes per-batch overhead; 10k rows x ~0.5 KB tokens is ~5 MB).

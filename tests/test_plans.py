@@ -202,3 +202,33 @@ def test_sl_crf_detect_single_repartition(spark, sf_dir):
     assert "hashpartitioning(doc_id" in plan
     assert "MapInPandas" in plan or "mapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_linking_surface_width_and_hash_verify(spark, sf_dir):
+    """The linking stage's plan guarantees from the round-3 profiling pass:
+
+    1. ``surface_signatures`` pins an explicit surface_id repartition ahead
+       of its UDF — without it, AQE's cached-plan coalescing shrinks the
+       byte-small surface frame to 1-2 partitions and serializes the
+       minhash UDF, the x16 band explode, and the collect_set partials at
+       EVERY parallelism level (measured dead flat 4 -> 16 cores).
+    2. The Jaccard verify join is a hash join on surface_id, never a
+       sort-merge — the candidate side is orders of magnitude larger than
+       the survivors and sorting it twice is wasted memory bandwidth.
+    """
+    from ehr_ner_spark.operators.linking import (
+        candidate_pairs,
+        surface_signatures,
+        verified_edges,
+    )
+    from ehr_ner_spark.operators.mention_detect import detect_mentions
+
+    mentions = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    sigs = surface_signatures(mentions)
+    sig_plan = _plan(sigs)
+    assert "hashpartitioning(surface_id" in sig_plan  # explicit width pin
+
+    edges = verified_edges(sigs, candidate_pairs(sigs), 0.5)
+    edge_plan = _plan(edges)
+    assert "SortMergeJoin" not in edge_plan
+    assert "ShuffledHashJoin" in edge_plan or "BroadcastHashJoin" in edge_plan
