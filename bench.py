@@ -364,9 +364,24 @@ def main() -> None:
         # self-sufficient — no prose needed to find the green window.
         rep32 = 2 * rep
         sat_tries = int(os.environ.get("SPARK_GRAFT_BENCH_SAT_TRIES", "6"))
-        sat_best, sat_all = None, []
-        for _ in range(sat_tries):
+        # quiet-window gate: the hw probe costs <1 s while a Spark pair
+        # costs minutes — when the probe already shows the box's own
+        # ceiling below what a green try needs, spend the wait sleeping
+        # instead of burning one of the `sat_tries` Spark pairs on a window
+        # that cannot pass.  Bounded: after 4x`sat_tries` probe windows the
+        # pair runs regardless, so the artifact always carries measurements
+        # even if the host never goes quiet.
+        quiet_hw = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_HW", "0.85"))
+        sat_best, sat_all, sat_skipped = None, [], 0
+        windows = 0
+        while True:
+            windows += 1
             hw = _hw_calibration()
+            exhausted = windows >= 4 * sat_tries
+            if hw["hw_efficiency"] < quiet_hw and not exhausted:
+                sat_skipped += 1
+                time.sleep(10)
+                continue
             t8, n32 = _scaling_child_run(8, rep32)
             t32, _ = _scaling_child_run(32, rep32)
             eff32 = (t8 / t32) / 4.0
@@ -379,7 +394,7 @@ def main() -> None:
             if sat_best is None or eff32 > sat_best["eff"]:
                 sat_best = {"t8": t8, "t32": t32, "eff": eff32,
                             "n32": n32, "hw": hw}
-            if eff32 >= 0.8:
+            if eff32 >= 0.8 or len(sat_all) >= sat_tries or exhausted:
                 break
 
         # WHOLE-JOB pair: the north rule says "the same job at N and 4N
@@ -389,11 +404,27 @@ def main() -> None:
         # scalable work dwarfs the pipeline's fixed per-job latency.
         pipe_rep = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REP", "128"))
         pipe_tries = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_TRIES", "3"))
-        pipe_best, pipe_all = None, []
-        for _ in range(pipe_tries):
+        pipe_best, pipe_all, pipe_skipped = None, [], 0
+        pipe_windows = 0
+        while True:
+            pipe_windows += 1
             pipe_hw = _hw_calibration(4, 16)
-            p4, pipe_docs = _pipeline_child_run(4, pipe_rep)
-            p16, _ = _pipeline_child_run(16, pipe_rep)
+            pipe_exhausted = pipe_windows >= 4 * pipe_tries
+            if pipe_hw["hw_efficiency"] < quiet_hw and not pipe_exhausted:
+                pipe_skipped += 1
+                time.sleep(10)
+                continue
+            # a failed child (OOM at high rep on a loaded host) must not
+            # kill the whole bench — the scoring-pair and per-query numbers
+            # above are already in hand; record the failure and move on
+            try:
+                p4, pipe_docs = _pipeline_child_run(4, pipe_rep)
+                p16, _ = _pipeline_child_run(16, pipe_rep)
+            except Exception as e:  # noqa: BLE001 — artifact > crash
+                pipe_all.append({"error": repr(e)[:200]})
+                if pipe_exhausted or len(pipe_all) >= pipe_tries:
+                    break
+                continue
             peff = (p4 / p16) / 4.0
             pipe_all.append({
                 "local4_sec": round(p4, 3),
@@ -404,7 +435,7 @@ def main() -> None:
             if pipe_best is None or peff > pipe_best["eff"]:
                 pipe_best = {"t4": p4, "t16": p16, "eff": peff,
                              "n_docs": pipe_docs, "hw": pipe_hw}
-            if peff >= 0.8:
+            if peff >= 0.8 or len(pipe_all) >= pipe_tries or pipe_exhausted:
                 break
 
         def _median(xs):
@@ -412,8 +443,6 @@ def main() -> None:
             n = len(s)
             return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
-        t8, t32 = sat_best["t8"], sat_best["t32"]
-        eff32, n32, hw = sat_best["eff"], sat_best["n32"], sat_best["hw"]
         scaling = {
             "stage": "battery scoring + IOB2 decode (mapInPandas)",
             "rep": rep,
@@ -447,28 +476,38 @@ def main() -> None:
                 "efficiency": round(pipe_best["eff"], 3),
                 "efficiency_policy": "best_of_tries (quiet-window sampling)",
                 "median_efficiency": round(
-                    _median([t["efficiency"] for t in pipe_all]), 3
+                    _median([t["efficiency"] for t in pipe_all
+                             if "efficiency" in t]), 3
                 ),
                 "tries": pipe_all,
+                "windows_skipped_noisy": pipe_skipped,
                 "hw_calibration": pipe_best["hw"],
                 "efficiency_vs_hw": round(
                     pipe_best["eff"] / pipe_best["hw"]["hw_efficiency"], 3
                 ),
-            },
+            } if pipe_best is not None else {"tries": pipe_all},
+            # headline fields come from sat_best, NOT the last try — the
+            # loop can exhaust its budget on a try worse than an earlier
+            # one, and the artifact must be self-sufficient
             "saturation_8_to_32": {
                 "rep": rep32,
-                "n_docs_scored": n32,
-                "local8_sec": round(t8, 3),
-                "local32_sec": round(t32, 3),
-                "local32_docs_per_sec": round(n32 / t32, 1),
-                "efficiency": round(eff32, 3),
+                "n_docs_scored": sat_best["n32"],
+                "local8_sec": round(sat_best["t8"], 3),
+                "local32_sec": round(sat_best["t32"], 3),
+                "local32_docs_per_sec": round(
+                    sat_best["n32"] / sat_best["t32"], 1
+                ),
+                "efficiency": round(sat_best["eff"], 3),
                 "efficiency_policy": "best_of_tries (quiet-window sampling)",
                 "median_efficiency": round(
                     _median([t["efficiency"] for t in sat_all]), 3
                 ),
                 "tries": sat_all,
-                "hw_calibration": hw,
-                "efficiency_vs_hw": round(eff32 / hw["hw_efficiency"], 3),
+                "windows_skipped_noisy": sat_skipped,
+                "hw_calibration": sat_best["hw"],
+                "efficiency_vs_hw": round(
+                    sat_best["eff"] / sat_best["hw"]["hw_efficiency"], 3
+                ),
             },
         }
 
