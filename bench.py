@@ -192,9 +192,17 @@ def _run_pipeline(spark, sf_dir: str, rep: int) -> tuple[float, int]:
                 F.when(F.abs(F.hash("text")) % 5 == 0, F.col("text")).otherwise(
                     F.concat(
                         F.col("text"),
+                        # repeat() so the salt really is length-proportional:
+                        # a single md5 is 32 hex chars, and a truncated salt
+                        # on a >~64-char surface would leave cross-replica
+                        # Jaccard >= 0.5 — welding replicas into rep-sized
+                        # cliques, the exact artifact this salt exists to
+                        # prevent (current corpus max surface is 21 chars,
+                        # so this is robustness, not a live repair)
                         F.expr(
-                            "substr(md5(concat(text, cast(_rep as string))),"
-                            " 1, length(text))"
+                            "substr(repeat(md5(concat(text,"
+                            " cast(_rep as string))),"
+                            " 1 + length(text) DIV 32), 1, length(text))"
                         ),
                     )
                 ),
@@ -339,22 +347,46 @@ def main() -> None:
         # load, so sample up to `tries` times and report the best pair
         # (quiet-window sampling) alongside every try
         tries = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_TRIES", "3"))
-        best, all_tries = None, []
-        for _ in range(tries):
+        # quiet-window gate, shared by all three pairs: the hw probe costs
+        # <1 s while a Spark pair costs minutes — when the probe already
+        # shows the box's own ceiling below what a green try needs, sleep
+        # and re-probe instead of burning a try on a window that cannot
+        # pass.  Bounded at 4x the try budget, after which the pair runs
+        # regardless, so the artifact always carries measurements.
+        quiet_hw = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_HW", "0.85"))
+        best, all_tries, north_skipped = None, [], 0
+        north_windows = 0
+        while True:
+            north_windows += 1
+            north_hw = _hw_calibration(4, 16)
+            north_exhausted = north_windows >= 4 * tries
+            if north_hw["hw_efficiency"] < quiet_hw and not north_exhausted:
+                north_skipped += 1
+                time.sleep(10)
+                continue
             # each level runs in its own subprocess: one JVM per measurement
             # (a stopped SparkContext leaves GC/daemon residue that pollutes
-            # the next session's timing in-process)
-            t4, n_rows = _scaling_child_run(4, rep)
-            t16, _ = _scaling_child_run(16, rep)
+            # the next session's timing in-process); a failed child must not
+            # kill the bench — every number already measured stays reportable
+            try:
+                t4, n_rows = _scaling_child_run(4, rep)
+                t16, _ = _scaling_child_run(16, rep)
+            except Exception as e:  # noqa: BLE001 — artifact > crash
+                all_tries.append({"error": repr(e)[:200]})
+                if north_exhausted or len(all_tries) >= tries:
+                    break
+                continue
             eff = (t4 / t16) / 4.0
             all_tries.append({
                 "local4_sec": round(t4, 3),
                 "local16_sec": round(t16, 3),
                 "efficiency": round(eff, 3),
+                "hw_efficiency": north_hw["hw_efficiency"],
             })
             if best is None or eff > best["eff"]:
-                best = {"t4": t4, "t16": t16, "eff": eff, "n_rows": n_rows}
-            if eff >= 0.8:
+                best = {"t4": t4, "t16": t16, "eff": eff, "n_rows": n_rows,
+                        "hw": north_hw}
+            if eff >= 0.8 or len(all_tries) >= tries or north_exhausted:
                 break
         # SATURATION pair: 8 -> 32 fills the whole box; reported with a raw
         # multiprocessing calibration of the SAME window so engine overhead
@@ -364,14 +396,6 @@ def main() -> None:
         # self-sufficient — no prose needed to find the green window.
         rep32 = 2 * rep
         sat_tries = int(os.environ.get("SPARK_GRAFT_BENCH_SAT_TRIES", "6"))
-        # quiet-window gate: the hw probe costs <1 s while a Spark pair
-        # costs minutes — when the probe already shows the box's own
-        # ceiling below what a green try needs, spend the wait sleeping
-        # instead of burning one of the `sat_tries` Spark pairs on a window
-        # that cannot pass.  Bounded: after 4x`sat_tries` probe windows the
-        # pair runs regardless, so the artifact always carries measurements
-        # even if the host never goes quiet.
-        quiet_hw = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_HW", "0.85"))
         sat_best, sat_all, sat_skipped = None, [], 0
         windows = 0
         while True:
@@ -382,8 +406,16 @@ def main() -> None:
                 sat_skipped += 1
                 time.sleep(10)
                 continue
-            t8, n32 = _scaling_child_run(8, rep32)
-            t32, _ = _scaling_child_run(32, rep32)
+            # a failed child (OOM at rep32 on a loaded host) must not kill
+            # the bench — every number already measured stays reportable
+            try:
+                t8, n32 = _scaling_child_run(8, rep32)
+                t32, _ = _scaling_child_run(32, rep32)
+            except Exception as e:  # noqa: BLE001 — artifact > crash
+                sat_all.append({"error": repr(e)[:200]})
+                if exhausted or len(sat_all) >= sat_tries:
+                    break
+                continue
             eff32 = (t8 / t32) / 4.0
             sat_all.append({
                 "local8_sec": round(t8, 3),
@@ -444,22 +476,33 @@ def main() -> None:
             return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
         scaling = {
-            "stage": "battery scoring + IOB2 decode (mapInPandas)",
-            "rep": rep,
-            "n_docs_scored": best["n_rows"],
-            "local4_sec": round(best["t4"], 3),
-            "local16_sec": round(best["t16"], 3),
-            "local4_docs_per_sec": round(best["n_rows"] / best["t4"], 1),
-            "local16_docs_per_sec": round(best["n_rows"] / best["t16"], 1),
-            # headline = best try; the shared host makes the distribution's
-            # max (the quiet window) the estimate of the engine's scaling,
-            # and the label + median + raw tries keep the reporting honest
-            "efficiency": round(best["eff"], 3),
-            "efficiency_policy": "best_of_tries (quiet-window sampling)",
-            "median_efficiency": round(
-                _median([t["efficiency"] for t in all_tries]), 3
-            ),
+            **({
+                "stage": "battery scoring + IOB2 decode (mapInPandas)",
+                "rep": rep,
+                "n_docs_scored": best["n_rows"],
+                "local4_sec": round(best["t4"], 3),
+                "local16_sec": round(best["t16"], 3),
+                "local4_docs_per_sec": round(best["n_rows"] / best["t4"], 1),
+                "local16_docs_per_sec": round(
+                    best["n_rows"] / best["t16"], 1
+                ),
+                # headline = best try; the shared host makes the
+                # distribution's max (the quiet window) the estimate of the
+                # engine's scaling, and the label + median + raw tries keep
+                # the reporting honest
+                "efficiency": round(best["eff"], 3),
+                "efficiency_policy": "best_of_tries (quiet-window sampling)",
+                "median_efficiency": round(
+                    _median([t["efficiency"] for t in all_tries
+                             if "efficiency" in t]), 3
+                ),
+                "hw_calibration": best["hw"],
+                "efficiency_vs_hw": round(
+                    best["eff"] / best["hw"]["hw_efficiency"], 3
+                ),
+            } if best is not None else {}),
             "tries": all_tries,
+            "windows_skipped_noisy": north_skipped,
             "pipeline_4_to_16": {
                 "stage": "whole flagship job: detect -> link -> "
                          "canonicalize -> triples",
@@ -500,7 +543,8 @@ def main() -> None:
                 "efficiency": round(sat_best["eff"], 3),
                 "efficiency_policy": "best_of_tries (quiet-window sampling)",
                 "median_efficiency": round(
-                    _median([t["efficiency"] for t in sat_all]), 3
+                    _median([t["efficiency"] for t in sat_all
+                             if "efficiency" in t]), 3
                 ),
                 "tries": sat_all,
                 "windows_skipped_noisy": sat_skipped,
@@ -508,7 +552,7 @@ def main() -> None:
                 "efficiency_vs_hw": round(
                     sat_best["eff"] / sat_best["hw"]["hw_efficiency"], 3
                 ),
-            },
+            } if sat_best is not None else {"tries": sat_all},
         }
 
     total = round(sum(timings.values()), 3)

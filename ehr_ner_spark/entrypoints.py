@@ -1096,7 +1096,8 @@ def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold stratified sampling (per-language data
     mixture): kept iff md5_60('sample:'||doc_id) % 1e6 < rate_ppm(lang).
     No RNG state -> reproducible across runs/resumes/cluster sizes; pure
-    map-side projection, zero shuffles."""
+    map-side projection — no keyed shuffle (only fan_out's round-robin
+    widening when the input arrives under-partitioned)."""
     from .operators.sampling import stratified_sample
 
     return stratified_sample(

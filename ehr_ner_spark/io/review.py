@@ -90,14 +90,17 @@ def write_review_sheet(review: DataFrame, path: str,
     thousands of rows, so routing a corpus-sized frame through this sink is
     a caller bug — fail loudly instead of OOMing the driver.  Raise the cap
     explicitly if a genuinely larger sheet is intended."""
-    n = review.limit(max_rows + 1).count()
-    if n > max_rows:
+    # one job, not two: limit(cap+1).toPandas() both detects overflow and
+    # collects the sheet, and the collect itself is bounded by the cap —
+    # a separate count() would re-execute the full upstream DAG (a battery
+    # scoring run for mention-derived sheets) just to throw its rows away
+    pdf = review.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
             f"review sheet exceeds max_rows={max_rows}: this is a "
             "driver-side human artifact — write the DataFrame to parquet "
             "for corpus-sized data, or raise max_rows explicitly"
         )
-    pdf = review.toPandas()
     try:
         import openpyxl  # noqa: F401
 

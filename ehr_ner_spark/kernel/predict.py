@@ -179,10 +179,17 @@ def predict_battery_crf(
             q_sub.extend(wp_split(t))
         max_qlen = max(max_qlen, len(q_sub))
         by_len.setdefault(len(q_sub), []).append(q_tag)
-        # memo key includes the question text: the cached prefix depends on
-        # the sub-token sequence, not just the tag (two batteries can map the
-        # same tag to different question phrasings)
-        memo_key = (q_tag, tuple(q_sub))
+        # memo key includes the question text AND the scorer's identity:
+        # the cached prefix is crf_forward_prefix(scorer.logits(...)), so it
+        # depends on the sub-token sequence (two batteries can map the same
+        # tag to different phrasings) and on which scorer emitted it (two
+        # Scorer implementations in one worker must not share prefixes).
+        # Every shipped scorer's emissions are fully class-determined;
+        # a stateful implementation (e.g. torch weights) must expose a
+        # distinct ``cache_token`` attribute.
+        memo_key = (
+            getattr(scorer, "cache_token", type(scorer)), q_tag, tuple(q_sub)
+        )
         pref = _prefix_cache.get(memo_key)
         if pref is None:
             em_q = scorer.logits(q_tag, [CLS] + q_sub + [SEP]) * CLASS_WEIGHTS

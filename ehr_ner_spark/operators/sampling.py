@@ -4,7 +4,10 @@
   kept iff ``md5_60('sample:' || doc_id) % 1e6 < rate_ppm(stratum)``: no RNG
   state, so the sample is reproducible across runs, resumes, cluster sizes
   and engines (the DuckDB twin evaluates the identical expression).  Pure
-  map-side projection — zero shuffles at any scale.
+  map-side projection — no keyed shuffle ever (nothing groups or joins);
+  the only possible exchange is :func:`fan_out`'s round-robin widening when
+  the input arrives with fewer partitions than the cluster has cores, which
+  a well-partitioned warehouse-scale input never triggers.
 
 * :func:`pack_sequences` — the GPT-style packed-pretraining layout:
   documents are concatenated in doc_id order and chunked every ``chunk``
@@ -108,8 +111,11 @@ def pack_sequences(
     (doc_id, n_tokens, start_tok, seq_first, seq_last) where start_tok is
     the document's offset in the concatenated token stream (doc_id order)
     and seq_first/seq_last are the first/last ``chunk``-token training
-    sequences the document lands in (empty docs span none: seq_last <
-    seq_first).
+    sequences the document lands in.  Empty documents contribute zero
+    tokens but still report the single sequence position at their offset
+    (seq_last == seq_first, via ``greatest(n_tokens, 1)``) — consumers
+    drop them by ``n_tokens = 0``, not by a seq range test; the DuckDB
+    twin uses the identical GREATEST convention.
 
     Distributed prefix sum: bucket = doc_id // bucket_width; the global
     window runs only over the per-bucket totals (n_docs / bucket_width

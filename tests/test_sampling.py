@@ -77,11 +77,22 @@ def test_pack_sequences_no_global_window_over_corpus(spark, sf_dir):
     """The only non-partitioned window sort runs over the per-bucket totals
     frame, never the document stream: the corpus-side window is keyed by
     _bkt, and the bucket-offsets join is broadcast."""
+    import re
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(pack_sequences(docs, chunk=2048))
     assert "BroadcastHashJoin" in plan
-    # the corpus window is partitioned by the bucket key
-    assert "partitionBy=[_bkt" in plan.replace(" ", "") or "_bkt" in plan
+    # physical Window nodes print as `Window [exprs], [partition], [order]`;
+    # every window ordered over the document stream (doc_id) must carry a
+    # _bkt partition spec — an unpartitioned doc_id window is the global
+    # single-partition sort this test exists to forbid
+    doc_windows = [
+        ln for ln in plan.splitlines()
+        if "Window [" in ln and "doc_id#" in ln
+    ]
+    assert doc_windows, "expected a corpus-side window over doc_id"
+    for ln in doc_windows:
+        assert re.search(r"\], \[_bkt#\d+L?\], \[doc_id#", ln), ln
 
 
 def test_decontaminate_semantics(spark):
