@@ -225,7 +225,13 @@ def _run_pipeline(spark, sf_dir: str, rep: int) -> tuple[float, int]:
     # ratio and misreport steady-state scaling (cold-start is reported
     # separately in BENCH/BASELINE.md)
     once(2)
-    return once(rep), n_base * rep
+    # min-of-2 timed runs, same as _run_scoring: per-stage profiling shows
+    # the detect stage is stable (±1%) but the link tail's seconds-scale
+    # shuffle stages swing 3-4x with JIT/GC state and transient host load —
+    # the min is the noise-robust estimator of the plan's cost, and the
+    # warm-JVM regime it selects is the steady-state a long-lived cluster
+    # executor actually runs in
+    return min(once(rep) for _ in range(2)), n_base * rep
 
 
 def _pipeline_child_run(cores: int, rep: int) -> tuple[float, int]:
@@ -435,7 +441,10 @@ def main() -> None:
         # stage.  rep inflates the corpus under distinct doc ids so the
         # scalable work dwarfs the pipeline's fixed per-job latency.
         pipe_rep = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REP", "128"))
-        pipe_tries = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_TRIES", "3"))
+        # 2 windows x min-of-2 timed runs: the in-try min already absorbs
+        # the JIT/GC swing, so fewer windows are needed than the scoring
+        # pairs' single-shot tries
+        pipe_tries = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_TRIES", "2"))
         pipe_best, pipe_all, pipe_skipped = None, [], 0
         pipe_windows = 0
         while True:

@@ -97,3 +97,32 @@ def test_detect_mentions_crf_spark(spark, sf_dir):
             expected.append((pid, typ, s, e, txt))
     got = [(r.doc_id, r.type, r.start_pos, r.end_pos, r.text) for r in out]
     assert sorted(got) == sorted(expected)
+
+
+def test_battery_crf_prefix_memo_is_scorer_aware():
+    """Two different Scorer implementations decoded in one process must not
+    share CRF forward prefixes through the module-level memo: the cached
+    value is crf_forward_prefix(scorer.logits(...)), so a scorer-blind key
+    would silently decode the second scorer's passages with the first
+    scorer's question emissions (self-review finding, round 3)."""
+    from ehr_ner_spark.kernel.scorer import BigramGateScorer
+
+    rng = random.Random(11)
+    toks = tokenize_text(_rand_passage(rng, 120))
+
+    det, big = DeterministicQAScorer(), BigramGateScorer()
+    # prime the shared module-level memo with the deterministic scorer,
+    # then decode with the bigram scorer through the same default memo
+    via_shared_memo = (
+        predict_battery_crf(det, BATTERY, toks, pid=1),
+        predict_battery_crf(big, BATTERY, toks, pid=1),
+    )
+    # ground truth: each scorer decoded with its own fresh, private memo
+    fresh = (
+        predict_battery_crf(det, BATTERY, toks, pid=1, _prefix_cache={}),
+        predict_battery_crf(big, BATTERY, toks, pid=1, _prefix_cache={}),
+    )
+    assert via_shared_memo == fresh
+    # and the two scorers genuinely disagree somewhere, else the test is
+    # vacuous (emission families differ by construction)
+    assert via_shared_memo[0] != via_shared_memo[1]
