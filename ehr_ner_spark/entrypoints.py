@@ -688,6 +688,227 @@ def kg_type_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classification_report(g, flat_projection(g, GOLD_PRIORITY))
 
 
+def _sl_gold_ctes(max_seq_length: int = 512) -> str:
+    """Shared oracle prelude for the token-level eval surface: the SL
+    model's per-token label stream (``pred``) plus the gold annotation and
+    its flat projection (``gtoks``/``gold``/``flat`` — renamed so the gold
+    tokenization does not collide with the SL twin's ``toks`` CTE)."""
+    from .operators.gold import GOLD_VOCAB
+    from .operators.mention_sql import sl_token_labels_ctes
+
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT pid, '{typ}' AS type, start_pos, start_pos AS end_pos, text"
+        f"\n      FROM gtoks WHERE text IN ({', '.join(repr(v) for v in vocab)})"
+        for typ, vocab in GOLD_VOCAB.items()
+    )
+    flat_body = _FLAT_SQL_BODY.format(prio=_gold_prio_case()).strip()
+    return sl_token_labels_ctes(CORPUS_SQL, max_seq_length=max_seq_length) + f""",
+    gtoks AS (
+      SELECT doc_id AS pid,
+             unnest(range(len(string_split(content, ' ')))) AS start_pos,
+             unnest(string_split(content, ' '))             AS text
+      FROM corpus),
+    gold AS (
+      {unions}),
+    {flat_body}"""
+
+
+def _token_metrics_oracle() -> str:
+    return _sl_gold_ctes() + """,
+    painted AS (
+      SELECT p.pid, p.pos,
+             COALESCE(CASE WHEN p.pos = f.start_pos THEN 'B-' || f.type
+                           ELSE 'I-' || f.type END, 'O') AS label
+      FROM pred p LEFT JOIN flat f
+        ON p.pid = f.pid AND p.pos BETWEEN f.start_pos AND f.end_pos)
+    SELECT SUM(CASE WHEN g.label = p.label AND (g.label <> 'O' OR p.label <> 'O')
+               THEN 1 ELSE 0 END)::BIGINT AS "TP",
+           SUM(CASE WHEN g.label <> p.label AND p.label <> 'O'
+               THEN 1 ELSE 0 END)::BIGINT AS "FP",
+           SUM(CASE WHEN g.label <> 'O' AND p.label = 'O'
+               THEN 1 ELSE 0 END)::BIGINT AS "FN",
+           SUM(CASE WHEN g.label = 'O' AND p.label = 'O'
+               THEN 1 ELSE 0 END)::BIGINT AS "TN",
+           ROUND(AVG(CASE WHEN g.label = p.label THEN 1.0 ELSE 0.0 END), 6)
+             AS accuracy,
+           COUNT(*)::BIGINT AS nb_tokens
+    FROM painted g JOIN pred p ON g.pid = p.pid AND g.pos = p.pos"""
+
+
+def _label_vocab_oracle() -> str:
+    from .kernel.features import get_labels
+    from .queries_battery import QUERIES
+
+    labs, _ = get_labels(
+        [f"{p}-{t}" for t in QUERIES for p in ("B", "I")]
+    )
+    values = ",\n        ".join(f"({i}, '{l}')" for i, l in enumerate(labs))
+    return f"""
+    SELECT CAST(label_id AS BIGINT) AS label_id, label FROM (VALUES
+        {values}) v(label_id, label)"""
+
+
+@_register("kg_label_vocab", oracle=_label_vocab_oracle)
+def kg_label_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 driver evidence: the engine's label vocabulary — the SL model's
+    65-label space [O] + [B-t, I-t] per battery type, with the reference's
+    'prepend O if absent' rule (feaproducer.py:353-360 via
+    kernel/features.py::get_labels).  The id order IS load-bearing: the
+    65-state CRF transition layout and the SL argmax tie-break both index
+    into it, so a green hash row pins the contract every decode path
+    assumes."""
+    from .kernel.features import get_labels
+    from .queries_battery import QUERIES
+
+    labs, lab2id = get_labels(
+        [f"{p}-{t}" for t in QUERIES for p in ("B", "I")]
+    )
+    return spark.createDataFrame(
+        [(lab2id[l], l) for l in labs], "label_id long, label string"
+    )
+
+
+@_register("kg_token_metrics", oracle=_token_metrics_oracle)
+def kg_token_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4 driver evidence: token-level accuracy (eval.py:39-47) and
+    TP/FP/FN/TN confusion (metrics_sl.py:243-270 ``performance_measure``)
+    of the SL model's merged label stream against the gold annotation
+    painted as BIO over the same token positions.  Both streams are
+    replayed in DuckDB (the SL twin minus its decode tail; painting as a
+    span BETWEEN join), so the whole reference eval surface is value-hashed
+    through the driver, not just pytest-golden."""
+    from .cache import tracked_persist
+    from .operators.gold import GOLD_PRIORITY, gold_mentions
+    from .operators.metrics import (
+        paint_flat_labels,
+        token_accuracy,
+        token_confusion,
+    )
+    from .operators.priority import flat_projection
+    from .operators.sl_detect import sl_token_label_stream
+
+    c = corpus(spark, sf_dir)
+    pred = tracked_persist(sl_token_label_stream(c, num_partitions=8))
+    flat = flat_projection(gold_mentions(c), GOLD_PRIORITY)
+    gold = paint_flat_labels(pred.select("pid", "pos"), flat)
+    return token_confusion(gold, pred).crossJoin(token_accuracy(gold, pred))
+
+
+_CORR_KEY_SQL = (
+    "('0x' || substr(md5('corr:' || CAST(pid AS VARCHAR) || ':' || type"
+    " || ':' || CAST(start_pos AS VARCHAR) || ':'"
+    " || CAST(end_pos AS VARCHAR)), 1, 15))::BIGINT % 7"
+)
+
+
+def _corrections_merge_oracle() -> str:
+    return (
+        _gold_prelude().rstrip()
+        + ",\n"
+        + _FLAT_SQL_BODY.format(prio=_gold_prio_case())
+        + f""",
+corr AS (
+  SELECT pid, type, start_pos, end_pos,
+         CASE WHEN {_CORR_KEY_SQL} = 0 THEN 'drop'
+              WHEN {_CORR_KEY_SQL} = 1 THEN 'retype' END AS action,
+         CASE WHEN {_CORR_KEY_SQL} = 1 THEN 'REV_' || type END AS new_type
+  FROM flat
+  WHERE {_CORR_KEY_SQL} IN (0, 1))
+SELECT f.pid,
+       CASE WHEN c.action = 'retype' THEN c.new_type ELSE f.type END AS type,
+       CAST(f.start_pos AS BIGINT) AS start_pos,
+       CAST(f.end_pos AS BIGINT) AS end_pos,
+       f.text
+FROM flat f
+LEFT JOIN corr c
+  ON f.pid = c.pid AND f.type = c.type
+ AND f.start_pos = c.start_pos AND f.end_pos = c.end_pos
+WHERE c.action IS NULL OR c.action <> 'drop'"""
+    )
+
+
+@_register("kg_corrections_merge", oracle=_corrections_merge_oracle)
+def kg_corrections_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 driver evidence: the pid-keyed human-corrections merge
+    (df2qasl.py:36-58 / qasl2df.py:23-45 round-trip semantics) applied to
+    the flat gold projection with a DETERMINISTIC reviewer: spans whose
+    md5-60 correction key lands on 0 are dropped, on 1 retyped to
+    ``REV_<type>`` — both engines derive the same corrections frame from
+    the same hash, so the merged output is value-hashed end to end."""
+    from .hashing import md5_60_expr
+    from .operators.gold import GOLD_PRIORITY, gold_mentions
+    from .operators.priority import apply_corrections, flat_projection
+
+    flat = flat_projection(gold_mentions(corpus(spark, sf_dir)), GOLD_PRIORITY)
+    key = md5_60_expr(
+        F.concat(
+            F.lit("corr:"), F.col("pid").cast("string"), F.lit(":"),
+            F.col("type"), F.lit(":"),
+            F.col("start_pos").cast("string"), F.lit(":"),
+            F.col("end_pos").cast("string"),
+        )
+    ) % 7
+    corr = (
+        flat.select(
+            "pid", "type", "start_pos", "end_pos",
+            F.when(key == 0, F.lit("drop"))
+            .when(key == 1, F.lit("retype"))
+            .alias("action"),
+            F.when(key == 1, F.concat(F.lit("REV_"), F.col("type")))
+            .alias("new_type"),
+        )
+        .where(F.col("action").isNotNull())
+    )
+    return _spans_long(apply_corrections(flat, corr))
+
+
+def _prediction_lines_oracle() -> str:
+    # max_seq_length=64: the driver corpus has no >510-subword doc, so the
+    # S9 padding quirk would be dead at 512 — a short cap makes truncation
+    # (and the 'no prediction' lines) live at sf0.01; tests pin the 512
+    # contract (same precedent as kg_featurize's 128)
+    return _sl_gold_ctes(max_seq_length=64) + """,
+    glabels AS (
+      SELECT g.pid, g.start_pos AS pos, g.text AS token,
+             COALESCE(CASE WHEN g.start_pos = f.start_pos
+                           THEN 'B-' || f.type
+                           ELSE 'I-' || f.type END, 'O') AS label
+      FROM gtoks g LEFT JOIN flat f
+        ON g.pid = f.pid AND g.start_pos BETWEEN f.start_pos AND f.end_pos)
+    SELECT g.pid, g.pos,
+           g.token || ' ' || g.label || ' ' ||
+           COALESCE(p.label, 'no prediction') AS value
+    FROM glabels g LEFT JOIN pred p ON g.pid = p.pid AND g.pos = p.pos"""
+
+
+@_register("kg_prediction_lines", oracle=_prediction_lines_oracle)
+def kg_prediction_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 driver evidence: the predictions text sink's exact serialization
+    (feaproducer.py:335-349) as a value-hashed frame — ``token gold pred``
+    per position over ALL gold token positions, with the reference's
+    ``"no prediction"`` padding live on every position past the SL model's
+    512-subword truncation (the file itself is written by
+    io/tagfiles.py::write_predictions from this same frame)."""
+    from .cache import tracked_persist
+    from .io.tagfiles import prediction_lines
+    from .operators.gold import GOLD_PRIORITY, gold_mentions
+    from .operators.metrics import paint_flat_labels
+    from .operators.priority import flat_projection
+    from .operators.sl_detect import sl_token_label_stream
+
+    c = corpus(spark, sf_dir)
+    toks = c.select(
+        F.col("doc_id").alias("pid"),
+        F.posexplode(F.split(F.col("content"), " ")).alias("pos", "token"),
+    )
+    flat = flat_projection(gold_mentions(c), GOLD_PRIORITY)
+    gold_stream = paint_flat_labels(toks, flat)
+    pred = tracked_persist(
+        sl_token_label_stream(c, num_partitions=8, max_seq_length=64)
+    )
+    return prediction_lines(gold_stream, pred)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / text analysis / similarity / mm)
 # ---------------------------------------------------------------------------

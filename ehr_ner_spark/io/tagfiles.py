@@ -88,13 +88,13 @@ def tokens_to_sequences(tokens: DataFrame) -> DataFrame:
     )
 
 
-def write_predictions(
-    gold_tokens: DataFrame, pred_tokens: DataFrame, path: str
-) -> None:
-    """``token gold pred`` lines; missing predictions (e.g. positions past
-    the model's max length) emit ``"no prediction"``
-    (feaproducer.py:335-349)."""
-    joined = (
+def prediction_lines(
+    gold_tokens: DataFrame, pred_tokens: DataFrame
+) -> DataFrame:
+    """The S9 sink's serialization as a DataFrame: ``token gold pred``
+    per (pid, pos); positions with no prediction (e.g. past the model's
+    max length) emit ``"no prediction"`` (feaproducer.py:335-349)."""
+    return (
         gold_tokens.alias("g")
         .join(
             pred_tokens.select(
@@ -112,7 +112,18 @@ def write_predictions(
                 F.coalesce(F.col("pred"), F.lit("no prediction")),
             ).alias("value"),
         )
+    )
+
+
+def write_predictions(
+    gold_tokens: DataFrame, pred_tokens: DataFrame, path: str
+) -> None:
+    """``token gold pred`` text file via :func:`prediction_lines`."""
+    (
+        prediction_lines(gold_tokens, pred_tokens)
         .orderBy("pid", "pos")
         .select("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
     )
-    joined.coalesce(1).write.mode("overwrite").text(path)

@@ -58,14 +58,16 @@ class DeterministicSLScorer:
         return out
 
 
-def sl_predict(
+def sl_merged_labels(
     scorer: DeterministicSLScorer,
     passage_tokens: Sequence[str],
-    pid: int = 0,
     max_seq_length: int = 512,
-) -> List[Span]:
+) -> tuple:
     """[CLS] P [SEP] -> score -> wordpiece merge (head keeps label) ->
-    strip specials -> typed IOB2 decode (api/bert_sl_predictor.py:40-90)."""
+    strip specials: the per-token (tokens, labels) streams the decode
+    consumes and the reference's token-level metrics compare
+    (eval.py:39-47).  Position i is the i-th passage token surviving the
+    subword truncation."""
     p_sub: List[str] = []
     for t in passage_tokens:
         p_sub.extend(wp_split(t))
@@ -81,5 +83,16 @@ def sl_predict(
             m_tokens.append(t)
             m_labels.append(lab)
     # strip [CLS] ... [SEP] — SL has no query prefix
-    m_tokens, m_labels = m_tokens[1:-1], m_labels[1:-1]
+    return m_tokens[1:-1], m_labels[1:-1]
+
+
+def sl_predict(
+    scorer: DeterministicSLScorer,
+    passage_tokens: Sequence[str],
+    pid: int = 0,
+    max_seq_length: int = 512,
+) -> List[Span]:
+    """[CLS] P [SEP] -> score -> wordpiece merge (head keeps label) ->
+    strip specials -> typed IOB2 decode (api/bert_sl_predictor.py:40-90)."""
+    m_tokens, m_labels = sl_merged_labels(scorer, passage_tokens, max_seq_length)
     return decode_bio(m_tokens, m_labels, pid=pid)

@@ -227,6 +227,34 @@ def sl_mentions_oracle_sql(corpus_sql: str,
     [CLS] P [SEP] assembly, head-keeps-label merge, and the GENERAL typed
     IOB2 automaton of kernel/iob2.py::decode_bio (scheme.py truth tables,
     including the begin-fallback-0 and B-after-O-same-type quirks)."""
+    return sl_best_prelude(corpus_sql, max_seq_length) + sl_typed_decode_tail()
+
+
+def sl_token_labels_ctes(corpus_sql: str,
+                         max_seq_length: int = MAX_SEQ_LENGTH) -> str:
+    """CTE chain ending in ``pred(pid, pos, label)``: the SL model's merged
+    per-token label stream (head keeps label, [CLS]/[SEP] stripped) — the
+    y_pred of the reference's token-level metrics (eval.py:39-47,
+    metrics_sl.py:243-270).  Same prelude as the span twin; the decode
+    automaton is simply not applied."""
+    return sl_best_prelude(corpus_sql, max_seq_length) + """,
+    merged AS (
+      SELECT doc_id, tok_idx,
+             MAX(CASE WHEN k = 0 THEN lp END) AS lp,
+             MAX(CASE WHEN k = 0 THEN typ END) AS typ
+      FROM best
+      GROUP BY doc_id, tok_idx),
+    pred AS (
+      SELECT doc_id AS pid, tok_idx AS pos,
+             CASE WHEN lp = 'O' THEN 'O' ELSE lp || '-' || typ END AS label
+      FROM merged)"""
+
+
+def sl_best_prelude(corpus_sql: str,
+                    max_seq_length: int = MAX_SEQ_LENGTH) -> str:
+    """Shared SL-twin prelude: corpus -> tokens -> wordpieces -> 65-label
+    logits -> per-piece argmax (``best``).  Consumed by the span twin
+    (+ decode tail) and the token-label twin (+ merge only)."""
     limit = max_seq_length - 2
     g, bb = _S.B_GAIN, _S.B_BIAS
     ig, ib, pb = _S.I_GAIN, _S.I_BIAS, _S.I_PREV_BOOST
@@ -286,7 +314,7 @@ def sl_mentions_oracle_sql(corpus_sql: str,
       SELECT doc_id, tok, tok_idx, k, lp, typ FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, pos
                                      ORDER BY logit DESC, label_idx ASC) AS rn
-        FROM cand) WHERE rn = 1)""" + sl_typed_decode_tail()
+        FROM cand) WHERE rn = 1)"""
 
 
 def _featurize_battery_values() -> str:

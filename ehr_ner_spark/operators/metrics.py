@@ -138,6 +138,33 @@ def token_confusion(gold_tokens: DataFrame, pred_tokens: DataFrame) -> DataFrame
     )
 
 
+def paint_flat_labels(positions: DataFrame, flat_spans: DataFrame) -> DataFrame:
+    """Paint a NON-OVERLAPPING span set onto a (pid, pos) token-position
+    frame as BIO labels (P1's painting direction, run distributedly): B-type
+    at a span's start, I-type inside, O elsewhere.  The join is a plain
+    pid-hash equi-join with the BETWEEN as residual condition — spans per
+    pid are few, no broadcast of the (corpus-sized at 100 TB) span frame."""
+    p, s = positions.alias("p"), flat_spans.alias("s")
+    cond = (
+        (F.col("p.pid") == F.col("s.pid"))
+        & (F.col("p.pos") >= F.col("s.start_pos"))
+        & (F.col("p.pos") <= F.col("s.end_pos"))
+    )
+    # pass every positions column through (e.g. the token text for the S9
+    # sink) and append the painted label
+    keep = [F.col(f"p.{c}").alias(c) for c in positions.columns]
+    return p.join(s, cond, "left").select(
+        *keep,
+        F.when(F.col("s.type").isNull(), F.lit("O"))
+        .when(
+            F.col("p.pos") == F.col("s.start_pos"),
+            F.concat(F.lit("B-"), F.col("s.type")),
+        )
+        .otherwise(F.concat(F.lit("I-"), F.col("s.type")))
+        .alias("label"),
+    )
+
+
 def token_accuracy(gold_tokens: DataFrame, pred_tokens: DataFrame) -> DataFrame:
     """A3 (eval.py:39-47): elementwise label equality ratio after explode.
     Inputs: (pid, pos, label) frames."""

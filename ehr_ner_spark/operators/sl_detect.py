@@ -10,10 +10,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from ..kernel.sl import DeterministicSLScorer, sl_predict
+from ..kernel.sl import DeterministicSLScorer, sl_merged_labels, sl_predict
 from ..kernel.wordpiece import tokenize_text
 from ..queries_battery import QUERIES
 from .mention_detect import MENTION_SCHEMA
+
+TOKEN_LABEL_SCHEMA = "pid long, pos int, label string"
 
 
 def detect_mentions_sl(
@@ -56,6 +58,44 @@ def detect_mentions_sl(
     if num_partitions:
         inp = inp.repartition(num_partitions, "doc_id")
     return inp.mapInPandas(run, MENTION_SCHEMA)
+
+
+def sl_token_label_stream(
+    corpus_df: DataFrame,
+    types: Optional[Sequence[str]] = None,
+    num_partitions: Optional[int] = None,
+    max_seq_length: int = 512,
+) -> DataFrame:
+    """Per-token SL label stream (pid, pos, label) — the y_pred of the
+    reference's token metrics (eval.py:39-47, metrics_sl.py:243-270):
+    merged wordpiece labels (head keeps label), specials stripped, BEFORE
+    the span decode.  Same Arrow-batched shape as detect_mentions_sl; the
+    DuckDB twin is mention_sql.sl_token_labels_ctes."""
+    from ..pyfiles import ensure_shipped
+
+    spark = corpus_df.sparkSession
+    ensure_shipped(spark)
+    types = list(types or QUERIES.keys())
+    bc_types = spark.sparkContext.broadcast(types)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = DeterministicSLScorer(bc_types.value)
+        for pdf in batches:
+            rows: dict = {"pid": [], "pos": [], "label": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                _toks, labels = sl_merged_labels(
+                    scorer, tokenize_text(content), max_seq_length
+                )
+                for pos, lab in enumerate(labels):
+                    rows["pid"].append(int(doc_id))
+                    rows["pos"].append(pos)
+                    rows["label"].append(lab)
+            yield pd.DataFrame(rows)
+
+    inp = corpus_df.select("doc_id", "content")
+    if num_partitions:
+        inp = inp.repartition(num_partitions, "doc_id")
+    return inp.mapInPandas(run, TOKEN_LABEL_SCHEMA)
 
 
 def detect_mentions_sl_crf(

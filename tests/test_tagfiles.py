@@ -73,3 +73,30 @@ def test_write_predictions_padding(spark, tmp_path):
     write_predictions(g, p, out)
     lines = [r.value for r in spark.read.text(out).collect()]
     assert lines == ["t0 B-X B-X", "t1 I-X I-X", "t2 O no prediction"]
+
+
+def test_paint_flat_labels_bio():
+    """paint_flat_labels: B at span start, I inside, O elsewhere; extra
+    position columns (e.g. the token text for the S9 sink) pass through."""
+    from pyspark.sql import SparkSession
+
+    from ehr_ner_spark.operators.metrics import paint_flat_labels
+
+    spark = SparkSession.getActiveSession()
+    pos = spark.createDataFrame(
+        [(0, p, f"t{p}") for p in range(5)] + [(1, 0, "x")],
+        "pid long, pos int, token string",
+    )
+    spans = spark.createDataFrame(
+        [(0, "ADD", 1, 3, "t1t2t3")],
+        "pid long, type string, start_pos int, end_pos int, text string",
+    )
+    rows = {(r.pid, r.pos): (r.token, r.label)
+            for r in paint_flat_labels(pos, spans).collect()}
+    assert rows[(0, 0)] == ("t0", "O")
+    assert rows[(0, 1)] == ("t1", "B-ADD")
+    assert rows[(0, 2)] == ("t2", "I-ADD")
+    assert rows[(0, 3)] == ("t3", "I-ADD")
+    assert rows[(0, 4)] == ("t4", "O")
+    assert rows[(1, 0)] == ("x", "O")
+    assert len(rows) == 6
