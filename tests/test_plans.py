@@ -232,3 +232,26 @@ def test_linking_surface_width_and_hash_verify(spark, sf_dir):
     edge_plan = _plan(edges)
     assert "SortMergeJoin" not in edge_plan
     assert "ShuffledHashJoin" in edge_plan or "BroadcastHashJoin" in edge_plan
+
+
+def test_paint_and_prediction_lines_are_equi_joins(spark, sf_dir):
+    """The BIO painting join (span BETWEEN over token positions) must
+    compile to a pid-keyed HASH join with the BETWEEN as residual — never a
+    nested loop over the corpus.  kg_token_metrics' single
+    BroadcastNestedLoopJoin is the 1x1 Cross of its two aggregate rows,
+    which is fine; kg_prediction_lines (corpus-sized output) must have
+    none at all."""
+    lines = entrypoints.QUERIES_REGISTRY["kg_prediction_lines"](spark, sf_dir)
+    plan = _plan(lines)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashjoin" in plan.lower() or "HashJoin" in plan
+
+    metrics = entrypoints.QUERIES_REGISTRY["kg_token_metrics"](spark, sf_dir)
+    mplan = _plan(metrics)
+    assert "CartesianProduct" not in mplan
+    # every BNLJ in the metrics plan is the aggregate-row cross join
+    bnlj = [ln for ln in mplan.splitlines()
+            if "BroadcastNestedLoopJoin" in ln]
+    assert all("Cross" in ln for ln in bnlj)
+    assert len(bnlj) <= 1
