@@ -248,6 +248,31 @@ def kg_crf_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _train_tagger_oracle() -> str:
+    from .operators.train_sql import train_oracle_sql
+
+    return train_oracle_sql(CORPUS_SQL, max_seq_length=128, epochs=3)
+
+
+@_register("kg_train_tagger", oracle=_train_tagger_oracle)
+def kg_train_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7: the training loop (train/run_ner.py:319-374), re-expressed as
+    distributed class-weighted batch perceptron over hashed (piece, prev)
+    features — distilling the resident scorer's labels, the same
+    class-weight vector the reference trains with (simqasl_config.json).
+    Each epoch is pure Catalyst (broadcast weight join + tiny integer
+    groupBy; operators/train.py); updates are integer mistake counts, so
+    the unrolled-epoch DuckDB twin (operators/train_sql.py) hash-matches
+    EXACTLY — U7 with a full external oracle.  Output: (epoch, mistakes,
+    correct, total) per epoch, epoch 4 = final-weights evaluation; the
+    falling mistake curve is the convergence evidence."""
+    from .operators.train import train_metrics
+
+    return train_metrics(
+        corpus(spark, sf_dir), max_seq_length=128, epochs=3, num_partitions=8
+    )
+
+
 def _sl_mentions_oracle() -> str:
     from .operators.mention_sql import sl_mentions_oracle_sql
 
