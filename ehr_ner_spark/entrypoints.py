@@ -273,6 +273,27 @@ def kg_train_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trained_mentions_oracle() -> str:
+    from .operators.train_sql import trained_mentions_oracle_sql
+
+    return trained_mentions_oracle_sql(CORPUS_SQL, max_seq_length=128, epochs=3)
+
+
+@_register("kg_trained_mentions", oracle=_trained_mentions_oracle)
+def kg_trained_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 end-to-end: train the tagger on this corpus, then run the
+    UNCHANGED detection plan with the learned weights through the Scorer
+    plug point (operators/train.py::detect_mentions_trained).  The oracle
+    is ONE DuckDB query that replays training to its final weights AND the
+    student's score -> merge -> IOB2 decode — the train -> deploy loop
+    hash-checked externally."""
+    from .operators.train import detect_mentions_trained
+
+    return detect_mentions_trained(
+        corpus(spark, sf_dir), max_seq_length=128, epochs=3, num_partitions=8
+    ).select("doc_id", "type", "start_pos", "end_pos", "text")
+
+
 def _sl_mentions_oracle() -> str:
     from .operators.mention_sql import sl_mentions_oracle_sql
 
@@ -1232,6 +1253,29 @@ def ds_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_ann_topk
 
     return ivf_ann_topk(_t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+def _kmeans_oracle() -> str:
+    from .operators.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql()
+
+
+@_register("ds_kmeans", oracle=_kmeans_oracle)
+def ds_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding column (Lloyd, 2 rounds,
+    deterministic first-k init) — the topic-clustering stage of a curation
+    pipeline, and the second iterative-ML operator after kg_train_tagger:
+    broadcast centroids, argmin window, map-side-combined (cluster, dim)
+    re-estimation, O(k*dim) driver sync per round.  Centroids snap to the
+    shared floor(x*1e6+0.5)/1e6 grid each round so the unrolled-iteration
+    DuckDB twin (operators/kmeans.py::kmeans_oracle_sql) stays on the same
+    trajectory; output (cluster, n_points, inertia@round3)."""
+    from .operators.kmeans import kmeans_clusters
+
+    return kmeans_clusters(_t(spark, sf_dir, "embeddings")).withColumn(
+        "cluster", F.col("cluster").cast("long")
+    )
 
 
 def _minhash_dedup_oracle() -> str:

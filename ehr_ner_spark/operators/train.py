@@ -258,3 +258,38 @@ def train_metrics(
     return spark.createDataFrame(
         rows, "epoch int, mistakes long, correct long, total long"
     )
+
+
+def detect_mentions_trained(
+    corpus_df: DataFrame,
+    tags: Tuple[str, ...] = TRAIN_TAGS,
+    max_seq_length: int = 128,
+    epochs: int = 3,
+    num_partitions: Optional[int] = 8,
+) -> DataFrame:
+    """The train -> deploy hand-off end to end: fit the tagger on this
+    corpus, then run the UNCHANGED detection plan with the learned weights
+    through the Scorer plug point (the reference's run_ner.py ->
+    bert_qasl_predictor.py sequence).  The weight matrix (dim x 3 doubles)
+    rides to workers inside the UDF closure — model-size is independent of
+    corpus size, exactly like the resident-scorer path."""
+    from ..kernel.train import TrainedPerceptronScorer
+    from .mention_detect import detect_mentions
+
+    staged = training_frame(
+        corpus_df, tags, max_seq_length, num_partitions=num_partitions
+    )
+    acc, _mistakes = fit_tagger(staged, epochs=epochs)
+    w = combine_weights(acc)
+
+    def factory(w=w):
+        return TrainedPerceptronScorer(w)
+
+    queries = {t: QUERIES[t] for t in tags}
+    return detect_mentions(
+        corpus_df,
+        queries=queries,
+        num_partitions=num_partitions,
+        max_seq_length=max_seq_length,
+        scorer_factory=factory,
+    )

@@ -39,13 +39,13 @@ def _md(x: str) -> str:
     return MD5_60_SQL.format(x=x)
 
 
-def train_oracle_sql(
+def _train_ctes(
     corpus_sql: str,
     tags=TRAIN_TAGS,
     max_seq_length: int = 128,
     dim: int = TRAIN_DIM,
     epochs: int = 3,
-) -> str:
+) -> list:
     tq = tags_qlen(tuple(tags))
     values = ",\n        ".join(
         f"('{t}', {q})" for t, q in sorted(tq.items())
@@ -63,7 +63,7 @@ def train_oracle_sql(
                  (x, i) -> {{'tok': x, 'i': i}})) AS s
         FROM corpus) u),
     pieces AS (
-      SELECT doc_id,
+      SELECT doc_id, tok, tok_idx, k,
              CASE WHEN k = 0 THEN substr(tok, 1, {PIECE})
                   ELSE '##' || substr(tok, k * {PIECE} + 1, {PIECE})
              END AS piece,
@@ -79,7 +79,7 @@ def train_oracle_sql(
       FROM (VALUES
         {values}) v(tag, qlen)),
     scored AS (
-      SELECT p.doc_id, t.tag, p.pos, p.piece,
+      SELECT p.doc_id, t.tag, p.tok, p.tok_idx, p.k, p.pos, p.piece,
              (h % 997) / 997.0 AS u1,
              ((h >> 10) % 991) / 991.0 AS u2,
              (t.sep_u1 > 0.985 OR t.sep_u2 > 0.93) AS sep_hot
@@ -88,7 +88,7 @@ def train_oracle_sql(
       CROSS JOIN LATERAL (SELECT {_md("t.tag || '|' || p.piece")} AS h) hh
       WHERE p.pos < {max_seq_length} - t.qlen - 3),
     lg AS (
-      SELECT doc_id, tag, pos, piece,
+      SELECT doc_id, tag, tok, tok_idx, k, pos, piece,
              LAG(piece, 1, '[SEP]') OVER w AS prev,
              {_S.B_GAIN} * u1 + ({_S.B_BIAS}) AS l_b,
              {_S.I_GAIN} * u2 + ({_S.I_BIAS})
@@ -152,6 +152,17 @@ def train_oracle_sql(
              COALESCE(SUM(CASE WHEN l = 2 THEN w END), 0.0) AS wO
       FROM wl{e} GROUP BY f)""")
 
+    return parts
+
+
+def train_oracle_sql(
+    corpus_sql: str,
+    tags=TRAIN_TAGS,
+    max_seq_length: int = 128,
+    dim: int = TRAIN_DIM,
+    epochs: int = 3,
+) -> str:
+    parts = _train_ctes(corpus_sql, tags, max_seq_length, dim, epochs)
     out_rows = "\n      UNION ALL\n      ".join(
         f"SELECT {e} AS epoch, (SELECT COUNT(*) FROM m{e}) AS mistakes"
         for e in range(1, epochs + 2)
@@ -161,4 +172,46 @@ def train_oracle_sql(
            tt.total - o.mistakes AS correct, tt.total
     FROM ({out_rows}) o
     CROSS JOIN (SELECT COUNT(*) AS total FROM train) tt""")
+    return "".join(parts)
+
+
+def trained_mentions_oracle_sql(
+    corpus_sql: str,
+    tags=TRAIN_TAGS,
+    max_seq_length: int = 128,
+    dim: int = TRAIN_DIM,
+    epochs: int = 3,
+) -> str:
+    """The train -> deploy hand-off as ONE DuckDB query: run the unrolled
+    training chain to its final weights (wide{epochs}), score every passage
+    piece with the STUDENT (W[f_u] + W[f_b], argmax with the B<I<O
+    tie-break), then decode spans through the same WordPiece-merge + IOB2
+    CTEs the flagship oracle uses (mention_sql._span_decode_ctes) — the SQL
+    twin of ``detect_mentions(..., scorer_factory=TrainedPerceptronScorer)``.
+    """
+    from .mention_sql import _span_decode_ctes
+
+    parts = _train_ctes(corpus_sql, tags, max_seq_length, dim, epochs)
+    w = f"wide{epochs}"
+    parts.append(f""",
+    sfeat AS (
+      SELECT doc_id, tag, tok, tok_idx, k,
+             {_md("tag || '#u#' || piece")} % {dim} AS f_u,
+             {_md("tag || '#b#' || prev || '#' || piece")} % {dim} AS f_b
+      FROM lg),
+    sp AS (
+      SELECT s.doc_id, s.tag, s.tok, s.tok_idx, s.k,
+             COALESCE(u.wB, 0.0) + COALESCE(b.wB, 0.0) AS lb,
+             COALESCE(u.wI, 0.0) + COALESCE(b.wI, 0.0) AS li,
+             COALESCE(u.wO, 0.0) + COALESCE(b.wO, 0.0) AS lo
+      FROM sfeat s
+      LEFT JOIN {w} u ON u.f = s.f_u
+      LEFT JOIN {w} b ON b.f = s.f_b),
+    labeled AS (
+      SELECT doc_id, tag, tok, tok_idx, k,
+             CASE WHEN lb >= li AND lb >= lo THEN 'B'
+                  WHEN li >= lo THEN 'I'
+                  ELSE 'O' END AS lab
+      FROM sp)""" + _span_decode_ctes("labeled") + """
+    SELECT doc_id, type, start_pos, end_pos, text FROM m_spans""")
     return "".join(parts)

@@ -255,3 +255,52 @@ def test_paint_and_prediction_lines_are_equi_joins(spark, sf_dir):
             if "BroadcastNestedLoopJoin" in ln]
     assert all("Cross" in ln for ln in bnlj)
     assert len(bnlj) <= 1
+
+
+def test_trainer_epoch_is_broadcast_and_mapside(spark, sf_dir):
+    """The U7 epoch plan: weights join the staged frame as BROADCAST hash
+    joins (never a shuffle keyed on the corpus-sized side), the update
+    aggregation partial-combines map-side, and no Python stage exists in
+    the loop (the teacher UDF runs once at staging, not per epoch)."""
+    import numpy as np
+
+    from ehr_ner_spark.kernel.train import TRAIN_DIM
+    from ehr_ner_spark.operators.train import _weights_df, training_frame
+
+    staged = training_frame(corpus(spark, sf_dir).limit(20), num_partitions=2)
+    w = np.zeros((TRAIN_DIM, 3))
+    w[0] = [0.1, -0.2, 0.3]  # non-empty so the join is planned for real
+    w_df = _weights_df(spark, w)
+
+    from pyspark.sql import functions as F
+
+    from ehr_ner_spark.operators import train as train_mod
+
+    # build the epoch frame exactly as _epoch_counts does, but inspect the
+    # plan instead of collecting
+    u, b = w_df.alias("u"), w_df.alias("b")
+    z = F.lit(0.0)
+    joined = (
+        staged.join(F.broadcast(u), staged["f_u"] == F.col("u.f"), "left")
+        .join(F.broadcast(b), staged["f_b"] == F.col("b.f"), "left")
+        .groupBy("y")
+        .agg(F.sum(F.coalesce(F.col("u.wB"), z)).alias("s"))
+    )
+    plan = _plan(joined)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+    # the staged side crosses Python once (the teacher staging UDF), and the
+    # epoch adds no further Python/Arrow stages
+    assert plan.count("MapInPandas") == 1
+
+
+def test_kmeans_assignment_is_broadcast_nested_loop(spark, sf_dir):
+    """k-means assignment: centroids broadcast (BroadcastNestedLoopJoin —
+    the k x dim parameter side never shuffles the vectors), distance fold is
+    pure JVM (no Python stage anywhere in the final plan)."""
+    df = entrypoints.QUERIES_REGISTRY["ds_kmeans"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "partial_" in plan  # per-cluster counts/inertia combine map-side
