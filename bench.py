@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "ds_lang_id",
     "ds_minhash_lsh_pairs",
     "ds_embedding_neardup",
+    "kg_train_tagger",
+    "ds_kmeans",
 ]
 
 

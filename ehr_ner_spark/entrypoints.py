@@ -268,8 +268,10 @@ def kg_train_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
     falling mistake curve is the convergence evidence."""
     from .operators.train import train_metrics
 
+    # num_partitions=None: follow the session's parallelism (the trainer is
+    # integer-exact, so the result is partitioning-independent by design)
     return train_metrics(
-        corpus(spark, sf_dir), max_seq_length=128, epochs=3, num_partitions=8
+        corpus(spark, sf_dir), max_seq_length=128, epochs=3, num_partitions=None
     )
 
 
@@ -290,7 +292,7 @@ def kg_trained_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.train import detect_mentions_trained
 
     return detect_mentions_trained(
-        corpus(spark, sf_dir), max_seq_length=128, epochs=3, num_partitions=8
+        corpus(spark, sf_dir), max_seq_length=128, epochs=3, num_partitions=None
     ).select("doc_id", "type", "start_pos", "end_pos", "text")
 
 

@@ -159,32 +159,58 @@ class TrainedPerceptronScorer(ScorerBase):
         return out
 
 
+def teacher_arrays(
+    scorer,
+    tags_qlen: Dict[str, int],
+    passage_tokens: Sequence[str],
+    max_seq_length: int = 128,
+) -> List[Tuple[str, List[str], List[str], np.ndarray]]:
+    """Per-document training examples as per-tag column arrays
+    ``(tag, pieces, prevs, y)``: the teacher's top-1 label per passage
+    wordpiece under the battery fast path's exact scoring convention
+    (``[SEP] + pieces`` truncated to ``max_seq_length - qlen - 3``), with
+    the same by-qlen grouping as kernel/predict.py ``predict_battery`` so
+    the whole tag set costs ONE vectorized battery call per truncation
+    group instead of one scorer call per tag."""
+    from .wordpiece import SEP, wp_split
+
+    p_sub: List[str] = []
+    for t in passage_tokens:
+        p_sub.extend(wp_split(t))
+    by_len: Dict[int, List[str]] = {}
+    max_qlen = 0
+    for tag, qlen in tags_qlen.items():
+        max_qlen = max(max_qlen, qlen)
+        by_len.setdefault(qlen, []).append(tag)
+    if len(p_sub) <= max_seq_length - max_qlen - 3:
+        by_len = {max_qlen: list(tags_qlen)}
+
+    out: List[Tuple[str, List[str], List[str], np.ndarray]] = []
+    for qlen, tags in by_len.items():
+        pieces = p_sub[: max_seq_length - qlen - 3]
+        if not pieces:
+            continue
+        scored = [SEP] + pieces
+        labs = scorer.top1_tags_battery(tags, scored)[:, 1:]  # (Q, n)
+        y = (labs == "I") * 1 + (labs == "O") * 2  # B=0, I=1, O=2
+        prevs = scored[:-1]
+        for qi, tag in enumerate(tags):
+            out.append((tag, pieces, prevs, y[qi].astype(np.int64)))
+    return out
+
+
 def teacher_rows(
     scorer,
     tags_qlen: Dict[str, int],
     passage_tokens: Sequence[str],
     max_seq_length: int = 128,
 ) -> List[Tuple[str, int, str, str, int]]:
-    """Per-document training examples (tag, pos, piece, prev, y): the
-    teacher's top-1 label per passage wordpiece, per query tag, under the
-    battery fast path's exact scoring convention (``[SEP] + pieces``
-    truncated to ``max_seq_length - qlen - 3``; kernel/predict.py
-    ``predict_battery``)."""
-    from .wordpiece import SEP, wp_split
-
-    p_sub: List[str] = []
-    for t in passage_tokens:
-        p_sub.extend(wp_split(t))
+    """Row-at-a-time view of :func:`teacher_arrays` (tests / small corpora):
+    one (tag, pos, piece, prev, y) tuple per training token."""
     out: List[Tuple[str, int, str, str, int]] = []
-    lab2id = {"B": 0, "I": 1, "O": 2}
-    for tag, qlen in tags_qlen.items():
-        pieces = p_sub[: max_seq_length - qlen - 3]
-        if not pieces:
-            continue
-        scored = [SEP] + pieces
-        labels = scorer.top1_tags_battery([tag], scored)[0, 1:]
-        for pos, piece in enumerate(pieces):
-            out.append(
-                (tag, pos, piece, scored[pos], lab2id[str(labels[pos])])
-            )
+    for tag, pieces, prevs, y in teacher_arrays(
+        scorer, tags_qlen, passage_tokens, max_seq_length
+    ):
+        for pos, (piece, prev, yi) in enumerate(zip(pieces, prevs, y)):
+            out.append((tag, pos, piece, prev, int(yi)))
     return out

@@ -5,11 +5,12 @@ Spark-first shape, NOT a translation of the reference's HF ``Trainer`` loop
 
 * **Stage the examples once.** One Arrow-batched ``mapInPandas`` pass over
   the corpus emits the teacher's per-piece labels (kernel/train.py
-  ``teacher_rows``); the hashed features are then computed JVM-side
-  (hashing.md5_60_expr — whole-stage codegen) and the epoch input is
-  column-pruned to THREE int64 columns ``(f_u, f_b, y)`` before
-  ``persist()`` — at 100 TB the staged frame is the only corpus-sized
-  thing, and each epoch re-reads just 24 bytes/token from cache.
+  ``teacher_arrays``) AND the memoized feature hashes — the md5 cost is
+  proportional to the per-worker vocabulary, not the token stream, and the
+  epoch input leaves the worker as THREE int64 columns ``(f_u, f_b, y)``
+  (token strings never cross Arrow).  At 100 TB the staged, persisted
+  frame is the only corpus-sized thing, and each epoch re-reads just 24
+  bytes/example from cache.
 * **Each epoch is pure Catalyst.** Current weights (<= dim x 3 doubles —
   independent of corpus size) are broadcast-joined onto the staged frame,
   the mistake filter and the 4-way update-delta explode run in codegen, and
@@ -37,17 +38,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    IntegerType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
-from ..hashing import md5_60_expr
 from ..kernel.scorer import DeterministicQAScorer
-from ..kernel.train import TRAIN_DIM, combine_weights, teacher_rows
+from ..kernel.train import TRAIN_DIM, combine_weights, teacher_arrays
 from ..kernel.wordpiece import tokenize_text, wp_split_seq
 from ..queries_battery import QUERIES
 
@@ -56,15 +50,15 @@ from ..queries_battery import QUERIES
 # while keeping the driver's unrolled SQL oracle compact.
 TRAIN_TAGS: Tuple[str, ...] = tuple(sorted(QUERIES))[:4]
 
-_TEACH_SCHEMA = StructType(
+_TRAIN_SCHEMA = StructType(
     [
-        StructField("tag", StringType()),
-        StructField("pos", IntegerType()),
-        StructField("piece", StringType()),
-        StructField("prev", StringType()),
-        StructField("y", IntegerType()),
+        StructField("f_u", LongType()),
+        StructField("f_b", LongType()),
+        StructField("y", LongType()),
     ]
 )
+
+_FEAT_MEMO_CAP = 2_000_000  # per-worker feature-hash memo bound (vocab scale)
 
 
 def tags_qlen(tags: Tuple[str, ...] = TRAIN_TAGS) -> Dict[str, int]:
@@ -85,8 +79,13 @@ def training_frame(
     """corpus -> (f_u, f_b, y) int64 epoch input.
 
     The teacher (resident scorer, constructed once per worker) labels each
-    passage wordpiece under each training tag; feature hashing runs
-    JVM-side on the UDF's (tag, piece, prev) output columns."""
+    passage wordpiece under each training tag; feature hashes are computed
+    IN the same Arrow pass with a per-(tag, piece) memo — vocabularies are
+    tiny relative to token streams, so the md5 cost is proportional to the
+    vocabulary, not the corpus, and only three int64 columns ever cross
+    Arrow (string columns never leave the worker — at 100 TB that is the
+    difference between shipping token text twice and shipping 24
+    bytes/example)."""
     spark = corpus_df.sparkSession
     from ..pyfiles import ensure_shipped
 
@@ -95,39 +94,55 @@ def training_frame(
     bc_tq = spark.sparkContext.broadcast(tq)
 
     def label_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..hashing import md5_60
+
         scorer = DeterministicQAScorer()  # teacher: once per worker
         tqv = bc_tq.value
+        memo_u: dict = {t: {} for t in tqv}  # piece -> f_u
+        memo_b: dict = {t: {} for t in tqv}  # (prev, piece) -> f_b
         for pdf in batches:
-            rows: dict = {k: [] for k in ("tag", "pos", "piece", "prev", "y")}
+            fu_all: list = []
+            fb_all: list = []
+            y_all: list = []
             for content in pdf["content"]:
-                for tag, pos, piece, prev, y in teacher_rows(
+                for tag, pieces, prevs, y in teacher_arrays(
                     scorer, tqv, tokenize_text(content), max_seq_length
                 ):
-                    rows["tag"].append(tag)
-                    rows["pos"].append(pos)
-                    rows["piece"].append(piece)
-                    rows["prev"].append(prev)
-                    rows["y"].append(y)
-            yield pd.DataFrame(rows)
+                    mu, mb = memo_u[tag], memo_b[tag]
+                    for p in pieces:
+                        h = mu.get(p)
+                        if h is None:
+                            h = md5_60(f"{tag}#u#{p}") % dim
+                            if len(mu) < _FEAT_MEMO_CAP:
+                                mu[p] = h
+                        fu_all.append(h)
+                    for pv, p in zip(prevs, pieces):
+                        key = (pv, p)
+                        h = mb.get(key)
+                        if h is None:
+                            h = md5_60(f"{tag}#b#{pv}#{p}") % dim
+                            if len(mb) < _FEAT_MEMO_CAP:
+                                mb[key] = h
+                        fb_all.append(h)
+                    y_all.append(y)
+            yield pd.DataFrame(
+                {
+                    "f_u": np.asarray(fu_all, dtype=np.int64),
+                    "f_b": np.asarray(fb_all, dtype=np.int64),
+                    "y": (
+                        np.concatenate(y_all)
+                        if y_all
+                        else np.empty(0, dtype=np.int64)
+                    ),
+                }
+            )
 
     inp = corpus_df.select("doc_id", "content")
     if num_partitions:
         inp = inp.repartition(num_partitions, "doc_id")
-    teach = inp.mapInPandas(label_partition, _TEACH_SCHEMA)
-    return teach.select(
-        (md5_60_expr(F.concat(F.col("tag"), F.lit("#u#"), F.col("piece"))) % dim)
-        .alias("f_u"),
-        (
-            md5_60_expr(
-                F.concat(
-                    F.col("tag"), F.lit("#b#"), F.col("prev"),
-                    F.lit("#"), F.col("piece"),
-                )
-            )
-            % dim
-        ).alias("f_b"),
-        F.col("y").cast("long").alias("y"),
-    )
+    else:  # follow session parallelism (like detect_mentions)
+        inp = inp.repartition("doc_id")
+    return inp.mapInPandas(label_partition, _TRAIN_SCHEMA)
 
 
 def _weights_df(spark: SparkSession, w: np.ndarray) -> DataFrame:
@@ -212,9 +227,12 @@ def fit_tagger(
     accumulator and per-epoch mistakes plus a final evaluation pass
     (exactly the shape of kernel.train.perceptron_train_local)."""
     spark = train_df.sparkSession
-    from ..cache import tracked_persist
+    if train_df.is_cached:  # caller already staged it (train_metrics)
+        staged = train_df
+    else:
+        from ..cache import tracked_persist
 
-    staged = tracked_persist(train_df)
+        staged = tracked_persist(train_df)
     acc = np.zeros((dim, 3, 3), dtype=np.int64)
     mistakes: List[int] = []
     for _ in range(epochs):
