@@ -264,8 +264,10 @@ def kg_train_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy; operators/train.py); updates are integer mistake counts, so
     the unrolled-epoch DuckDB twin (operators/train_sql.py) hash-matches
     EXACTLY — U7 with a full external oracle.  Output: (epoch, mistakes,
-    correct, total) per epoch, epoch 4 = final-weights evaluation; the
-    falling mistake curve is the convergence evidence."""
+    correct, total) per epoch, epoch 4 = final-weights evaluation.  The
+    convergence evidence is the collapse from the all-wrong epoch 1 to a
+    small final residual (batch perceptron oscillates between epochs —
+    expected and asserted as such in tests/test_train.py)."""
     from .operators.train import train_metrics
 
     # num_partitions=None: follow the session's parallelism (the trainer is

@@ -187,7 +187,9 @@ def teacher_arrays(
 
     out: List[Tuple[str, List[str], List[str], np.ndarray]] = []
     for qlen, tags in by_len.items():
-        pieces = p_sub[: max_seq_length - qlen - 3]
+        # clamp: a query longer than the window trains on nothing (matches
+        # the SQL twin's `pos < negative` = empty, not a wrap-around slice)
+        pieces = p_sub[: max(0, max_seq_length - qlen - 3)]
         if not pieces:
             continue
         scored = [SEP] + pieces

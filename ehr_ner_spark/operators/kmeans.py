@@ -81,8 +81,12 @@ def kmeans_clusters(
     ivf_assign's stride seeding — the iteration, not the seeding, is the
     operator).  ``iters`` Lloyd rounds, then a final assignment under the
     last snapped centroid set."""
+    from ..cache import tracked_persist
+
     spark = embeddings.sparkSession
-    e = embeddings.select("vec_id", "embedding")
+    # iters + 2 actions consume this projection (init, per-round assign +
+    # means, final assignment) — stage it once, like the trainer's frame
+    e = tracked_persist(embeddings.select("vec_id", "embedding"))
 
     init = e.orderBy("vec_id").limit(k).collect()
     cents: List[Tuple[int, List[float]]] = [

@@ -43,9 +43,24 @@ def _battery_values() -> str:
     return ",\n        ".join(rows)
 
 
-def _battery_prelude(corpus_sql: str, max_seq_length: int = MAX_SEQ_LENGTH) -> str:
+def _battery_prelude(
+    corpus_sql: str,
+    max_seq_length: int = MAX_SEQ_LENGTH,
+    values_sql: str | None = None,
+    carry_piece: bool = False,
+) -> str:
     """Shared CTE chain corpus -> toks -> pieces -> tags -> scored -> lg
-    (per-(doc, tag, pos) logits retained for downstream consumers)."""
+    (per-(doc, tag, pos) logits retained for downstream consumers).
+
+    ``values_sql`` swaps the (tag, qlen) VALUES body (the trainer oracle
+    restricts to TRAIN_TAGS); ``carry_piece`` additionally threads the raw
+    piece string and its LAG predecessor (default '[SEP]') through scored
+    and lg — the trainer's feature hashing needs both.  Default arguments
+    reproduce the flagship prelude unchanged."""
+    piece_col = "p.piece," if carry_piece else ""
+    prev_col = (
+        "LAG(piece, 1, '[SEP]') OVER w AS prev," if carry_piece else ""
+    )
     return f"""
     WITH corpus AS ({corpus_sql}),
     toks AS (
@@ -73,9 +88,9 @@ def _battery_prelude(corpus_sql: str, max_seq_length: int = MAX_SEQ_LENGTH) -> s
              (('0x' || substr(md5(tag || '|' || '[SEP]'), 1, 15))::BIGINT % 997) / 997.0 AS sep_u1,
              ((('0x' || substr(md5(tag || '|' || '[SEP]'), 1, 15))::BIGINT >> 10) % 991) / 991.0 AS sep_u2
       FROM (VALUES
-        {_battery_values()}) v(tag, qlen)),
+        {values_sql or _battery_values()}) v(tag, qlen)),
     scored AS (
-      SELECT p.doc_id, t.tag, p.tok, p.tok_idx, p.k, p.pos,
+      SELECT p.doc_id, t.tag, p.tok, p.tok_idx, p.k, p.pos, {piece_col}
              (h % 997) / 997.0 AS u1,
              ((h >> 10) % 991) / 991.0 AS u2,
              (t.sep_u1 > 0.985 OR t.sep_u2 > 0.93) AS sep_hot
@@ -84,7 +99,7 @@ def _battery_prelude(corpus_sql: str, max_seq_length: int = MAX_SEQ_LENGTH) -> s
       CROSS JOIN LATERAL (SELECT ('0x' || substr(md5(t.tag || '|' || p.piece), 1, 15))::BIGINT AS h) hh
       WHERE p.pos < {max_seq_length} - t.qlen - 3),
     lg AS (
-      SELECT *,
+      SELECT *, {prev_col}
              {_S.B_GAIN} * u1 + ({_S.B_BIAS}) AS l_b,
              {_S.I_GAIN} * u2 + ({_S.I_BIAS})
                + {_S.I_PREV_BOOST} * (CASE WHEN COALESCE(

@@ -94,7 +94,7 @@ def training_frame(
     bc_tq = spark.sparkContext.broadcast(tq)
 
     def label_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..hashing import md5_60
+        from ..kernel.train import feat_b, feat_u
 
         scorer = DeterministicQAScorer()  # teacher: once per worker
         tqv = bc_tq.value
@@ -112,7 +112,7 @@ def training_frame(
                     for p in pieces:
                         h = mu.get(p)
                         if h is None:
-                            h = md5_60(f"{tag}#u#{p}") % dim
+                            h = feat_u(tag, p, dim)
                             if len(mu) < _FEAT_MEMO_CAP:
                                 mu[p] = h
                         fu_all.append(h)
@@ -120,7 +120,7 @@ def training_frame(
                         key = (pv, p)
                         h = mb.get(key)
                         if h is None:
-                            h = md5_60(f"{tag}#b#{pv}#{p}") % dim
+                            h = feat_b(tag, pv, p, dim)
                             if len(mb) < _FEAT_MEMO_CAP:
                                 mb[key] = h
                         fb_all.append(h)

@@ -28,10 +28,8 @@ from __future__ import annotations
 
 from ..hashing import MD5_60_SQL
 from ..kernel.scorer import CLASS_WEIGHTS
-from ..kernel.scorer import DeterministicQAScorer as _S
 from ..kernel.train import TRAIN_DIM
-from ..kernel.wordpiece import PIECE
-from .mention_sql import TOKEN_RE
+from .mention_sql import _battery_prelude
 from .train import TRAIN_TAGS, tags_qlen
 
 
@@ -52,52 +50,11 @@ def _train_ctes(
     )
     cw = [f"{float(c)!r}::DOUBLE" for c in CLASS_WEIGHTS]
 
-    parts = [f"""
-    WITH corpus AS ({corpus_sql}),
-    toks AS (
-      SELECT doc_id, (u.s).tok AS tok, (u.s).i - 1 AS tok_idx
-      FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 regexp_extract_all(content, '{TOKEN_RE}'),
-                 (x, i) -> {{'tok': x, 'i': i}})) AS s
-        FROM corpus) u),
-    pieces AS (
-      SELECT doc_id, tok, tok_idx, k,
-             CASE WHEN k = 0 THEN substr(tok, 1, {PIECE})
-                  ELSE '##' || substr(tok, k * {PIECE} + 1, {PIECE})
-             END AS piece,
-             ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY tok_idx, k) - 1 AS pos
-      FROM (SELECT doc_id, tok, tok_idx,
-                   unnest(range((length(tok) + {PIECE} - 1) // {PIECE})) AS k
-            FROM toks)),
-    tags AS (
-      SELECT tag, qlen,
-             ({_md("tag || '|' || '[SEP]'")} % 997) / 997.0 AS sep_u1,
-             (({_md("tag || '|' || '[SEP]'")} >> 10) % 991) / 991.0 AS sep_u2
-      FROM (VALUES
-        {values}) v(tag, qlen)),
-    scored AS (
-      SELECT p.doc_id, t.tag, p.tok, p.tok_idx, p.k, p.pos, p.piece,
-             (h % 997) / 997.0 AS u1,
-             ((h >> 10) % 991) / 991.0 AS u2,
-             (t.sep_u1 > 0.985 OR t.sep_u2 > 0.93) AS sep_hot
-      FROM pieces p
-      CROSS JOIN tags t
-      CROSS JOIN LATERAL (SELECT {_md("t.tag || '|' || p.piece")} AS h) hh
-      WHERE p.pos < {max_seq_length} - t.qlen - 3),
-    lg AS (
-      SELECT doc_id, tag, tok, tok_idx, k, pos, piece,
-             LAG(piece, 1, '[SEP]') OVER w AS prev,
-             {_S.B_GAIN} * u1 + ({_S.B_BIAS}) AS l_b,
-             {_S.I_GAIN} * u2 + ({_S.I_BIAS})
-               + {_S.I_PREV_BOOST} * (CASE WHEN COALESCE(
-                     LAG(u1 > 0.985 OR u2 > 0.93) OVER w, sep_hot)
-                   THEN 1.0 ELSE 0.0 END) AS l_i,
-             {_S.O_BIAS} AS l_o
-      FROM scored
-      WINDOW w AS (PARTITION BY doc_id, tag ORDER BY pos)),
+    parts = [
+        _battery_prelude(
+            corpus_sql, max_seq_length, values_sql=values, carry_piece=True
+        ),
+        f""",
     train AS MATERIALIZED (
       SELECT CASE WHEN l_b >= l_i AND l_b >= l_o THEN 0
                   WHEN l_i >= l_o THEN 1 ELSE 2 END AS y,
@@ -107,7 +64,8 @@ def _train_ctes(
     wide0 AS (
       SELECT CAST(NULL AS BIGINT) AS f, CAST(NULL AS DOUBLE) AS wB,
              CAST(NULL AS DOUBLE) AS wI, CAST(NULL AS DOUBLE) AS wO
-      WHERE FALSE)"""]
+      WHERE FALSE)""",
+    ]
 
     for e in range(1, epochs + 2):  # epochs 1..E update; E+1 is eval-only
         parts.append(f""",
