@@ -1035,32 +1035,15 @@ def ds_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_oracle() -> str:
+    from .operators.textops import QUALITY_SQL
+
+    return QUALITY_SQL
+
+
 @_register(
     "ds_quality",
-    oracle=r"""
-    WITH base AS (
-      SELECT doc_id,
-             string_split_regex(trim(text), '\s+') AS words,
-             length(text) AS n_chars,
-             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
-             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
-      FROM documents),
-    feat AS (
-      SELECT doc_id,
-             len(words) AS n_words,
-             ROUND(n_chars / CAST(len(words) AS DOUBLE), 6) AS mean_word_len,
-             ROUND(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
-                   / CAST(len(words) AS DOUBLE), 6) AS stopword_ratio,
-             ROUND(n_digit / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
-             ROUND(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio
-      FROM base)
-    SELECT *,
-           ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
-               + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
-               + (1.0 - LEAST(digit_ratio * 10.0, 1.0)) * 0.15
-               + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.15, 6) AS quality
-    FROM feat
-    """,
+    oracle=_quality_oracle,
 )
 def ds_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textops import quality_scores
@@ -1257,6 +1240,26 @@ def ds_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_ann_topk
 
     return ivf_ann_topk(_t(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+def _curation_oracle() -> str:
+    from .operators.curation import curation_funnel_oracle_sql
+
+    return curation_funnel_oracle_sql()
+
+
+@_register("ds_curation_pipeline", oracle=_curation_oracle)
+def ds_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel (lang-ID -> quality -> exact dedup ->
+    MinHash/LSH near-dup -> benchmark holdout -> decontamination) as ONE
+    query: every stage lands as a boolean flag on one frame and all seven
+    cumulative survivor counts come from a single map-side-combined
+    aggregation (operators/curation.py).  The oracle composes the SAME SQL
+    the individual ds_* queries register — the composition capstone,
+    mirroring kg_canonical_triples on the KG side."""
+    from .operators.curation import curation_funnel
+
+    return curation_funnel(_t(spark, sf_dir, "documents"))
 
 
 def _kmeans_oracle() -> str:

@@ -240,3 +240,31 @@ def repetition_stats(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("distinct_word_ratio"),
         )
     )
+
+
+# DuckDB twin of :func:`quality_scores` (also reused by the curation-funnel
+# oracle) — kept next to the engine expressions it mirrors.
+QUALITY_SQL = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS words,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             ROUND(n_chars / CAST(len(words) AS DOUBLE), 6) AS mean_word_len,
+             ROUND(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+                   / CAST(len(words) AS DOUBLE), 6) AS stopword_ratio,
+             ROUND(n_digit / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
+             ROUND(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio
+      FROM base)
+    SELECT *,
+           ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+               + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+               + (1.0 - LEAST(digit_ratio * 10.0, 1.0)) * 0.15
+               + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.15, 6) AS quality
+    FROM feat
+    """

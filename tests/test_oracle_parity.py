@@ -59,7 +59,7 @@ EXACT_QUERIES = {
     "kg_sl_mentions", "kg_featurize", "kg_gold_mentions", "kg_priority_flat",
     "kg_nested_minus_flat",
     "kg_triples_resumed", "kg_mentions_stream", "kg_train_tagger",
-    "kg_trained_mentions",
+    "kg_trained_mentions", "ds_curation_pipeline",
     "ds_exact_dedup", "ds_token_stats", "ds_fingerprint", "ds_lang_id",
     "ds_simhash_pairs", "ds_minhash_sig", "ds_minhash_dedup",
     "ds_stratified_sample", "ds_pack_sequences", "ds_decontaminate",

@@ -102,3 +102,15 @@ def test_repetition_stats_semantics(spark):
     assert rows[0].top_bigram_ratio == 1.0 and rows[0].distinct_word_ratio == 0.2
     assert rows[1].top_bigram_ratio == 0.2 and rows[1].distinct_word_ratio == 1.0
     assert rows[2].n_bigrams == 1  # the '' sentinel gram
+
+
+def test_curation_funnel_is_monotone(spark, sf_dir):
+    """The cumulative survivor counts can only fall; stage 0 is the corpus."""
+    from ehr_ner_spark.operators.curation import curation_funnel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(curation_funnel(docs).collect(), key=lambda r: r.stage)
+    assert rows[0].docs_surviving == docs.count()
+    counts = [r.docs_surviving for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert len(rows) == 7
