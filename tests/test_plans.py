@@ -304,3 +304,31 @@ def test_kmeans_assignment_is_broadcast_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "Python" not in plan and "MapInPandas" not in plan
     assert "partial_" in plan  # per-cluster counts/inertia combine map-side
+
+
+def test_curation_funnel_single_aggregation(spark, sf_dir):
+    """The funnel's seven survivor counts come from ONE aggregation over
+    the flags frame (partial_ map-side combine), and the benchmark shingle
+    match inside decontamination stays a broadcast join — no corpus-sized
+    side shuffles on shingle."""
+    from ehr_ner_spark.operators.curation import curation_funnel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ehr_ner_spark.operators.curation import _STAGES
+    from ehr_ner_spark.operators.dedup import DECON_MOD, decontaminate, exact_dedup, minhash_lsh_dedup
+    from ehr_ner_spark.operators.textops import lang_id, quality_scores
+    from pyspark.sql import functions as F
+
+    # the aggregation frame, exactly as curation_funnel builds it
+    base = docs.select("doc_id")
+    flags = (
+        base.join(lang_id(docs).select("doc_id", "lang_pred"), "doc_id")
+        .join(quality_scores(docs).select("doc_id", "quality"), "doc_id")
+    )
+    agg = flags.agg(F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)))
+    plan = _plan(agg)
+    assert "partial_" in plan  # map-side combine on the conditional sums
+
+    contam = decontaminate(docs)
+    cplan = _plan(contam)
+    assert "BroadcastHashJoin" in cplan and "LeftSemi" in cplan
