@@ -490,6 +490,29 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(spark, sf_dir).select("subj", "pred", "obj")
 
 
+def _pagerank_oracle() -> str:
+    from .operators.pagerank import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_canonical_triples_oracle())
+
+
+@_register("kg_pagerank", oracle=_pagerank_oracle)
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-importance PageRank over the engine's own canonical KG
+    (undirected doc<->entity bipartite walk, 3 power iterations) — the
+    graph-analytics consumer of kg_canonical_triples and the third
+    iterative operator (after kg_train_tagger / ds_kmeans).  Each round is
+    one equi-join + one map-side-combined groupBy, shuffle O(edges); ranks
+    snap to the shared 1e-9 grid per round so the DuckDB twin (the
+    canonical-triples oracle feeding unrolled power-iteration CTEs) tracks
+    the exact trajectory."""
+    from .operators.linking import canonical_triples, canonicalize
+    from .operators.pagerank import pagerank
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return pagerank(canonical_triples(m, canonicalize(m)))
+
+
 @_register("kg_triples_resumed", oracle=_canonical_triples_oracle)
 def kg_triples_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 resume evidence through the driver (not just pytest): run the
