@@ -1076,6 +1076,39 @@ def ds_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tfidf_oracle() -> str:
+    from .operators.textops import tfidf_topk_sql
+
+    return tfidf_topk_sql()
+
+
+@_register("ds_tfidf_topk", oracle=_tfidf_oracle)
+def ds_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 tf-idf keywords (rational idf — see
+    operators/textops.py::tfidf_topk for why no log) over the documents
+    table; explode -> two map-side-combined aggs -> 1:1 df join ->
+    doc-local window top-k."""
+    from .operators.textops import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"))
+
+
+def _boilerplate_oracle() -> str:
+    from .operators.textops import boilerplate_ngrams_sql
+
+    return boilerplate_ngrams_sql()
+
+
+@_register("ds_boilerplate_ngrams", oracle=_boilerplate_oracle)
+def ds_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate mining: top-20 word 5-grams by document
+    frequency (DISTINCT per doc), the phrase table a C4-style cleaner
+    strips before training."""
+    from .operators.textops import boilerplate_ngrams
+
+    return boilerplate_ngrams(_t(spark, sf_dir, "documents"))
+
+
 @_register(
     "ds_fingerprint",
     oracle=r"""

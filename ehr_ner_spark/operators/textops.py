@@ -268,3 +268,165 @@ QUALITY_SQL = r"""
                + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.15, 6) AS quality
     FROM feat
     """
+
+
+# --- tf-idf keyword extraction (round 3) -----------------------------------
+
+TFIDF_K = 5
+
+
+def tfidf_topk(docs_in: DataFrame, text_col: str = "text",
+               k: int = TFIDF_K) -> DataFrame:
+    """Per-document top-k keywords by tf-idf — the keyword/topic-tagging
+    stage of a curation pipeline, pure built-ins end to end.
+
+    Scale shape: explode -> ONE (doc_id, term) count shuffle (map-side
+    combined) -> term-keyed document-frequency agg (map-side combined) ->
+    1:1 equi-join of df back onto the tf frame (no row amplification, so a
+    Zipf head term only imbalances partition sizes — AQE splits those) ->
+    doc-local window top-k (skew-free keys).  The idf is the rational
+    (N+1)/(df+1) rather than a log so the score is a product/quotient of
+    exactly-representable ints — IEEE-identical in any engine — and then
+    snapped to the shared floor(x*1e6+0.5)/1e6 grid (log() bit-parity
+    across libm implementations is NOT guaranteed; the rational form ranks
+    identically).  Output: (doc_id, term, tf, df, score, rnk).
+    """
+    from pyspark.sql.window import Window
+
+    from ..cache import tracked_persist
+
+    docs = fan_out(docs_in)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    ).where(~F.col("term").isin(*STOPWORDS))
+    # tf feeds both the df aggregation and the score join — persist or the
+    # explode+count re-executes per consumer
+    tf = tracked_persist(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    raw = F.col("tf").cast("double") * (
+        (F.col("n_docs") + F.lit(1)).cast("double")
+        / ((F.col("df") + F.lit(1)).cast("double"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.floor(raw * F.lit(1000000.0) + F.lit(0.5))
+             / F.lit(1000000.0)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def tfidf_topk_sql(table: str = "documents", text_col: str = "text",
+                   k: int = TFIDF_K) -> str:
+    """DuckDB oracle twin of :func:`tfidf_topk` (same tokenizer, stopword
+    list, rational idf and 1e-6 snap)."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS term
+      FROM {table}),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term NOT IN ({stop})
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             FLOOR(t.tf::DOUBLE * ((n.n_docs + 1)::DOUBLE / (d.df + 1)::DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+# --- corpus boilerplate n-gram mining (round 3) -----------------------------
+
+BOILERPLATE_N = 5
+BOILERPLATE_TOP = 20
+
+
+def boilerplate_ngrams(docs_in: DataFrame, text_col: str = "text",
+                       n: int = BOILERPLATE_N,
+                       top: int = BOILERPLATE_TOP) -> DataFrame:
+    """Corpus-level boilerplate mining: the `top` word n-grams that appear
+    in the most documents (scraped navigation, license banners, templated
+    headers — the phrases a C4-style cleaner strips corpus-wide).
+
+    Per-doc grams are DISTINCT (document frequency, not raw frequency, is
+    the boilerplate signal), built with array built-ins inside codegen —
+    no Python.  Two shuffles: the (doc_id, gram) distinct and the gram
+    count (both map-side combined); the global top-`top` is a single-key
+    window over the tiny aggregated frame.  Output: (gram, n_docs, rnk).
+    """
+    from pyspark.sql.window import Window
+
+    docs = fan_out(docs_in)
+    words = docs.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+", " "
+            ),
+            " ",
+        ).alias("w"),
+    )
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.array_join(F.slice("w", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).distinct()
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("gram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top)
+    )
+
+
+def boilerplate_ngrams_sql(table: str = "documents", text_col: str = "text",
+                           n: int = BOILERPLATE_N,
+                           top: int = BOILERPLATE_TOP) -> str:
+    """DuckDB oracle twin of :func:`boilerplate_ngrams` (same normalizer,
+    1-based inclusive slicing, DISTINCT-per-doc semantics)."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim({text_col})),
+                                         '[ \t\n\r\f]+', ' ', 'g'), ' ') AS w
+      FROM {table}),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)
+      WHERE len(w) >= {n}),
+    c AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram)
+    SELECT gram, n_docs, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, gram ASC) AS rnk
+      FROM c)
+    WHERE rnk <= {top}
+    """

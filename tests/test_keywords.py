@@ -1,0 +1,71 @@
+"""tf-idf keyword extraction and boilerplate n-gram mining: hand-computed
+semantics on tiny corpora (the sf0.001/sf0.01 oracle parity lives in
+tests/test_oracle_parity.py::test_query_matches_oracle)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ehr_ner_spark.operators.textops import boilerplate_ngrams, tfidf_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "aspirin dose aspirin dose aspirin"),
+        (2, "aspirin warfarin interaction"),
+        (3, "warfarin dose warfarin dose"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tfidf_ranks_rare_terms_higher(spark, docs):
+    rows = {(r["doc_id"], r["term"]): r for r in tfidf_topk(docs).collect()}
+    # doc 2: 'interaction' df=1 beats 'aspirin'/'warfarin' df=2 at equal tf
+    d2 = sorted(
+        (r for (d, _), r in rows.items() if d == 2),
+        key=lambda r: r["rnk"],
+    )
+    assert d2[0]["term"] == "interaction"
+    assert d2[0]["tf"] == 1 and d2[0]["df"] == 1
+    # N=3 docs, aspirin in docs 1+2: score = tf * (3+1)/(2+1), snapped to 1e-6
+    a2 = rows[(2, "aspirin")]
+    assert a2["score"] == pytest.approx(1.333333)
+    # doc 1: tf dominates within the doc — aspirin (tf=3) ranks first
+    d1 = sorted(
+        (r for (d, _), r in rows.items() if d == 1),
+        key=lambda r: r["rnk"],
+    )
+    assert d1[0]["term"] == "aspirin" and d1[0]["tf"] == 3
+
+
+def test_tfidf_k_bound_and_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, "the of and alpha beta gamma delta epsilon zeta eta")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(df).collect()
+    assert len(out) == 5  # k caps the per-doc output
+    assert all(r["term"] not in ("the", "of", "and") for r in out)
+
+
+def test_boilerplate_distinct_per_doc(spark):
+    banner = "all rights reserved by example corp"
+    rows = [
+        # doc 1 repeats the banner — must count ONCE (document frequency)
+        (1, banner + " " + banner),
+        (2, banner + " unique tail words here"),
+        (3, "completely different text with no shared phrases at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["gram"]: r for r in boilerplate_ngrams(df).collect()}
+    top = min(out.values(), key=lambda r: r["rnk"])
+    assert top["gram"] == "all rights reserved by example"
+    assert top["n_docs"] == 2  # docs 1+2, repeat inside doc 1 not double-counted
+
+
+def test_boilerplate_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "four words only here")], ["doc_id", "text"]
+    )
+    assert boilerplate_ngrams(df).count() == 0
