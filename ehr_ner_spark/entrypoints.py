@@ -513,6 +513,27 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(canonical_triples(m, canonicalize(m)))
 
 
+def _cooccur_oracle() -> str:
+    from .operators.cooccur import entity_cooccurrence_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return entity_cooccurrence_sql(mentions_oracle_sql(CORPUS_SQL), CORPUS_SQL)
+
+
+@_register("kg_entity_cooccur", oracle=_cooccur_oracle)
+def kg_entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 entity pairs by lift over the detected-mention stream —
+    corpus-level association mining (drug-drug / drug-disease candidates)
+    on the same mentions the triples materialize.  Lift is the PMI ratio
+    without the log, so every value is an exact integer product/quotient
+    and the DuckDB twin is bit-identical (operators/cooccur.py)."""
+    from .operators.cooccur import entity_cooccurrence
+
+    c = corpus(spark, sf_dir)
+    m = detect_mentions(c, num_partitions=8)
+    return entity_cooccurrence(m, c.agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 @_register("kg_triples_resumed", oracle=_canonical_triples_oracle)
 def kg_triples_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 resume evidence through the driver (not just pytest): run the
