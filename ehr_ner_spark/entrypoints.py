@@ -534,6 +534,47 @@ def kg_entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_cooccurrence(m, c.agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def _communities_oracle() -> str:
+    from .operators.communities import label_propagation_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return label_propagation_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_communities", oracle=_communities_oracle)
+def kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the entity
+    co-occurrence graph (4 rounds, self-vote, (votes DESC, label ASC)
+    winner) — pure integer votes and string tie-breaks, so the
+    unrolled-CTE DuckDB twin is exact with no float discipline
+    (operators/communities.py).  Each round: one equi-join + one
+    map-side-combined count + a node-partitioned window."""
+    from .operators.communities import entity_edges, label_propagation
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return label_propagation(entity_edges(m))
+
+
+def _triangles_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+    from .operators.triangles import triangle_stats_sql
+
+    return triangle_stats_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_triangles", oracle=_triangles_oracle)
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle counts + local clustering coefficients over the
+    entity co-occurrence graph via degree orientation (compact-forward) —
+    the wedge join fans out from each edge's LOW-degree endpoint only, so
+    hubs cannot amplify it (operators/triangles.py)."""
+    from .operators.communities import entity_edges
+    from .operators.triangles import triangle_stats
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return triangle_stats(entity_edges(m))
+
+
 @_register("kg_triples_resumed", oracle=_canonical_triples_oracle)
 def kg_triples_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 resume evidence through the driver (not just pytest): run the

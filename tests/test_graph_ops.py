@@ -1,0 +1,62 @@
+"""Hand-computed LPA communities + triangle counting on tiny graphs
+(sf parity lives in test_oracle_parity.py via kg_communities /
+kg_triangles)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ehr_ner_spark.operators.communities import entity_edges, label_propagation
+from ehr_ner_spark.operators.triangles import triangle_stats
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    # triangle {a,b,c} (every pair in docs 1+2), pair {x,y} (docs 3+4);
+    # doc 5's a-x pair has support 1 and must be dropped by min_pair=2
+    rows = []
+    for d in (1, 2):
+        rows += [(d, "a"), (d, "b"), (d, "c")]
+    for d in (3, 4):
+        rows += [(d, "x"), (d, "y")]
+    rows += [(5, "a"), (5, "x")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_entity_edges_min_pair(spark, mentions):
+    got = {(r["ent_a"], r["ent_b"]) for r in entity_edges(mentions).collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")}
+
+
+def test_lpa_two_communities(spark, mentions):
+    out = {r["entity"]: (r["community"], r["n_members"])
+           for r in label_propagation(entity_edges(mentions)).collect()}
+    # min-label tie-break floods each component with its smallest name
+    assert out == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "x": ("x", 2), "y": ("x", 2),
+    }
+
+
+def test_triangle_and_clustering(spark, mentions):
+    out = {r["entity"]: (r["deg"], r["n_tri"], r["clustering"])
+           for r in triangle_stats(entity_edges(mentions)).collect()}
+    assert out["a"] == (2, 1, 1.0)
+    assert out["b"] == (2, 1, 1.0)
+    assert out["c"] == (2, 1, 1.0)
+    assert out["x"] == (1, 0, 0.0)
+    assert out["y"] == (1, 0, 0.0)
+
+
+def test_triangle_star_has_none(spark):
+    # hub h with 3 leaves and no leaf-leaf edge: degree orientation points
+    # every edge leaf->hub, so zero wedges form at the hub
+    rows = []
+    for d, leaf in ((1, "l1"), (2, "l2"), (3, "l3")):
+        for rep in (0, 1):  # each hub-leaf pair in two docs
+            rows += [(10 * d + rep, "h"), (10 * d + rep, leaf)]
+    star = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["entity"]: (r["deg"], r["n_tri"], r["clustering"])
+           for r in triangle_stats(entity_edges(star)).collect()}
+    assert out["h"] == (3, 0, 0.0)
+    assert all(out[leaf] == (1, 0, 0.0) for leaf in ("l1", "l2", "l3"))
