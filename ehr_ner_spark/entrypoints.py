@@ -575,6 +575,26 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(entity_edges(m))
 
 
+def _negsample_oracle() -> str:
+    from .operators.negsample import negative_samples_sql
+
+    return negative_samples_sql(_canonical_triples_oracle())
+
+
+@_register("kg_negative_samples", oracle=_negsample_oracle)
+def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE-style negative sampling over the canonical triples: K=2
+    deterministic object corruptions per positive via md5-indexed draws
+    from a two-level-ranked entity dictionary (no global window, no RNG
+    state — re-running regenerates byte-identical negatives, so training
+    shards re-materialize independently; operators/negsample.py)."""
+    from .operators.linking import canonical_triples, canonicalize
+    from .operators.negsample import negative_samples
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return negative_samples(canonical_triples(m, canonicalize(m)))
+
+
 @_register("kg_triples_resumed", oracle=_canonical_triples_oracle)
 def kg_triples_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 resume evidence through the driver (not just pytest): run the
