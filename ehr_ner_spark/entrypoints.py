@@ -1181,6 +1181,25 @@ def _boilerplate_oracle() -> str:
     return boilerplate_ngrams_sql()
 
 
+def _inverted_index_oracle() -> str:
+    from .operators.textops import inverted_index_sql
+
+    return inverted_index_sql()
+
+
+@_register("ds_inverted_index", oracle=_inverted_index_oracle)
+def ds_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-retrieval index build: top-100 terms by document frequency
+    with capped sorted posting lists.  Winner selection is orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, no single-partition
+    window) and postings truncate via a broadcast semi-join BEFORE any
+    list materializes, so Zipf head terms never collect full postings
+    (operators/textops.py::inverted_index)."""
+    from .operators.textops import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"))
+
+
 @_register("ds_boilerplate_ngrams", oracle=_boilerplate_oracle)
 def ds_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate mining: top-20 word 5-grams by document

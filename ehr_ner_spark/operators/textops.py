@@ -430,3 +430,94 @@ def boilerplate_ngrams_sql(table: str = "documents", text_col: str = "text",
       FROM c)
     WHERE rnk <= {top}
     """
+
+
+IDX_TOP_TERMS = 100
+IDX_POSTING_CAP = 20
+
+
+def inverted_index(docs_in: DataFrame, text_col: str = "text",
+                   top: int = IDX_TOP_TERMS,
+                   cap: int = IDX_POSTING_CAP) -> DataFrame:
+    """Search-index construction: the top-``top`` vocabulary terms by
+    document frequency with a capped, sorted posting list each — the
+    build step of a keyword retrieval index over the corpus.
+
+    Scale shape: ONE distinct (doc_id, term) shuffle (map-side combined)
+    -> term-keyed df agg (map-side combined) -> global top-``top`` via
+    orderBy+limit, which Catalyst plans as TakeOrderedAndProject (per-
+    partition heaps + a ``top``-row gather; NO single-partition window)
+    -> postings truncated per term by a BROADCAST semi-join against the
+    winner set BEFORE any list materializes, so a Zipf head term collects
+    at most ``cap`` doc ids, never its full million-doc posting.  The rnk
+    column comes from a window over the ``top``-row winner frame only.
+    Output: (term, df, rnk, postings array<doc_id>).
+    """
+    from pyspark.sql.window import Window
+
+    from ..cache import tracked_persist
+
+    docs = fan_out(docs_in)
+    posting = tracked_persist(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+                )
+            ).alias("term"),
+        )
+        .where(~F.col("term").isin(*STOPWORDS))
+        .distinct()
+    )
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    winners = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(top)
+    ranked = winners.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("df"), F.asc("term"))
+        ).cast("long"),
+    )
+    capped = (
+        posting.join(F.broadcast(ranked.select("term")), "term")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") <= cap)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return ranked.join(capped, "term").select("term", "df", "rnk", "postings")
+
+
+def inverted_index_sql(table: str = "documents", text_col: str = "text",
+                       top: int = IDX_TOP_TERMS,
+                       cap: int = IDX_POSTING_CAP) -> str:
+    """DuckDB twin of :func:`inverted_index` (same tokenizer, stopwords,
+    df tie-break, posting cap and ordering)."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH posting AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS term
+        FROM {table})
+      WHERE term NOT IN ({stop})),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY term),
+    ranked AS (
+      SELECT term, df, ROW_NUMBER() OVER (
+        ORDER BY df DESC, term ASC) AS rnk
+      FROM dfreq QUALIFY rnk <= {top}),
+    capped AS (
+      SELECT term, list(doc_id ORDER BY doc_id) AS postings FROM (
+        SELECT p.term, p.doc_id, ROW_NUMBER() OVER (
+          PARTITION BY p.term ORDER BY p.doc_id) AS rn
+        FROM posting p JOIN ranked r ON r.term = p.term)
+      WHERE rn <= {cap}
+      GROUP BY term)
+    SELECT r.term, r.df, r.rnk, c.postings
+    FROM ranked r JOIN capped c ON c.term = r.term
+    """

@@ -69,3 +69,36 @@ def test_boilerplate_short_docs_emit_nothing(spark):
         [(1, "too short"), (2, "four words only here")], ["doc_id", "text"]
     )
     assert boilerplate_ngrams(df).count() == 0
+
+
+def test_inverted_index_semantics(spark):
+    from ehr_ner_spark.operators.textops import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "alpha beta"),
+            (3, "alpha delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["term"]: r for r in inverted_index(docs, top=2, cap=2).collect()}
+    # df tie-break: alpha (df 3) then beta (df 2); gamma/delta cut
+    assert set(out) == {"alpha", "beta"}
+    assert out["alpha"]["df"] == 3 and out["alpha"]["rnk"] == 1
+    assert out["beta"]["df"] == 2 and out["beta"]["rnk"] == 2
+    # postings sorted and capped at 2 even though alpha is in 3 docs
+    assert out["alpha"]["postings"] == [1, 2]
+    assert out["beta"]["postings"] == [1, 2]
+
+
+def test_inverted_index_dedups_repeats_and_stopwords(spark):
+    from ehr_ner_spark.operators.textops import inverted_index
+
+    docs = spark.createDataFrame(
+        [(7, "the the zeta zeta zeta")], ["doc_id", "text"]
+    )
+    rows = inverted_index(docs, top=5, cap=5).collect()
+    assert [(r["term"], r["df"], r["postings"]) for r in rows] == [
+        ("zeta", 1, [7])
+    ]
