@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "ds_embedding_neardup",
     "kg_train_tagger",
     "ds_kmeans",
+    "ds_inverted_index",
 ]
 
 

@@ -56,9 +56,12 @@ def entity_edges(mentions: DataFrame, min_pair: int = LPA_MIN_PAIR) -> DataFrame
 
 def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     """Undirected (ent_a, ent_b) edges -> (entity, community, n_members)
-    after ``iters`` synchronous LPA rounds seeded with label = own name."""
-    from pyspark.sql.window import Window
+    after ``iters`` synchronous LPA rounds seeded with label = own name.
 
+    The winner rule (votes DESC, label ASC) is evaluated as
+    ``min(struct(-votes, label))`` — a map-side-combinable aggregation
+    instead of a node-partitioned window, so each round is two partial
+    aggregations and one join with NO sort anywhere."""
     from ..cache import tracked_persist
 
     bidir = tracked_persist(
@@ -70,7 +73,6 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     labels = bidir.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("label"))
     for _ in range(iters):
         nbr = bidir.join(
             labels.withColumnRenamed("node", "src"), "src"
@@ -81,9 +83,16 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("votes"))
         )
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("votes")).alias("nv"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("w")
+            )
+            .select("node", F.col("w.label").alias("label"))
         )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return labels.join(sizes, "label").select(
