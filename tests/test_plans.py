@@ -332,3 +332,69 @@ def test_curation_funnel_single_aggregation(spark, sf_dir):
     contam = decontaminate(docs)
     cplan = _plan(contam)
     assert "BroadcastHashJoin" in cplan and "LeftSemi" in cplan
+
+
+def test_inverted_index_heap_topk_and_broadcast_truncation(spark, sf_dir):
+    """Winner terms come from per-partition heaps (TakeOrderedAndProject),
+    not a single-partition global window, and postings truncate through a
+    broadcast semi-join before any list materializes."""
+    from ehr_ner_spark.operators.textops import inverted_index
+
+    df = inverted_index(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # winner set joined broadcast-side
+    assert "CartesianProduct" not in plan
+
+
+def test_lpa_round_has_no_sort_or_window(spark):
+    """The LPA winner rule is min(struct(-votes,label)) — partial
+    aggregation, no WindowExec and no sort in the iteration body."""
+    from ehr_ner_spark.operators.communities import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")],
+        ["ent_a", "ent_b"],
+    )
+    plan = _plan(label_propagation(edges, iters=2))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangles_oriented_equijoins_only(spark):
+    """Wedge + closing joins are equi-joins on the oriented edge keys —
+    no cartesian expansion anywhere in the triangle plan."""
+    from ehr_ner_spark.operators.triangles import triangle_stats
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")],
+        ["ent_a", "ent_b"],
+    )
+    plan = _plan(triangle_stats(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negsample_no_global_window_and_broadcast_offsets(spark):
+    """The dictionary index is the two-level rank: the only windows run
+    bucket-partitioned or over the 256-row offset frame, and the offsets
+    join back broadcast; the k-draw is a column expression (no extra
+    shuffle beyond the dictionary equi-join)."""
+    from ehr_ner_spark.operators.negsample import negative_samples
+
+    tri = spark.createDataFrame(
+        [("d1", "hasDrug", "aspirin"), ("d2", "hasDrug", "warfarin")],
+        ["subj", "pred", "obj"],
+    )
+    df = negative_samples(tri, k=2)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # every Window node is either the bucket-PARTITIONED dictionary rank or
+    # the running-sum over the <=256-row bucket-count frame — no
+    # corpus-sized global window exists anywhere
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        assert ("windowspecdefinition(bucket" in line), line
