@@ -12,7 +12,9 @@ Spark-first shape, 100-TB story:
 * marginals (n_a, n_b) come from one map-side-combined count and join back
   1:1 on the entity key (Zipf-headed keys only imbalance partition sizes —
   AQE splits those; no row amplification);
-* the global top-k runs on the tiny aggregated pair frame.
+* the global top-k is orderBy+limit (TakeOrderedAndProject per-partition
+  heaps — the qualifying-pair frame is vocabulary-squared-scale, far too
+  large for a single-partition window); rnk ranks the <=k winner rows.
 
 Oracle exactness: lift = (n_ab * N) / (n_a * n_b) is evaluated as a
 product/quotient of exactly-representable integers-as-doubles (all counts
@@ -74,11 +76,11 @@ def entity_cooccurrence(mentions: DataFrame, n_docs_df: DataFrame,
             ).alias("lift"),
         )
     )
+    winners = scored.orderBy(
+        F.desc("lift"), F.asc("ent_a"), F.asc("ent_b")
+    ).limit(top)
     w = Window.orderBy(F.desc("lift"), F.asc("ent_a"), F.asc("ent_b"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= top)
-    )
+    return winners.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 def entity_cooccurrence_sql(mentions_sql: str, corpus_sql: str,

@@ -374,8 +374,11 @@ def boilerplate_ngrams(docs_in: DataFrame, text_col: str = "text",
     Per-doc grams are DISTINCT (document frequency, not raw frequency, is
     the boilerplate signal), built with array built-ins inside codegen —
     no Python.  Two shuffles: the (doc_id, gram) distinct and the gram
-    count (both map-side combined); the global top-`top` is a single-key
-    window over the tiny aggregated frame.  Output: (gram, n_docs, rnk).
+    count (both map-side combined); the global top-`top` is orderBy+limit
+    (TakeOrderedAndProject per-partition heaps — the gram vocabulary at
+    corpus scale is far too large for a single-partition window), then the
+    rnk column comes from a window over the <=`top`-row winner frame.
+    Output: (gram, n_docs, rnk).
     """
     from pyspark.sql.window import Window
 
@@ -402,11 +405,9 @@ def boilerplate_ngrams(docs_in: DataFrame, text_col: str = "text",
         ).alias("gram"),
     ).distinct()
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    winners = counts.orderBy(F.desc("n_docs"), F.asc("gram")).limit(top)
     w = Window.orderBy(F.desc("n_docs"), F.asc("gram"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= top)
-    )
+    return winners.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 def boilerplate_ngrams_sql(table: str = "documents", text_col: str = "text",
