@@ -555,6 +555,26 @@ def kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(entity_edges(m))
 
 
+def _entity_components_oracle() -> str:
+    from .operators.communities import entity_components_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return entity_components_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_entity_components", oracle=_entity_components_oracle)
+def kg_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components of the entity co-occurrence graph —
+    the strategy-selected CC operator (Arrow union-find / pointer
+    jumping) exposed as its own driver-checked query rather than only
+    embedded inside canonicalization; md5-60bit entity ids make the
+    recursive-CTE DuckDB twin exact (operators/communities.py)."""
+    from .operators.communities import entity_components, entity_edges
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return entity_components(entity_edges(m))
+
+
 def _triangles_oracle() -> str:
     from .operators.mention_sql import mentions_oracle_sql
     from .operators.triangles import triangle_stats_sql

@@ -11,8 +11,9 @@ round-trip at all:
   (the same doc-keyed a<b self-join as operators/cooccur.py — fan-out
   bounded by a document-local constant), deduplicated once and persisted;
 * each round is ONE equi-join of the label frame onto the doubled edge
-  frame + a map-side-combined (node, label) count + a node-partitioned
-  window argmax — shuffle volume O(edges) per round at any scale;
+  frame + a map-side-combined (node, label) count + a combinable
+  min(struct(-votes, label)) winner aggregation — no window, no sort;
+  shuffle volume O(edges) per round at any scale;
 * the label vector stays distributed end to end.
 
 Determinism (why this oracle is exact with zero float discipline):
@@ -141,3 +142,93 @@ def label_propagation_sql(
     SELECT l.node AS entity, l.label AS community, s.n_members
     FROM l{iters} l JOIN sizes s ON s.label = l.label""")
     return "".join(parts)
+
+
+def entity_components(edges: DataFrame) -> DataFrame:
+    """Weakly connected components of the entity co-occurrence graph,
+    driven through the engine's strategy-selected CC operator
+    (operators/linking.py::connected_components: single-pass Arrow
+    union-find under 2M edges, distributed pointer jumping above).
+
+    Entities get 60-bit ids from the shared md5-hex discipline (exactly
+    replayable in DuckDB as ('0x'||substr(md5(ent),1,15))::BIGINT); the
+    component label maps back to the member entity with the MINIMUM id, so
+    the output is pure strings + exact integers.  Returns
+    (entity, component, n_members).
+    """
+    from ..cache import tracked_persist
+    from .linking import connected_components
+
+    ids = tracked_persist(
+        edges.select(F.col("ent_a").alias("ent"))
+        .unionByName(edges.select(F.col("ent_b").alias("ent")))
+        .distinct()
+        .select(
+            "ent",
+            F.conv(F.substring(F.md5(F.col("ent")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("id"),
+        )
+    )
+    eid = (
+        edges.join(ids.select(F.col("ent").alias("ent_a"),
+                              F.col("id").alias("src")), "ent_a")
+        .join(ids.select(F.col("ent").alias("ent_b"),
+                         F.col("id").alias("dst")), "ent_b")
+        .select("src", "dst")
+    )
+    cc = connected_components(
+        ids.select(F.col("id").alias("surface_id")), eid
+    )
+    named = (
+        cc.join(ids.select(F.col("id").alias("surface_id"),
+                           F.col("ent").alias("entity")), "surface_id")
+        .join(ids.select(F.col("id").alias("component"),
+                         F.col("ent").alias("comp_entity")), "component")
+        .select("entity", F.col("comp_entity").alias("component"))
+    )
+    sizes = named.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return named.join(sizes, "component").select(
+        "entity", "component", "n_members"
+    )
+
+
+def entity_components_sql(mentions_sql: str, min_pair: int = LPA_MIN_PAIR) -> str:
+    """DuckDB twin: same edges, min-reachable-id components via a
+    recursive CTE, same md5-60bit ids and name mapping."""
+    return f"""
+    WITH RECURSIVE mentions AS ({mentions_sql}),
+    ents AS (SELECT DISTINCT doc_id, text FROM mentions),
+    ed AS MATERIALIZED (
+      SELECT a.text AS ent_a, b.text AS ent_b
+      FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.text < b.text
+      GROUP BY a.text, b.text
+      HAVING COUNT(*) >= {min_pair}),
+    ids AS MATERIALIZED (
+      SELECT ent, ('0x' || substr(md5(ent), 1, 15))::BIGINT AS id FROM (
+        SELECT ent_a AS ent FROM ed UNION SELECT ent_b AS ent FROM ed)),
+    ebi AS MATERIALIZED (
+      SELECT ia.id AS src, ib.id AS dst
+      FROM ed JOIN ids ia ON ia.ent = ed.ent_a
+              JOIN ids ib ON ib.ent = ed.ent_b
+      UNION ALL
+      SELECT ib.id AS src, ia.id AS dst
+      FROM ed JOIN ids ia ON ia.ent = ed.ent_a
+              JOIN ids ib ON ib.ent = ed.ent_b),
+    reach(node, comp) AS (
+      SELECT id, id FROM ids
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN ebi e ON e.src = r.node),
+    comps AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+    named AS (
+      SELECT i_n.ent AS entity, i_c.ent AS component
+      FROM comps c
+      JOIN ids i_n ON i_n.id = c.node
+      JOIN ids i_c ON i_c.id = c.comp),
+    sizes AS (SELECT component, COUNT(*) AS n_members
+              FROM named GROUP BY component)
+    SELECT n.entity, n.component, s.n_members
+    FROM named n JOIN sizes s ON s.component = n.component
+    """

@@ -60,3 +60,16 @@ def test_triangle_star_has_none(spark):
            for r in triangle_stats(entity_edges(star)).collect()}
     assert out["h"] == (3, 0, 0.0)
     assert all(out[leaf] == (1, 0, 0.0) for leaf in ("l1", "l2", "l3"))
+
+
+def test_entity_components_vs_lpa_structure(spark, mentions):
+    from ehr_ner_spark.operators.communities import entity_components
+
+    out = {r["entity"]: (r["component"], r["n_members"])
+           for r in entity_components(entity_edges(mentions)).collect()}
+    # two components; each labeled by its min-md5-id member (a string from
+    # within the component), sizes 3 and 2
+    assert out["a"][1] == 3 and out["b"] == out["a"] and out["c"] == out["a"]
+    assert out["x"][1] == 2 and out["y"] == out["x"]
+    assert out["a"][0] in {"a", "b", "c"}
+    assert out["x"][0] in {"x", "y"}
