@@ -575,6 +575,28 @@ def kg_entity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_components(entity_edges(m))
 
 
+def _kcore_oracle() -> str:
+    from .operators.communities import k_core_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return k_core_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_kcore", oracle=_kcore_oracle)
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the entity co-occurrence graph via 4 synchronous peeling
+    rounds (drop nodes with degree < k, drop incident edges) — the
+    dense-subgraph filter separating structurally-supported entities from
+    one-off co-occurrence noise.  Fixed round count keeps both engines on
+    the same trajectory with zero driver round-trips; per round ONE
+    map-side-combined degree agg + two semi-joins, pure integers
+    (operators/communities.py::k_core)."""
+    from .operators.communities import entity_edges, k_core
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return k_core(entity_edges(m))
+
+
 def _triangles_oracle() -> str:
     from .operators.mention_sql import mentions_oracle_sql
     from .operators.triangles import triangle_stats_sql
@@ -2009,6 +2031,127 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sessionize_batch(_t(spark, sf_dir, "events")).withColumn(
         "n_events", F.col("n_events").cast("long")
+    )
+
+
+@_register(
+    "rel_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*)::BIGINT                AS n,
+           ROUND(SUM(l_quantity), 2)       AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)  AS sum_price,
+           GROUPING(l_returnflag)::BIGINT  AS g_flag,
+           GROUPING(l_linestatus)::BIGINT  AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional CUBE aggregation with grouping indicators — all
+    2^2 grouping sets in one pass (Spark expands the sets map-side and
+    partially aggregates each before the single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+        )
+    )
+
+
+@_register(
+    "rel_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)::BIGINT AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)::BIGINT AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (a deterministic output schema —
+    no discovery pass over the data) — compiles to one hash aggregate of
+    conditional counts, no extra shuffle versus a plain groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+        )
+    )
+
+
+@_register(
+    "rel_events_hopping",
+    oracle="""
+    SELECT window_start, event_type,
+           COUNT(*)::BIGINT     AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT UNNEST([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+             event_type, value
+      FROM events)
+    GROUP BY window_start, event_type
+    """,
+)
+def rel_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 2-hour windows every hour,
+    each event contributing to exactly two windows — the batch view of
+    the Structured-Streaming sliding-window plan.  Spark's window()
+    replicates rows map-side (size/slide = 2 copies), then one partial+
+    final aggregation; the oracle unnests the same two aligned starts."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+@_register(
+    "rel_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)::BIGINT                               AS n,
+           SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           COUNT(CASE WHEN json_extract_string(props, '$.k')::BIGINT > 50
+                 THEN 1 END)::BIGINT                      AS n_big
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    props column with the JVM-side JSON path built-in (no Python, stays
+    in codegen) and aggregate it — integer sums, exact on both engines."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, F.lit(1))).alias("n_big"),
     )
 
 

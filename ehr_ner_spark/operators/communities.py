@@ -232,3 +232,84 @@ def entity_components_sql(mentions_sql: str, min_pair: int = LPA_MIN_PAIR) -> st
     SELECT n.entity, n.component, s.n_members
     FROM named n JOIN sizes s ON s.component = n.component
     """
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def k_core(edges: DataFrame, k: int = KCORE_K,
+           rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """k-core decomposition by synchronous peeling: ``rounds`` rounds of
+    "drop every node with degree < k, drop incident edges", then report
+    the survivors with their in-core degree — the dense-subgraph filter a
+    KG curator runs to separate structurally-supported entities from
+    one-off co-occurrence noise.
+
+    A fixed round count (not a fixpoint probe) keeps both engines on the
+    exact same trajectory with zero driver round-trips; peeling converges
+    geometrically in practice and the round count is a named constant both
+    sides.  Per round: ONE map-side-combined degree aggregation + two
+    semi-joins — shuffle O(edges), pure integers throughout.  Returns
+    (entity, core_deg) for nodes still meeting the bar after the final
+    round.
+    """
+    from ..cache import tracked_persist
+
+    ed = tracked_persist(edges.select("ent_a", "ent_b"))
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("ent_a").alias("node"))
+            .unionByName(e.select(F.col("ent_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(rounds):
+        keep = _deg(ed).where(F.col("deg") >= k).select("node")
+        ed = (
+            ed.join(keep.withColumnRenamed("node", "ent_a"), "ent_a",
+                    "left_semi")
+            .join(keep.withColumnRenamed("node", "ent_b"), "ent_b",
+                  "left_semi")
+        )
+    return (
+        _deg(ed)
+        .where(F.col("deg") >= k)
+        .select(F.col("node").alias("entity"),
+                F.col("deg").alias("core_deg"))
+    )
+
+
+def k_core_sql(mentions_sql: str, k: int = KCORE_K,
+               rounds: int = KCORE_ROUNDS,
+               min_pair: int = LPA_MIN_PAIR) -> str:
+    """DuckDB twin: the same fixed peeling rounds unrolled as materialized
+    CTEs over the same entity edges."""
+    parts = [f"""
+    WITH mentions AS ({mentions_sql}),
+    ents AS (SELECT DISTINCT doc_id, text FROM mentions),
+    e0 AS MATERIALIZED (
+      SELECT a.text AS ent_a, b.text AS ent_b
+      FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.text < b.text
+      GROUP BY a.text, b.text
+      HAVING COUNT(*) >= {min_pair})"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    d{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT ent_a AS node FROM e{r - 1}
+        UNION ALL SELECT ent_b AS node FROM e{r - 1})
+      GROUP BY node),
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.ent_a, e.ent_b FROM e{r - 1} e
+      JOIN k{r} ka ON ka.node = e.ent_a
+      JOIN k{r} kb ON kb.node = e.ent_b)""")
+    parts.append(f"""
+    SELECT node AS entity, COUNT(*)::BIGINT AS core_deg FROM (
+      SELECT ent_a AS node FROM e{rounds}
+      UNION ALL SELECT ent_b AS node FROM e{rounds})
+    GROUP BY node HAVING COUNT(*) >= {k}""")
+    return "".join(parts)

@@ -73,3 +73,25 @@ def test_entity_components_vs_lpa_structure(spark, mentions):
     assert out["x"][1] == 2 and out["y"] == out["x"]
     assert out["a"][0] in {"a", "b", "c"}
     assert out["x"][0] in {"x", "y"}
+
+
+def test_kcore_peels_tendrils(spark, mentions):
+    from ehr_ner_spark.operators.communities import k_core
+
+    out = {r["entity"]: r["core_deg"]
+           for r in k_core(entity_edges(mentions)).collect()}
+    # the a-b-c triangle survives the 2-core; the x-y pair peels away
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_chain_fully_peels(spark):
+    from ehr_ner_spark.operators.communities import k_core
+
+    # path graph a-b-c-d: every round exposes new degree-1 endpoints;
+    # 4 rounds fully dissolve it
+    rows = []
+    for d, (u, v) in enumerate([("a", "b"), ("b", "c"), ("c", "d")]):
+        for rep in (0, 1):
+            rows += [(10 * d + rep, u), (10 * d + rep, v)]
+    chain = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert k_core(entity_edges(chain)).count() == 0
