@@ -452,7 +452,7 @@ def main() -> None:
         # 2 windows x min-of-2 timed runs: the in-try min already absorbs
         # the JIT/GC swing, so fewer windows are needed than the scoring
         # pairs' single-shot tries
-        pipe_tries = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_TRIES", "2"))
+        pipe_tries = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_TRIES", "3"))
         pipe_best, pipe_all, pipe_skipped = None, [], 0
         pipe_windows = 0
         while True:
