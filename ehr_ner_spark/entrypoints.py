@@ -2131,6 +2131,79 @@ def rel_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rel_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS mv
+      FROM events),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND mv < ts
+                    THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS mc
+      FROM s1)
+    SELECT COUNT(DISTINCT CASE WHEN event_type = 'view'
+                          THEN user_id END)::BIGINT AS n_view,
+           COUNT(DISTINCT CASE WHEN event_type = 'click' AND mv < ts
+                          THEN user_id END)::BIGINT AS n_click,
+           COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND mc < ts
+                          THEN user_id END)::BIGINT AS n_purchase
+    FROM s2
+    """,
+)
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click -> purchase per user): two
+    running conditional MINs over ONE user-partitioned sort (Spark reuses
+    the exchange+sort for both Window operators), then a single global
+    aggregation — two shuffles total at any scale.  The step predicates
+    compare VALUES strictly (`first view ts < click ts`), so ties in the
+    row order cannot flip a row in or out on either engine."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = e.select(
+        "user_id", "event_type", "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        .alias("mv"),
+    )
+    s2 = s1.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("mv") < F.col("ts")),
+                F.col("ts"),
+            )
+        ).over(w).alias("mc"),
+    )
+    return s2.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_view"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("mv") < F.col("ts")),
+                F.col("user_id"),
+            )
+        ).alias("n_click"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("mc") < F.col("ts")),
+                F.col("user_id"),
+            )
+        ).alias("n_purchase"),
+    )
+
+
+@_register(
     "rel_json_extract",
     oracle="""
     SELECT event_type,
