@@ -1242,6 +1242,23 @@ def ds_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"))
 
 
+def _chunk_oracle() -> str:
+    from .operators.textops import chunk_documents_sql
+
+    return chunk_documents_sql()
+
+
+@_register("ds_chunk_documents", oracle=_chunk_oracle)
+def ds_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (200-char windows every 150 — the
+    RAG / long-context prep op).  Chunk OFFSETS explode before the
+    substring is cut, so no row ever materializes a full chunk array; no
+    shuffle anywhere (operators/textops.py::chunk_documents)."""
+    from .operators.textops import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
 @_register("ds_boilerplate_ngrams", oracle=_boilerplate_oracle)
 def ds_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate mining: top-20 word 5-grams by document

@@ -522,3 +522,76 @@ def inverted_index_sql(table: str = "documents", text_col: str = "text",
     SELECT r.term, r.df, r.rnk, c.postings
     FROM ranked r JOIN capped c ON c.term = r.term
     """
+
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+def chunk_documents(docs_in: DataFrame, size: int = CHUNK_SIZE,
+                    stride: int = CHUNK_STRIDE,
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking — the RAG / long-context prep op:
+    split every document into ``size``-char windows every ``stride`` chars
+    (so consecutive chunks overlap by ``size - stride``), keeping the final
+    short tail.
+
+    All array/substring built-ins inside whole-stage codegen: the chunk
+    START OFFSETS are generated as a sequence and exploded BEFORE the
+    substring is cut, so no executor ever materializes a document's full
+    chunk array in one row — the explode output is pipelined straight into
+    the (narrow) substring projection.  No shuffle at all: chunking is
+    embarrassingly row-local; downstream consumers impose their own
+    partitioning.  Output: (doc_id, chunk_id, n_chunks, chunk_start,
+    chunk_text) with 1-based chunk_start (SQL substring convention).
+    """
+    docs = fan_out(docs_in)
+    n = F.greatest(
+        F.lit(1),
+        (F.ceil(
+            (F.length(F.col(text_col)) - F.lit(size)).cast("double")
+            / F.lit(stride)
+        ) + F.lit(1)).cast("long"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col(text_col).alias("_t"),
+            n.alias("n_chunks"),
+        )
+        .select(
+            "doc_id", "n_chunks", "_t",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1)
+            ).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_i") + 1).cast("long").alias("chunk_id"),
+            F.col("n_chunks"),
+            (F.col("_i") * stride + 1).cast("long").alias("chunk_start"),
+            F.substring(
+                F.col("_t"), (F.col("_i") * stride + 1).cast("int"), size
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(table: str = "documents", size: int = CHUNK_SIZE,
+                        stride: int = CHUNK_STRIDE,
+                        text_col: str = "text") -> str:
+    """DuckDB twin of :func:`chunk_documents` (same count formula, same
+    1-based substring semantics)."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {text_col} AS t,
+             GREATEST(1, CEIL((length({text_col}) - {size})::DOUBLE
+                              / {stride})::BIGINT + 1) AS n_chunks
+      FROM {table})
+    SELECT doc_id,
+           (i + 1)::BIGINT                 AS chunk_id,
+           n_chunks,
+           (i * {stride} + 1)::BIGINT      AS chunk_start,
+           substring(t, (i * {stride} + 1)::INT, {size}) AS chunk_text
+    FROM base, LATERAL UNNEST(range(0, n_chunks)) AS u(i)
+    """

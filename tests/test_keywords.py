@@ -102,3 +102,41 @@ def test_inverted_index_dedups_repeats_and_stopwords(spark):
     assert [(r["term"], r["df"], r["postings"]) for r in rows] == [
         ("zeta", 1, [7])
     ]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from ehr_ner_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["chunk_text"], r["n_chunks"])
+        )
+    # len 10, size 4, stride 3 -> ceil(6/3)+1 = 3 chunks; last is the tail
+    assert sorted(by_doc[1]) == [
+        (1, 1, "abcd", 3), (2, 4, "defg", 3), (3, 7, "ghij", 3)
+    ]
+    # shorter than size -> single whole-doc chunk
+    assert by_doc[2] == [(1, 1, "abc", 1)]
+    # empty text still emits one (empty) chunk
+    assert by_doc[3] == [(1, 1, "", 1)]
+
+
+def test_chunk_documents_covers_every_char(spark):
+    from ehr_ner_spark.operators.textops import chunk_documents
+
+    text = "x" * 1003
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(docs).collect(), key=lambda r: r["chunk_start"]
+    )
+    covered = set()
+    for r in rows:
+        covered.update(
+            range(r["chunk_start"], r["chunk_start"] + len(r["chunk_text"]))
+        )
+    assert covered == set(range(1, len(text) + 1))
