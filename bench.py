@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "kg_train_tagger",
     "ds_kmeans",
     "ds_inverted_index",
+    "ds_chunk_documents",
+    "rel_funnel",
+    "ds_heavy_hitters",
+    "ds_hll_distinct",
+    "ds_bloom_membership",
 ]
 
 

@@ -1259,6 +1259,61 @@ def ds_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_t(spark, sf_dir, "documents"))
 
 
+def _count_min_oracle() -> str:
+    from .operators.sketches import count_min_topk_sql
+
+    return count_min_topk_sql()
+
+
+@_register("ds_heavy_hitters", oracle=_count_min_oracle)
+def ds_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the token stream: exact top-50
+    terms graded against their 4x1024 sketch estimate.  The sketch is a
+    fixed 4096-cell integer state (map-side combinable, broadcast to the
+    probe), the winner pick is TakeOrdered heaps — at 100 TB the sketch
+    build shuffles kilobytes per partition regardless of token volume
+    (operators/sketches.py::count_min_topk)."""
+    from .operators.sketches import count_min_topk
+
+    return count_min_topk(_t(spark, sf_dir, "documents"))
+
+
+def _hll_oracle() -> str:
+    from .operators.sketches import hll_distinct_sql
+
+    return hll_distinct_sql()
+
+
+@_register("ds_hll_distinct", oracle=_hll_oracle)
+def ds_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog per-language distinct-term estimate next
+    to the exact count — 256 integer registers per group, md5-60bit
+    hashing, bin()-based ranks, the harmonic sum folded into an exact
+    BIGINT so the only float op is the final division
+    (operators/sketches.py::hll_distinct)."""
+    from .operators.sketches import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "documents"))
+
+
+def _bloom_oracle() -> str:
+    from .operators.sketches import bloom_membership_sql
+
+    return bloom_membership_sql()
+
+
+@_register("ds_bloom_membership", oracle=_bloom_oracle)
+def ds_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter: build 1024 OR-aggregated 62-bit
+    words over English terms, probe every other language, and emit the
+    one-row confusion summary (false negatives structurally 0, checked).
+    The filter broadcasts; the exact join exists only to grade it
+    (operators/sketches.py::bloom_membership)."""
+    from .operators.sketches import bloom_membership
+
+    return bloom_membership(_t(spark, sf_dir, "documents"))
+
+
 @_register("ds_boilerplate_ngrams", oracle=_boilerplate_oracle)
 def ds_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate mining: top-20 word 5-grams by document

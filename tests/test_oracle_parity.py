@@ -64,6 +64,9 @@ EXACT_QUERIES = {
     "ds_simhash_pairs", "ds_minhash_sig", "ds_minhash_dedup",
     "ds_stratified_sample", "ds_pack_sequences", "ds_decontaminate",
     "mm_frames", "mm_features",
+    # sketch family: integer state end to end; the one float per query is a
+    # single IEEE division snapped to the 1e-6 grid on both sides
+    "ds_heavy_hitters", "ds_hll_distinct", "ds_bloom_membership",
 }
 
 

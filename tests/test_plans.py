@@ -398,3 +398,39 @@ def test_negsample_no_global_window_and_broadcast_offsets(spark):
         if "Window [" not in line:
             continue
         assert ("windowspecdefinition(bucket" in line), line
+
+
+def test_count_min_heap_winners_and_broadcast_sketch(spark, sf_dir):
+    """CM winners come from per-partition heaps (TakeOrderedAndProject, no
+    global window over the full term frame) and the 4096-cell sketch joins
+    broadcast-side onto the probe."""
+    from ehr_ner_spark.operators.sketches import count_min_topk
+
+    df = count_min_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_combine_mapside(spark, sf_dir):
+    """Both HLL aggregations (register max, per-lang fold) are partial/final
+    pairs — the exchange carries at most 256 registers per language."""
+    from ehr_ner_spark.operators.sketches import hll_distinct
+
+    df = hll_distinct(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "partial_max" in plan  # register max combines map-side
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_filter_joins_broadcast(spark, sf_dir):
+    """The 1024-word Bloom table reaches the probe via broadcast, and the
+    word build is a map-side-combinable bit_or aggregation."""
+    from ehr_ner_spark.operators.sketches import bloom_membership
+
+    df = bloom_membership(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_bit_or" in plan.lower() or "partial_bitor" in plan.lower()
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,150 @@
+"""Sketch-family semantics on tiny hand-built corpora (count-min,
+deterministic HLL, Bloom membership).  The sf0.001 oracle parity runs in
+tests/test_oracle_parity.py; these pin the sketch guarantees themselves:
+CM never underestimates, HLL registers follow the md5 arithmetic exactly,
+Bloom has zero false negatives.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ehr_ner_spark.operators.sketches import (
+    BLOOM_K,
+    BLOOM_M,
+    CM_DEPTH,
+    CM_WIDTH,
+    HLL_M,
+    HLL_RHO_CAP,
+    bloom_membership,
+    count_min_topk,
+    hll_distinct,
+)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "en", "aspirin dose aspirin dose aspirin"),
+        (2, "en", "aspirin warfarin interaction"),
+        (3, "de", "warfarin dose warfarin dose"),
+        (4, "de", "insulin pump insulin"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+def test_count_min_never_underestimates(spark, docs):
+    out = count_min_topk(docs).collect()
+    assert out, "no winners"
+    for r in out:
+        assert r["cm_est"] >= r["exact_cnt"], r
+        assert r["overestimate"] == r["cm_est"] - r["exact_cnt"]
+
+
+def test_count_min_exact_on_tiny_corpus(spark, docs):
+    # 7 distinct terms over 4*1024 cells: a same-row collision between two
+    # specific terms is possible but verifiable — recompute the buckets and
+    # only demand exactness for terms with collision-free rows
+    out = {r["term"]: r for r in count_min_topk(docs).collect()}
+    assert out["aspirin"]["exact_cnt"] == 4
+    assert out["dose"]["exact_cnt"] == 4
+    buckets = {
+        t: [_md5_60(f"{r}:{t}") % CM_WIDTH for r in range(CM_DEPTH)]
+        for t in out
+    }
+    for t, r in out.items():
+        collides_everywhere = all(
+            any(buckets[u][i] == buckets[t][i] for u in out if u != t)
+            for i in range(CM_DEPTH)
+        )
+        if not collides_everywhere:
+            assert r["cm_est"] == r["exact_cnt"], t
+
+
+def test_count_min_rank_follows_exact_counts(spark, docs):
+    out = sorted(count_min_topk(docs).collect(), key=lambda r: r["rnk"])
+    keys = [(-r["exact_cnt"], r["term"]) for r in out]
+    assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+def _hll_expected(pairs):
+    regs = {}
+    for d, t in set(pairs):
+        h = _md5_60(f"{d}:{t}")
+        reg, rest = h % HLL_M, h // HLL_M
+        rho = min(53 if rest == 0 else 53 - rest.bit_length(), HLL_RHO_CAP)
+        regs[reg] = max(regs.get(reg, 0), rho)
+    s = sum(1 << (HLL_RHO_CAP - m) for m in regs.values())
+    s += (HLL_M - len(regs)) * (1 << HLL_RHO_CAP)
+    return len(regs), s
+
+
+def test_hll_registers_match_reference_arithmetic(spark, docs):
+    out = {r["lang"]: r for r in hll_distinct(docs).collect()}
+    en_pairs = (
+        [(1, t) for t in "aspirin dose".split()]
+        + [(2, t) for t in "aspirin warfarin interaction".split()]
+    )
+    de_pairs = (
+        [(3, t) for t in "warfarin dose".split()]
+        + [(4, t) for t in "insulin pump".split()]
+    )
+    for lang, pairs in (("en", en_pairs), ("de", de_pairs)):
+        n_regs, s = _hll_expected(pairs)
+        assert out[lang]["hll_regs_nonzero"] == n_regs
+        assert out[lang]["hll_sum"] == s
+        assert out[lang]["exact_distinct"] == len(set(pairs))
+
+
+def test_hll_estimate_tracks_cardinality_at_sf(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for r in hll_distinct(docs).collect():
+        # 256 registers -> ~6.5% typical error; allow a generous 3-sigma
+        assert r["hll_est"] == pytest.approx(r["exact_distinct"], rel=0.25), (
+            r["lang"], r["hll_est"], r["exact_distinct"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_sane_counts(spark, docs):
+    row = bloom_membership(docs).collect()[0]
+    # probe side = de terms {warfarin, dose, insulin, pump};
+    # build side = en terms {aspirin, dose, warfarin, interaction}
+    assert row["n_probed"] == 4
+    assert row["n_present"] == 2
+    assert row["n_false_negative"] == 0
+    assert row["n_bloom_positive"] >= row["n_present"]
+    assert row["n_false_positive"] == row["n_bloom_positive"] - row["n_present"]
+
+
+def test_bloom_positions_stay_off_sign_bit():
+    # every possible offset is < 62, so 1 << off can never touch bit 63
+    assert BLOOM_M % 62 == 0
+    for i in range(BLOOM_K):
+        pos = _md5_60(f"{i}:warfarin") % BLOOM_M
+        assert 0 <= pos % 62 < 62
+
+
+def test_bloom_fp_rate_low_at_sf(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = bloom_membership(docs).collect()[0]
+    assert row["n_false_negative"] == 0
+    # m/n comfortably > 10 bits/key at sf0.001 -> fp should stay tiny
+    assert row["fp_rate"] <= 0.05, row
