@@ -617,6 +617,49 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(entity_edges(m))
 
 
+def _linkpred_oracle() -> str:
+    from .operators.linkpred import link_prediction_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return link_prediction_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_link_prediction", oracle=_linkpred_oracle)
+def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor/Jaccard link prediction over the entity
+    co-occurrence graph: top-50 non-adjacent pairs by Jaccard — the
+    KG-completion candidate list.  Wedges generate only through spokes
+    with degree <= 64 (a hub spoke would emit O(d^2) pairs), existing
+    edges drop via LEFT ANTI, winners via TakeOrdered heaps
+    (operators/linkpred.py)."""
+    from .operators.communities import entity_edges
+    from .operators.linkpred import link_prediction
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return link_prediction(entity_edges(m))
+
+
+def _paths_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+    from .operators.paths import landmark_paths_sql
+
+    return landmark_paths_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_shortest_paths", oracle=_paths_oracle)
+def kg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS from the 4 highest-degree entities over
+    the co-occurrence graph — landmark distances for multi-hop KG
+    reasoning.  Fixed 3 rounds, each ONE equi-join + map-side-combined
+    MIN, zero driver round-trips; pure integers so the unrolled-CTE twin
+    is bit-exact (operators/paths.py)."""
+    from .operators.communities import entity_edges
+    from .operators.paths import landmark_paths
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return landmark_paths(entity_edges(m))
+
+
 def _negsample_oracle() -> str:
     from .operators.negsample import negative_samples_sql
 

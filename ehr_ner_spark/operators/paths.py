@@ -1,0 +1,107 @@
+"""Landmark shortest paths over the entity co-occurrence graph: bounded
+multi-source BFS from the highest-degree entities — the distance feature a
+KG consumer uses for multi-hop reasoning ("how far is this drug from the
+hub disease cluster?") and the standard landmark trick for approximating
+all-pairs distances at scale (store D(landmark, v) instead of D(u, v)).
+
+Spark-first shape — fully declarative synchronous BFS, a fixed round count
+and zero driver round-trips (same discipline as communities.py's LPA /
+k-core):
+
+* landmarks are the top-L entities by (degree DESC, name ASC) via
+  orderBy+limit (TakeOrderedAndProject heaps);
+* each round is ONE equi-join of the distance frame onto the doubled edge
+  frame + a map-side-combined MIN — shuffle O(edges * L) per round, and
+  the distance frame is bounded by nodes * L at any scale;
+* everything is integer distances and string keys — the unrolled-CTE
+  DuckDB twin is bit-exact with no float discipline at all.
+
+Reference contact: none (corpus-level graph analytics); extension in the
+family of operators/communities.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PATHS_LANDMARKS = 4
+PATHS_HOPS = 3
+
+
+def landmark_paths(edges: DataFrame, n_landmarks: int = PATHS_LANDMARKS,
+                   hops: int = PATHS_HOPS) -> DataFrame:
+    """Undirected distinct (ent_a < ent_b) edges ->
+    (landmark, entity, dist) for every entity within ``hops`` of one of
+    the ``n_landmarks`` highest-degree landmarks."""
+    from ..cache import tracked_persist
+
+    edges = edges.select("ent_a", "ent_b")
+    bidir = tracked_persist(
+        edges.select(F.col("ent_a").alias("src"), F.col("ent_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("ent_b").alias("src"),
+                         F.col("ent_a").alias("dst"))
+        )
+    )
+    deg = (
+        bidir.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    landmarks = (
+        deg.orderBy(F.desc("deg"), F.asc("node"))
+        .limit(n_landmarks)
+        .select(F.col("node").alias("landmark"))
+    )
+    dist = landmarks.select(
+        "landmark", F.col("landmark").alias("node"), F.lit(0).alias("dist")
+    )
+    for _ in range(hops):
+        nxt = (
+            dist.join(bidir, dist["node"] == bidir["src"])
+            .select("landmark", F.col("dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("landmark", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("landmark", F.col("node").alias("entity"),
+                       F.col("dist").cast("long").alias("dist"))
+
+
+def landmark_paths_sql(mentions_sql: str, min_pair: int = 2,
+                       n_landmarks: int = PATHS_LANDMARKS,
+                       hops: int = PATHS_HOPS) -> str:
+    """DuckDB twin: same edges, same landmark pick, BFS rounds unrolled as
+    materialized CTEs with the identical MIN fold."""
+    parts = [f"""
+    WITH mentions AS ({mentions_sql}),
+    ents AS (SELECT DISTINCT doc_id, text FROM mentions),
+    ed AS MATERIALIZED (
+      SELECT a.text AS ent_a, b.text AS ent_b
+      FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.text < b.text
+      GROUP BY a.text, b.text
+      HAVING COUNT(*) >= {min_pair}),
+    bidir AS MATERIALIZED (
+      SELECT ent_a AS src, ent_b AS dst FROM ed
+      UNION ALL SELECT ent_b AS src, ent_a AS dst FROM ed),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM bidir GROUP BY src),
+    landmarks AS MATERIALIZED (
+      SELECT node AS landmark FROM deg
+      ORDER BY deg DESC, node ASC LIMIT {n_landmarks}),
+    d0 AS MATERIALIZED (
+      SELECT landmark, landmark AS node, 0 AS dist FROM landmarks)"""]
+    for t in range(1, hops + 1):
+        parts.append(f""",
+    d{t} AS MATERIALIZED (
+      SELECT landmark, node, MIN(dist) AS dist FROM (
+        SELECT landmark, node, dist FROM d{t - 1}
+        UNION ALL
+        SELECT d.landmark, e.dst AS node, d.dist + 1 AS dist
+        FROM d{t - 1} d JOIN bidir e ON e.src = d.node)
+      GROUP BY landmark, node)""")
+    parts.append(f"""
+    SELECT landmark, node AS entity, dist::BIGINT AS dist FROM d{hops}""")
+    return "".join(parts)

@@ -95,3 +95,79 @@ def test_kcore_chain_fully_peels(spark):
             rows += [(10 * d + rep, u), (10 * d + rep, v)]
     chain = spark.createDataFrame(rows, ["doc_id", "text"])
     assert k_core(entity_edges(chain)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# link prediction
+# ---------------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(sorted(pairs), ["ent_a", "ent_b"])
+
+
+def test_link_prediction_path_graph(spark):
+    from ehr_ner_spark.operators.linkpred import link_prediction
+
+    # path a-b-c: the only candidate is (a, c) through spoke b,
+    # jaccard = 1 / (1 + 1 - 1) = 1.0
+    out = link_prediction(_edges(spark, [("a", "b"), ("b", "c")])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["ent_a"], r["ent_b"], r["cn"]) == ("a", "c", 1)
+    assert (r["deg_a"], r["deg_b"]) == (1, 1)
+    assert r["jaccard"] == 1.0 and r["rnk"] == 1
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from ehr_ner_spark.operators.linkpred import link_prediction
+
+    # square a-b-c-d-a: candidates are the two diagonals only
+    sq = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+    out = {(r["ent_a"], r["ent_b"]): r for r in
+           link_prediction(_edges(spark, sq)).collect()}
+    assert set(out) == {("a", "c"), ("b", "d")}
+    for r in out.values():
+        assert r["cn"] == 2 and r["jaccard"] == 1.0
+
+
+def test_link_prediction_spoke_cap(spark):
+    from ehr_ner_spark.operators.linkpred import link_prediction
+
+    # star h-{x,y,z}: with the default cap the leaves pair through h;
+    # with spoke_cap=1 the hub (deg 3) is excluded and nothing remains
+    star = [("h", "x"), ("h", "y"), ("h", "z")]
+    full = {(r["ent_a"], r["ent_b"])
+            for r in link_prediction(_edges(spark, star)).collect()}
+    assert full == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert link_prediction(_edges(spark, star), spoke_cap=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# landmark shortest paths
+# ---------------------------------------------------------------------------
+
+def test_landmark_paths_chain_distances(spark):
+    from ehr_ner_spark.operators.paths import landmark_paths
+
+    # chain a-b-c-d-e: degrees b=c=d=2 > a=e=1, so landmarks (2, name ASC)
+    # are b and c; distances are exact BFS hops capped at 3
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    out = {(r["landmark"], r["entity"]): r["dist"]
+           for r in landmark_paths(_edges(spark, chain),
+                                   n_landmarks=2, hops=3).collect()}
+    assert out[("b", "b")] == 0 and out[("c", "c")] == 0
+    assert out[("b", "a")] == 1 and out[("b", "c")] == 1
+    assert out[("b", "d")] == 2 and out[("b", "e")] == 3
+    assert out[("c", "a")] == 2 and out[("c", "e")] == 2
+
+
+def test_landmark_paths_hop_bound_and_unreachable(spark):
+    from ehr_ner_spark.operators.paths import landmark_paths
+
+    # two components: K3 {a,b,c} (degree-2 landmarks) + far pair {x,y};
+    # x/y are unreachable from any landmark and must be absent
+    g = [("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")]
+    out = landmark_paths(_edges(spark, g), n_landmarks=2, hops=3).collect()
+    assert {r["landmark"] for r in out} == {"a", "b"}
+    assert all(r["entity"] in {"a", "b", "c"} for r in out)
+    assert all(r["dist"] <= 1 for r in out)  # K3 diameter

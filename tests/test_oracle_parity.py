@@ -67,6 +67,8 @@ EXACT_QUERIES = {
     # sketch family: integer state end to end; the one float per query is a
     # single IEEE division snapped to the 1e-6 grid on both sides
     "ds_heavy_hitters", "ds_hll_distinct", "ds_bloom_membership",
+    # integer BFS distances / one snapped small-integer division
+    "kg_shortest_paths", "kg_link_prediction",
 }
 
 
