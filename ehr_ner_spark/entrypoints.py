@@ -660,6 +660,47 @@ def kg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landmark_paths(entity_edges(m))
 
 
+def _walks_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+    from .operators.walks import random_walks_sql
+
+    return random_walks_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_random_walks", oracle=_walks_oracle)
+def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the entity graph: one 4-step
+    hash-greedy walk per node (next hop = md5-argmin neighbor, the
+    deterministic stand-in for a uniform draw).  Each step is ONE
+    equi-join + a combinable MIN over ``md5hex|dst`` keys — no window,
+    no sort, walker frame bounded by node count (operators/walks.py)."""
+    from .operators.communities import entity_edges
+    from .operators.walks import random_walks
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return random_walks(entity_edges(m))
+
+
+def _skipgrams_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+    from .operators.walks import walk_skipgrams_sql
+
+    return walk_skipgrams_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_walk_skipgrams", oracle=_skipgrams_oracle)
+def kg_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts windowed from the walk
+    corpus — the word2vec-style training set for graph embeddings.  A
+    walk-local self-join (|Δstep| <= 2, fan-out bounded by walk length)
+    + one map-side-combined count (operators/walks.py)."""
+    from .operators.communities import entity_edges
+    from .operators.walks import random_walks, walk_skipgrams
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return walk_skipgrams(random_walks(entity_edges(m)))
+
+
 def _negsample_oracle() -> str:
     from .operators.negsample import negative_samples_sql
 

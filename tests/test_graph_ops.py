@@ -161,6 +161,63 @@ def test_landmark_paths_chain_distances(spark):
     assert out[("c", "a")] == 2 and out[("c", "e")] == 2
 
 
+# ---------------------------------------------------------------------------
+# random walks / skip-grams
+# ---------------------------------------------------------------------------
+
+def test_random_walks_follow_edges(spark):
+    import hashlib
+
+    from ehr_ner_spark.operators.walks import random_walks
+
+    g = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    adj = {}
+    for u, v in g:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = random_walks(_edges(spark, g), steps=3).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    # one walk per node, full length, starting at walk_id
+    assert set(walks) == set(adj)
+    for wid, w in walks.items():
+        assert sorted(w) == [0, 1, 2, 3]
+        assert w[0] == wid
+        for t in range(1, 4):
+            # every hop is a real edge AND the md5-argmin neighbor
+            assert w[t] in adj[w[t - 1]]
+            expect = min(
+                adj[w[t - 1]],
+                key=lambda n: (hashlib.md5(
+                    f"{wid}|{t}|{n}".encode()).hexdigest(), n),
+            )
+            assert w[t] == expect
+
+
+def test_walk_skipgrams_window_and_counts(spark):
+    from ehr_ner_spark.operators.walks import random_walks, walk_skipgrams
+
+    # path graph: walks are forced (each interior node alternates), so the
+    # pair universe is small and checkable structurally
+    g = [("a", "b"), ("b", "c"), ("c", "d")]
+    w = random_walks(_edges(spark, g), steps=3)
+    pairs = {(r["center"], r["context"]): r["n_pairs"]
+             for r in walk_skipgrams(w, window=2).collect()}
+    rows = {(r["walk_id"], r["step"]): r["node"] for r in w.collect()}
+    expect = {}
+    for (wid, s_a), center in rows.items():
+        for (wid2, s_b), context in rows.items():
+            if (wid2 == wid and s_a != s_b and abs(s_a - s_b) <= 2
+                    and center != context):
+                expect[(center, context)] = expect.get(
+                    (center, context), 0) + 1
+    assert pairs == expect
+    # symmetric by construction
+    for (c, x), n in pairs.items():
+        assert pairs[(x, c)] == n
+
+
 def test_landmark_paths_hop_bound_and_unreachable(spark):
     from ehr_ner_spark.operators.paths import landmark_paths
 

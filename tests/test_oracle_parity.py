@@ -69,6 +69,8 @@ EXACT_QUERIES = {
     "ds_heavy_hitters", "ds_hll_distinct", "ds_bloom_membership",
     # integer BFS distances / one snapped small-integer division
     "kg_shortest_paths", "kg_link_prediction",
+    # hash-greedy walks: md5-hex string MINs + integer steps/counts
+    "kg_random_walks", "kg_walk_skipgrams",
 }
 
 
