@@ -434,3 +434,54 @@ def test_bloom_filter_joins_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "partial_bit_or" in plan.lower() or "partial_bitor" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def _toy_edges(spark):
+    return spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("x", "y")],
+        ["ent_a", "ent_b"],
+    )
+
+
+def test_link_prediction_heap_topk_anti_join_no_cartesian(spark):
+    """Candidate wedges come only through capped spokes, existing edges
+    drop via LEFT ANTI, and the top-k is a TakeOrdered heap — the only
+    Window ranks the already-limited k-row winner frame."""
+    from ehr_ner_spark.operators.linkpred import link_prediction
+
+    plan = _plan(link_prediction(_toy_edges(spark)))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # winner ranking happens above the heap, never below it
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_landmark_paths_rounds_are_min_folds(spark):
+    """Each BFS round is an equi-join + map-side-combined MIN — no window,
+    no sort, no cartesian expansion anywhere in the unrolled plan."""
+    from ehr_ner_spark.operators.paths import landmark_paths
+
+    plan = _plan(landmark_paths(_toy_edges(spark), n_landmarks=2, hops=3))
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # the landmark pick itself is a heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_random_walks_rounds_are_min_folds_no_python(spark):
+    """Each walk step is an equi-join + combinable MIN over md5 keys —
+    no window, no cartesian product, and no Python stage at all."""
+    from ehr_ner_spark.operators.walks import random_walks, walk_skipgrams
+
+    w = random_walks(_toy_edges(spark), steps=3)
+    plan = _plan(w)
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # skip-gram pairing is a walk-keyed equi-join + partial count
+    plan2 = _plan(walk_skipgrams(w))
+    assert "partial_count" in plan2
+    assert "CartesianProduct" not in plan2
