@@ -1284,6 +1284,24 @@ def ds_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantiles_oracle() -> str:
+    from .operators.quantiles import length_quantiles_sql
+
+    return length_quantiles_sql()
+
+
+@_register("ds_length_quantiles", oracle=_quantiles_oracle)
+def ds_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length/word-count quantiles (p50/p90/p99/max)
+    via value histograms — one map-side-combined agg compresses the
+    corpus to its distinct metric values, the cumulative fold + ceil
+    pick run on that tiny frame; pure integers end to end
+    (operators/quantiles.py)."""
+    from .operators.quantiles import length_quantiles
+
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 def _tfidf_oracle() -> str:
     from .operators.textops import tfidf_topk_sql
 

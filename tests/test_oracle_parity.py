@@ -71,6 +71,8 @@ EXACT_QUERIES = {
     "kg_shortest_paths", "kg_link_prediction",
     # hash-greedy walks: md5-hex string MINs + integer steps/counts
     "kg_random_walks", "kg_walk_skipgrams",
+    # value-histogram quantiles: integer counts + integer ceil-division
+    "ds_length_quantiles",
 }
 
 

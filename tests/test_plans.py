@@ -485,3 +485,18 @@ def test_random_walks_rounds_are_min_folds_no_python(spark):
     plan2 = _plan(walk_skipgrams(w))
     assert "partial_count" in plan2
     assert "CartesianProduct" not in plan2
+
+
+def test_length_quantiles_histogram_compresses_before_window(spark, sf_dir):
+    """The corpus-sized aggregation is the map-side-combined histogram;
+    the window runs only on the compressed distinct-value frame."""
+    from ehr_ner_spark.operators.quantiles import length_quantiles
+
+    df = length_quantiles(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "partial_count" in plan          # histogram combines map-side
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the one Window sits ABOVE the histogram aggregate in the plan tree
+    assert plan.count("Window") == 1
+    assert plan.index("Window") < plan.index("partial_count")
