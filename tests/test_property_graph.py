@@ -112,3 +112,97 @@ def test_triangles_match_reference(spark, edges):
 
             want = math.floor(2.0 * ntri / (deg * (deg - 1)) * 1e6 + 0.5) / 1e6
         assert gclust == want
+
+
+def _ref_walks(edges, steps=3):
+    import hashlib
+
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    out = {}
+    for wid in nbrs:
+        node, walk = wid, {0: wid}
+        for t in range(1, steps + 1):
+            node = min(nbrs[node], key=lambda n: (
+                hashlib.md5(f"{wid}|{t}|{n}".encode()).hexdigest(), n))
+            walk[t] = node
+        out[wid] = walk
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(edges=edge_sets)
+def test_random_walks_match_reference(spark, edges):
+    from ehr_ner_spark.operators.walks import random_walks
+
+    rows = random_walks(_edges_df(spark, edges), steps=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert got == _ref_walks(edges, steps=3)
+
+
+def _ref_linkpred(edges, spoke_cap=64):
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    cn = Counter()
+    for spoke, ns in nbrs.items():
+        if len(ns) > spoke_cap:
+            continue
+        ns = sorted(ns)
+        for i, u in enumerate(ns):
+            for w in ns[i + 1:]:
+                cn[(u, w)] += 1
+    return {p: c for p, c in cn.items() if p not in set(edges)}
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(edges=edge_sets)
+def test_link_prediction_matches_reference(spark, edges):
+    from ehr_ner_spark.operators.linkpred import link_prediction
+
+    rows = link_prediction(_edges_df(spark, edges), k=1000).collect()
+    got = {(r["ent_a"], r["ent_b"]): r["cn"] for r in rows}
+    assert got == _ref_linkpred(edges)
+    for r in rows:  # jaccard consistency against degrees
+        union = r["deg_a"] + r["deg_b"] - r["cn"]
+        assert abs(r["jaccard"] - r["cn"] / union) < 1e-6
+
+
+def _ref_landmarks(edges, n_landmarks=2, hops=3):
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    deg = {n: len(v) for n, v in nbrs.items()}
+    lms = sorted(deg, key=lambda n: (-deg[n], n))[:n_landmarks]
+    out = {}
+    for lm in lms:
+        dist = {lm: 0}
+        frontier = [lm]
+        for d in range(1, hops + 1):
+            nxt = [m for f in frontier for m in nbrs[f] if m not in dist]
+            for m in nxt:
+                dist.setdefault(m, d)
+            frontier = list(dict.fromkeys(nxt))
+        for n, d in dist.items():
+            out[(lm, n)] = d
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(edges=edge_sets)
+def test_landmark_paths_match_reference(spark, edges):
+    from ehr_ner_spark.operators.paths import landmark_paths
+
+    rows = landmark_paths(_edges_df(spark, edges),
+                          n_landmarks=2, hops=3).collect()
+    got = {(r["landmark"], r["entity"]): r["dist"] for r in rows}
+    assert got == _ref_landmarks(edges)
