@@ -721,6 +721,39 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(canonical_triples(m, canonicalize(m)))
 
 
+def _incremental_oracle() -> str:
+    from .operators.incremental import incremental_triples_oracle_sql
+
+    return incremental_triples_oracle_sql(CORPUS_SQL)
+
+
+@_register("kg_incremental_triples", oracle=_incremental_oracle)
+def kg_incremental_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level incremental KG maintenance, driver-checked: snapshot v1
+    (triples + (doc_id, content_sha) manifest), deterministically revise
+    every 7th document, then produce v2 triples by running the scorer over
+    the sha-diff ONLY (one left-anti join on the per-row sha256 invariant)
+    and reusing stored triples for the rest.  The oracle is a FULL
+    recompute over the v2 corpus — a green row proves incremental == full,
+    byte for byte (operators/incremental.py; bucket-granular sibling:
+    kg_triples_resumed)."""
+    import shutil
+    import tempfile
+
+    from .corpus import load_documents
+    from .operators.incremental import incremental_triples, revise_documents
+
+    docs = load_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="kg_incremental_")
+    try:
+        out = incremental_triples(
+            spark, docs, revise_documents(docs), root, num_partitions=8
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @_register("kg_triples_resumed", oracle=_canonical_triples_oracle)
 def kg_triples_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 resume evidence through the driver (not just pytest): run the

@@ -73,6 +73,8 @@ EXACT_QUERIES = {
     "kg_random_walks", "kg_walk_skipgrams",
     # value-histogram quantiles: integer counts + integer ceil-division
     "ds_length_quantiles",
+    # incremental == full recompute: strings + integer spans end to end
+    "kg_incremental_triples",
 }
 
 
