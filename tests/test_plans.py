@@ -500,3 +500,22 @@ def test_length_quantiles_histogram_compresses_before_window(spark, sf_dir):
     # the one Window sits ABOVE the histogram aggregate in the plan tree
     assert plan.count("Window") == 1
     assert plan.index("Window") < plan.index("partial_count")
+
+
+def test_incremental_scorer_input_is_the_sha_diff(spark, sf_dir):
+    """The stage-2 detection subtree is fed by the left-anti manifest
+    join — the scorer never sees unchanged docs."""
+    from ehr_ner_spark.corpus import corpus_from_docs, load_documents
+    from ehr_ner_spark.operators.incremental import revise_documents, sha_diff
+    from ehr_ner_spark.operators.mention_detect import detect_mentions
+
+    docs = load_documents(spark, sf_dir)
+    c1 = corpus_from_docs(docs)
+    changed = sha_diff(corpus_from_docs(revise_documents(docs)),
+                       c1.select("doc_id", "content_sha"))
+    plan = _plan(detect_mentions(changed, num_partitions=4))
+    assert "LeftAnti" in plan
+    # the diff join sits BELOW the Arrow scorer stage in the plan tree
+    assert plan.index("InPandas") < plan.index("LeftAnti") or \
+        plan.index("MapInPandas" if "MapInPandas" in plan else "InPandas") \
+        < plan.index("LeftAnti")
