@@ -55,7 +55,8 @@ def entity_edges(mentions: DataFrame, min_pair: int = LPA_MIN_PAIR) -> DataFrame
     )
 
 
-def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS,
+                      checkpoint: bool = True) -> DataFrame:
     """Undirected (ent_a, ent_b) edges -> (entity, community, n_members)
     after ``iters`` synchronous LPA rounds seeded with label = own name.
 
@@ -71,8 +72,20 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
             edges.select(F.col("ent_b").alias("src"), F.col("ent_a").alias("dst"))
         )
     )
-    labels = bidir.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # the label frame is consumed TWICE per round (neighbor join + the
+    # self-vote union) and again as the next round's input — without
+    # per-round lineage truncation the plan doubles every round (2^iters
+    # re-executions of round 1, and the logical tree itself explodes).
+    # localCheckpoint is the standard iterative-loop discipline: the frame
+    # is ONE ROW PER NODE, materialized once, and the next round starts
+    # from a flat leaf.  iters is a fixed small constant, so the per-round
+    # driver sync is bounded and trivial next to the round's shuffle.
+    _ckpt = ((lambda df: df.localCheckpoint(eager=True)) if checkpoint
+             else (lambda df: df))
+    labels = _ckpt(
+        bidir.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
     )
     for _ in range(iters):
         nbr = bidir.join(
@@ -83,7 +96,7 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("votes"))
         )
-        labels = (
+        labels = _ckpt(
             votes.groupBy("node")
             .agg(
                 F.min(
@@ -239,7 +252,8 @@ KCORE_ROUNDS = 4
 
 
 def k_core(edges: DataFrame, k: int = KCORE_K,
-           rounds: int = KCORE_ROUNDS) -> DataFrame:
+           rounds: int = KCORE_ROUNDS,
+           checkpoint: bool = True) -> DataFrame:
     """k-core decomposition by synchronous peeling: ``rounds`` rounds of
     "drop every node with degree < k, drop incident edges", then report
     the survivors with their in-core degree — the dense-subgraph filter a
@@ -266,9 +280,16 @@ def k_core(edges: DataFrame, k: int = KCORE_K,
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
+    # each round reads the current edge frame three times (twice inside
+    # _deg's union, once as the semi-join base) and keep twice — without
+    # per-round lineage truncation the peeling plan re-executes earlier
+    # rounds exponentially.  localCheckpoint flattens each round to a leaf
+    # (rounds is a fixed small constant; the frames shrink monotonically).
+    _ckpt = ((lambda df: df.localCheckpoint(eager=True)) if checkpoint
+             else (lambda df: df))
     for _ in range(rounds):
-        keep = _deg(ed).where(F.col("deg") >= k).select("node")
-        ed = (
+        keep = _ckpt(_deg(ed).where(F.col("deg") >= k).select("node"))
+        ed = _ckpt(
             ed.join(keep.withColumnRenamed("node", "ent_a"), "ent_a",
                     "left_semi")
             .join(keep.withColumnRenamed("node", "ent_b"), "ent_b",

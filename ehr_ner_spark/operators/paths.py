@@ -30,11 +30,18 @@ PATHS_HOPS = 3
 
 
 def landmark_paths(edges: DataFrame, n_landmarks: int = PATHS_LANDMARKS,
-                   hops: int = PATHS_HOPS) -> DataFrame:
+                   hops: int = PATHS_HOPS,
+                   checkpoint: bool = True) -> DataFrame:
     """Undirected distinct (ent_a < ent_b) edges ->
     (landmark, entity, dist) for every entity within ``hops`` of one of
-    the ``n_landmarks`` highest-degree landmarks."""
+    the ``n_landmarks`` highest-degree landmarks.
+
+    ``checkpoint=False`` skips the per-round lineage truncation so plan
+    tests can inspect the declarative round body."""
     from ..cache import tracked_persist
+
+    _ckpt = ((lambda df: df.localCheckpoint(eager=True)) if checkpoint
+             else (lambda df: df))
 
     edges = edges.select("ent_a", "ent_b")
     bidir = tracked_persist(
@@ -56,7 +63,12 @@ def landmark_paths(edges: DataFrame, n_landmarks: int = PATHS_LANDMARKS,
     dist = landmarks.select(
         "landmark", F.col("landmark").alias("node"), F.lit(0).alias("dist")
     )
+    # dist feeds BOTH the expansion join and the union each round — without
+    # per-round lineage truncation the plan doubles every hop (2^hops
+    # re-executions of round 1).  localCheckpoint flattens each round to a
+    # leaf; the frame is <= nodes x L rows and hops is a fixed constant.
     for _ in range(hops):
+        dist = _ckpt(dist)
         nxt = (
             dist.join(bidir, dist["node"] == bidir["src"])
             .select("landmark", F.col("dst").alias("node"),
@@ -76,17 +88,9 @@ def landmark_paths_sql(mentions_sql: str, min_pair: int = 2,
                        hops: int = PATHS_HOPS) -> str:
     """DuckDB twin: same edges, same landmark pick, BFS rounds unrolled as
     materialized CTEs with the identical MIN fold."""
-    parts = [f"""
-    WITH mentions AS ({mentions_sql}),
-    ents AS (SELECT DISTINCT doc_id, text FROM mentions),
-    ed AS MATERIALIZED (
-      SELECT a.text AS ent_a, b.text AS ent_b
-      FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.text < b.text
-      GROUP BY a.text, b.text
-      HAVING COUNT(*) >= {min_pair}),
-    bidir AS MATERIALIZED (
-      SELECT ent_a AS src, ent_b AS dst FROM ed
-      UNION ALL SELECT ent_b AS src, ent_a AS dst FROM ed),
+    from .graph_sql import edges_prelude
+
+    parts = [edges_prelude(mentions_sql, min_pair), f""",
     deg AS (SELECT src AS node, COUNT(*) AS deg FROM bidir GROUP BY src),
     landmarks AS MATERIALIZED (
       SELECT node AS landmark FROM deg

@@ -48,10 +48,18 @@ def _step_key(t: int):
     return F.concat_ws("|", h, F.col("dst"))
 
 
-def random_walks(edges: DataFrame, steps: int = WALK_STEPS) -> DataFrame:
+def random_walks(edges: DataFrame, steps: int = WALK_STEPS,
+                 checkpoint: bool = True) -> DataFrame:
     """Undirected distinct (ent_a < ent_b) edges ->
-    (walk_id, step, node): one ``steps``-step hash-greedy walk per node."""
+    (walk_id, step, node): one ``steps``-step hash-greedy walk per node.
+
+    ``checkpoint=False`` skips the per-step lineage truncation so plan
+    tests can inspect the declarative round body; production callers keep
+    the default."""
     from ..cache import tracked_persist
+
+    _ckpt = ((lambda df: df.localCheckpoint(eager=True)) if checkpoint
+             else (lambda df: df))
 
     edges = edges.select("ent_a", "ent_b")
     bidir = tracked_persist(
@@ -61,13 +69,19 @@ def random_walks(edges: DataFrame, steps: int = WALK_STEPS) -> DataFrame:
                          F.col("ent_a").alias("dst"))
         )
     )
-    cur = (
+    # each walker frame is consumed twice (next step's join + the output
+    # union) — without per-step lineage truncation the step aggregations
+    # re-execute a triangular number of times through the unioned output
+    # (and twice again across the skip-gram self-join).  localCheckpoint
+    # flattens each step to a leaf: ONE row per walk, steps is a fixed
+    # small constant.
+    cur = _ckpt(
         bidir.select(F.col("src").alias("node")).distinct()
         .select(F.col("node").alias("walk_id"), "node")
     )
     out = cur.select("walk_id", F.lit(0).alias("step"), "node")
     for t in range(1, steps + 1):
-        cur = (
+        cur = _ckpt(
             cur.join(bidir, cur["node"] == bidir["src"])
             .select("walk_id", _step_key(t).alias("k"))
             .groupBy("walk_id")
@@ -103,23 +117,11 @@ def walk_skipgrams(walks: DataFrame,
     )
 
 
-def _edges_prelude(mentions_sql: str, min_pair: int) -> str:
-    return f"""
-    WITH mentions AS ({mentions_sql}),
-    ents AS (SELECT DISTINCT doc_id, text FROM mentions),
-    ed AS MATERIALIZED (
-      SELECT a.text AS ent_a, b.text AS ent_b
-      FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.text < b.text
-      GROUP BY a.text, b.text
-      HAVING COUNT(*) >= {min_pair}),
-    bidir AS MATERIALIZED (
-      SELECT ent_a AS src, ent_b AS dst FROM ed
-      UNION ALL SELECT ent_b AS src, ent_a AS dst FROM ed)"""
-
-
 def _walks_ctes(mentions_sql: str, min_pair: int, steps: int) -> str:
     """Shared CTE chain ending in ``walks`` (walk_id, step, node)."""
-    parts = [_edges_prelude(mentions_sql, min_pair), """,
+    from .graph_sql import edges_prelude
+
+    parts = [edges_prelude(mentions_sql, min_pair), """,
     w0 AS MATERIALIZED (
       SELECT DISTINCT src AS walk_id, src AS node FROM bidir)"""]
     for t in range(1, steps + 1):

@@ -356,7 +356,7 @@ def test_lpa_round_has_no_sort_or_window(spark):
         [("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")],
         ["ent_a", "ent_b"],
     )
-    plan = _plan(label_propagation(edges, iters=2))
+    plan = _plan(label_propagation(edges, iters=2, checkpoint=False))
     assert "Window" not in plan
     assert "partial_min" in plan or "partial_count" in plan
     assert "CartesianProduct" not in plan
@@ -462,12 +462,17 @@ def test_landmark_paths_rounds_are_min_folds(spark):
     no sort, no cartesian expansion anywhere in the unrolled plan."""
     from ehr_ner_spark.operators.paths import landmark_paths
 
-    plan = _plan(landmark_paths(_toy_edges(spark), n_landmarks=2, hops=3))
+    plan = _plan(landmark_paths(_toy_edges(spark), n_landmarks=2, hops=3,
+                            checkpoint=False))
     assert "partial_min" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     # the landmark pick itself is a heap, not a global sort
     assert "TakeOrderedAndProject" in plan
+    # default (checkpointed) path: earlier rounds are flat leaves; only
+    # the final round's MIN fold remains in the returned plan
+    plan2 = _plan(landmark_paths(_toy_edges(spark), n_landmarks=2, hops=3))
+    assert "ExistingRDD" in plan2
 
 
 def test_random_walks_rounds_are_min_folds_no_python(spark):
@@ -475,7 +480,7 @@ def test_random_walks_rounds_are_min_folds_no_python(spark):
     no window, no cartesian product, and no Python stage at all."""
     from ehr_ner_spark.operators.walks import random_walks, walk_skipgrams
 
-    w = random_walks(_toy_edges(spark), steps=3)
+    w = random_walks(_toy_edges(spark), steps=3, checkpoint=False)
     plan = _plan(w)
     assert "partial_min" in plan
     assert "Window" not in plan
@@ -485,6 +490,10 @@ def test_random_walks_rounds_are_min_folds_no_python(spark):
     plan2 = _plan(walk_skipgrams(w))
     assert "partial_count" in plan2
     assert "CartesianProduct" not in plan2
+    # default (checkpointed) path: every step materializes exactly once —
+    # the returned plan is a union over flat leaves, nothing re-executes
+    plan3 = _plan(random_walks(_toy_edges(spark), steps=3))
+    assert "ExistingRDD" in plan3 and "partial_min" not in plan3
 
 
 def test_length_quantiles_histogram_compresses_before_window(spark, sf_dir):
@@ -516,6 +525,5 @@ def test_incremental_scorer_input_is_the_sha_diff(spark, sf_dir):
     plan = _plan(detect_mentions(changed, num_partitions=4))
     assert "LeftAnti" in plan
     # the diff join sits BELOW the Arrow scorer stage in the plan tree
-    assert plan.index("InPandas") < plan.index("LeftAnti") or \
-        plan.index("MapInPandas" if "MapInPandas" in plan else "InPandas") \
-        < plan.index("LeftAnti")
+    assert "InPandas" in plan  # MapInPandas / FlatMapsInPandas marker
+    assert plan.index("InPandas") < plan.index("LeftAnti")
