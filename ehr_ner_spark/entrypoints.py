@@ -588,8 +588,8 @@ def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds (drop nodes with degree < k, drop incident edges) — the
     dense-subgraph filter separating structurally-supported entities from
     one-off co-occurrence noise.  Fixed round count keeps both engines on
-    the same trajectory with zero driver round-trips; per round ONE
-    map-side-combined degree agg + two semi-joins, pure integers
+    the same trajectory; per round ONE map-side-combined degree agg + two
+    semi-joins + a lineage-truncating localCheckpoint, pure integers
     (operators/communities.py::k_core)."""
     from .operators.communities import entity_edges, k_core
 
@@ -651,8 +651,8 @@ def kg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded multi-source BFS from the 4 highest-degree entities over
     the co-occurrence graph — landmark distances for multi-hop KG
     reasoning.  Fixed 3 rounds, each ONE equi-join + map-side-combined
-    MIN, zero driver round-trips; pure integers so the unrolled-CTE twin
-    is bit-exact (operators/paths.py)."""
+    MIN + a lineage-truncating localCheckpoint; pure integers so the
+    unrolled-CTE twin is bit-exact (operators/paths.py)."""
     from .operators.communities import entity_edges
     from .operators.paths import landmark_paths
 

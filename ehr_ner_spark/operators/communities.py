@@ -261,9 +261,10 @@ def k_core(edges: DataFrame, k: int = KCORE_K,
     one-off co-occurrence noise.
 
     A fixed round count (not a fixpoint probe) keeps both engines on the
-    exact same trajectory with zero driver round-trips; peeling converges
-    geometrically in practice and the round count is a named constant both
-    sides.  Per round: ONE map-side-combined degree aggregation + two
+    exact same trajectory; peeling converges geometrically in practice and
+    the round count is a named constant both sides.  Each round
+    localCheckpoints its (shrinking) edge frame — one bounded driver sync
+    per round buys exactly-once execution and an O(rounds) plan.  Per round: ONE map-side-combined degree aggregation + two
     semi-joins — shuffle O(edges), pure integers throughout.  Returns
     (entity, core_deg) for nodes still meeting the bar after the final
     round.

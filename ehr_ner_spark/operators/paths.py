@@ -4,9 +4,10 @@ KG consumer uses for multi-hop reasoning ("how far is this drug from the
 hub disease cluster?") and the standard landmark trick for approximating
 all-pairs distances at scale (store D(landmark, v) instead of D(u, v)).
 
-Spark-first shape — fully declarative synchronous BFS, a fixed round count
-and zero driver round-trips (same discipline as communities.py's LPA /
-k-core):
+Spark-first shape — fully declarative synchronous BFS with a fixed round
+count and per-round lineage truncation (same discipline as
+communities.py's LPA / k-core — one bounded localCheckpoint sync per
+round buys exactly-once execution and an O(hops) plan):
 
 * landmarks are the top-L entities by (degree DESC, name ASC) via
   orderBy+limit (TakeOrderedAndProject heaps);
