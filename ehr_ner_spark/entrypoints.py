@@ -471,6 +471,27 @@ def kg_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purity_oracle() -> str:
+    from .operators.purity import cluster_purity_sql
+
+    return cluster_purity_sql(_canonical_triples_oracle())
+
+
+@_register("kg_cluster_purity", oracle=_purity_oracle)
+def kg_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-quality gate on the linking stage: per-canonical-entity type
+    purity (majority-type share of mentions) — an impure cluster means
+    canonicalization merged different entity types.  Two map-side-combined
+    aggregations over the canonical triples; majority via the combinable
+    min(struct(-cnt, type)) trick, NO window/sort; one snapped division
+    (operators/purity.py)."""
+    from .operators.linking import canonical_triples, canonicalize
+    from .operators.purity import cluster_purity
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return cluster_purity(canonical_triples(m, canonicalize(m)))
+
+
 def _triples_oracle() -> str:
     from .operators.mention_sql import mentions_oracle_sql
 

@@ -75,6 +75,8 @@ EXACT_QUERIES = {
     "ds_length_quantiles",
     # incremental == full recompute: strings + integer spans end to end
     "kg_incremental_triples",
+    # cluster purity: integer counts + one snapped division
+    "kg_cluster_purity",
 }
 
 
