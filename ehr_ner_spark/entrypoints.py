@@ -2064,6 +2064,25 @@ def rel_order_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retention_oracle() -> str:
+    from .operators.retention import cohort_retention_sql
+
+    return cohort_retention_sql()
+
+
+@_register("rel_cohort_retention", oracle=_retention_oracle)
+def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event log: users grouped by
+    first-activity week, fraction active N weeks later.  Weeks are
+    integer epoch_day div 7 (no engine-dependent date_trunc); one MIN per
+    user + one distinct (user, week) + two combinable counts — the
+    shuffle carries user x active-week, never raw events; no window
+    (operators/retention.py)."""
+    from .operators.retention import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 @_register(
     "rel_asof_join",
     oracle="""

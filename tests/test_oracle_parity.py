@@ -77,6 +77,8 @@ EXACT_QUERIES = {
     "kg_incremental_triples",
     # cluster purity: integer counts + one snapped division
     "kg_cluster_purity",
+    # cohort retention: integer week indices + one snapped division
+    "rel_cohort_retention",
 }
 
 
