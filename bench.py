@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "ds_heavy_hitters",
     "ds_hll_distinct",
     "ds_bloom_membership",
+    "ds_bm25_topk",
+    "ds_bigram_lm_score",
 ]
 
 

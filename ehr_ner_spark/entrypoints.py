@@ -2501,3 +2501,130 @@ def rel_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 session-5 additions: retrieval scoring, LM quality, OLAP grouping
+# sets, SCD2 dimension versioning
+# ---------------------------------------------------------------------------
+
+
+def _bm25_oracle() -> str:
+    from .operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql()
+
+
+@_register("ds_bm25_topk", oracle=_bm25_oracle)
+def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for a broadcast 4-query battery over
+    the documents table — the ranking stage on top of ds_inverted_index.
+    Pre-log Robertson idf + per-term integer micro-scores keep both
+    engines bit-identical; candidate restriction happens via broadcast
+    joins BEFORE any score shuffles, and the per-query top-k compiles to
+    a partial map-side WindowGroupLimit heap below the exchange —
+    see operators/retrieval.py::bm25_topk."""
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+def _bigram_lm_oracle() -> str:
+    from .operators.retrieval import bigram_lm_score_sql
+
+    return bigram_lm_score_sql()
+
+
+@_register("ds_bigram_lm_score", oracle=_bigram_lm_oracle)
+def ds_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional probability under the
+    corpus's own bigram LM — the perplexity-style fluency signal for
+    quality filtering, with zero external model.  Bigram assembly is a
+    codegen transform over the token array (no shuffle); three map-side
+    combined aggs + two equi-joins; exact integer micro-prob sums
+    (operators/retrieval.py::bigram_lm_score)."""
+    from .operators.retrieval import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+_GROUPING_SETS_SQL = """
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*)                             AS n,
+           ROUND(SUM(o_totalprice), 2)          AS sum_price,
+           CAST(GROUPING(c_mktsegment) AS {i})  AS g_seg,
+           CAST(GROUPING(o_orderpriority) AS {i}) AS g_pri
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment),
+                            (o_orderpriority),
+                            (c_mktsegment, o_orderpriority))
+"""
+
+
+@_register(
+    "rel_grouping_sets",
+    oracle=_GROUPING_SETS_SQL.format(i="BIGINT"),
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rel_cube/rel_rollup):
+    three chosen grouping sets over the orders->customer join, with
+    GROUPING() indicators disambiguating the NULL roll-up rows.  Spark
+    expands the sets map-side and partially aggregates each before the
+    single exchange; the customer side joins on the shuffle the agg
+    already needs."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_GROUPING_SETS_SQL.format(i="BIGINT"))
+
+
+@_register(
+    "rel_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id)::BIGINT
+             AS version,
+           (LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from the event log: collapse
+    per-user consecutive repeats of the tracked attribute (event_type),
+    then derive [valid_from, valid_to) validity intervals, version
+    numbers, and the is_current flag.  One user-keyed sort serves the
+    change detection; the interval derivation re-sorts only the collapsed
+    change rows (a strict subset).  Ties on ts break by event_id on both
+    engines, so the history is deterministic."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"),
+                "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -1,0 +1,335 @@
+"""BM25 retrieval and bigram-LM document scoring (round 3, session 5).
+
+Two classic corpus-statistics operators a training-data pipeline needs on
+top of the index/keyword family already in ``textops.py``:
+
+* :func:`bm25_topk` — multi-query BM25 top-k retrieval over the documents
+  table (Robertson/Sparck-Jones BM25, the Okapi formulation), the scoring
+  stage that sits on top of :func:`~.textops.inverted_index`.
+* :func:`bigram_lm_score` — per-document mean bigram conditional
+  probability under the corpus's own bigram language model: the
+  "perplexity-ish" fluency signal quality filters use (high = templated /
+  predictable text, low = noise), without needing an external LM.
+
+Float discipline (shared with ``textops.tfidf_topk`` /
+``similarity.py``): every per-term / per-bigram score is snapped to an
+integer micro-unit (``floor(x * 1e6 + 0.5)`` as BIGINT) *before* any
+aggregation, so the cross-row SUM is exact integer arithmetic — immune to
+float addition-order differences between Spark's partial aggregation and
+DuckDB's — and the only float ops are division/multiplication chains
+written with identical parenthesization on both sides (IEEE-identical).
+BM25's idf uses the raw Robertson odds ratio ``(N - df + 0.5)/(df + 0.5)``
+WITHOUT the usual log: log() bit-parity across libm implementations is not
+guaranteed, and for ranking the monotone pre-log form orders identically.
+
+Scale shape (100 TB): tokenization explodes map-side inside codegen; the
+(doc, term) tf aggregation and the document-frequency aggregation are both
+map-side combined; the query battery is a broadcast literal frame so the
+candidate restriction happens BEFORE any shuffle of scores; top-k per
+query compiles to Catalyst's WindowGroupLimit rewrite — a PARTIAL
+per-map-task top-k heap below the exchange, then the final group limit —
+so the full candidate set never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..cache import tracked_persist
+from .parallelism import fan_out
+from .textops import STOPWORDS
+
+# Okapi BM25 constants.  Written as literals on BOTH engine sides (never
+# `k1 + 1` computed at runtime) so each parses to the identical double.
+BM25_K1 = 1.2
+BM25_K1_PLUS_1 = 2.2
+BM25_B = 0.75
+BM25_ONE_MINUS_B = 0.25
+BM25_TOPK = 10
+
+# The retrieval battery: small, fixed, broadcast.  Terms are drawn from
+# the synthetic corpus vocabulary (TESTDATA.md) so every query matches.
+BM25_QUERIES: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
+    ("q_hash_join", ("hash", "join")),
+    ("q_window_agg", ("window", "agg", "sort")),
+    ("q_stream_batch", ("stream", "batch")),
+    ("q_table_scan", ("table", "scan")),
+)
+
+_TOKEN_RE = "[a-z]+"
+
+
+def _tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, term) stream — same tokenizer + stopword list as tfidf."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0)
+        ).alias("term"),
+    ).where(~F.col("term").isin(*STOPWORDS))
+
+
+def bm25_topk(
+    docs_in: DataFrame,
+    text_col: str = "text",
+    queries: Sequence[Tuple[str, Sequence[str]]] = BM25_QUERIES,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25.
+
+    Per matched (query, doc, term):
+
+    ``idf = (N - df + 0.5) / (df + 0.5)``  (pre-log Robertson odds)
+    ``tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))``
+    ``micro = floor((idf * tfn) * 1e6 + 0.5)``  (BIGINT)
+
+    and per (query, doc): ``score = sum(micro) / 1e6`` with ties broken by
+    doc_id.  ``N``/``dl``/``avgdl`` count docs with >=1 post-stopword
+    token, so both engines define the collection identically.
+
+    Output: (query_id, doc_id, n_terms, score, rnk).
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs_in.sparkSession
+    docs = fan_out(docs_in)
+
+    # tf feeds dl, df and the scoring join — persist or the explode+count
+    # stage re-executes once per consumer.
+    tf = tracked_persist(
+        _tokens(docs, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("avgdl"),
+    )
+
+    qrows = [(qid, t) for qid, terms in queries for t in terms]
+    qt = spark.createDataFrame(qrows, "query_id string, term string")
+    qterms = qt.select("term").distinct()
+
+    # Document frequency only for battery terms (broadcast semi-join keeps
+    # the df agg restricted before it shuffles).
+    dfreq = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    idf = (
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(BM25_K1_PLUS_1)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (
+            F.lit(BM25_ONE_MINUS_B)
+            + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor((idf * tfn) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.sum("micro").cast("double") / F.lit(1000000.0)).alias("score"),
+    )
+
+    # Top-k per query: a rank-filtered window.  Catalyst's WindowGroupLimit
+    # rewrite (rank-limit pushdown) inserts a PARTIAL group-limit below the
+    # exchange, so each map task keeps only its local top-k heap — the
+    # full candidate set never shuffles (plan-asserted in test_plans.py).
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_final).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def bm25_topk_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    queries: Sequence[Tuple[str, Sequence[str]]] = BM25_QUERIES,
+    k: int = BM25_TOPK,
+) -> str:
+    """DuckDB oracle twin of :func:`bm25_topk` — same tokenizer, stopword
+    list, pre-log idf, literal constants, micro-int summation and
+    tie-break."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in queries for t in terms
+    )
+    return f"""
+    WITH qt(query_id, term) AS (VALUES {qvals}),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower({text_col}), '{_TOKEN_RE}')) AS term
+      FROM {table}),
+    tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM toks WHERE term NOT IN ({stop})
+      GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*)::BIGINT AS n_docs,
+             SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+      FROM dl),
+    dfreq AS (
+      SELECT term, COUNT(*)::BIGINT AS df
+      FROM tf
+      WHERE term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY term),
+    per_term AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(FLOOR((
+               ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * ((t.tf * {BM25_K1_PLUS_1}) /
+                  (t.tf + {BM25_K1} * ({BM25_ONE_MINUS_B}
+                     + {BM25_B} * (l.dl / s.avgdl))))
+             ) * 1000000.0 + 0.5) AS BIGINT) AS micro
+      FROM tf t
+      JOIN qt q USING (term)
+      JOIN dfreq d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT query_id, doc_id,
+             COUNT(*)::BIGINT AS n_terms,
+             SUM(micro)::DOUBLE / 1000000.0 AS score
+      FROM per_term GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, n_terms, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+def bigram_lm_score(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document fluency under the corpus bigram LM.
+
+    The model is the corpus itself: ``p(w2 | w1) = c(w1, w2) / c(w1, *)``
+    where both counts range over bigram OCCURRENCES corpus-wide (so the
+    denominator is exactly the sum of the numerators for a given ``w1`` —
+    a proper conditional, no smoothing needed since every observed bigram
+    has p > 0).  Each distinct per-doc bigram contributes
+    ``cnt * floor(p * 1e6 + 0.5)`` to an exact BIGINT sum;
+
+    ``lm_score = (sum_micro / n_bigrams) / 1e6``
+
+    is the mean conditional probability of the document's transitions —
+    the cheap stand-in for LM perplexity quality filters use.  Tokens keep
+    stopwords (an LM wants function words).  Docs with < 2 tokens drop out
+    (no transitions to score).
+
+    Scale shape: bigram assembly is a codegen ``transform(sequence(...))``
+    over the token array (zero shuffle), then three map-side-combined
+    aggregations — per-doc bigram tf, corpus bigram counts, corpus
+    unigram-prefix counts — and two equi-joins on (w1, w2)/(w1).  The
+    per-doc tf frame is persisted because it feeds both corpus aggs and
+    the final join.
+
+    Output: (doc_id, n_bigrams, lm_micro_sum, lm_score).
+    """
+    docs = fan_out(docs_in)
+    bi = (
+        docs.select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(_TOKEN_RE), 0
+            ).alias("toks"),
+        )
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    "             element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    tfb = tracked_persist(
+        bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c2 = tfb.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
+    c1 = tfb.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    probs = c2.join(c1, "w1").select(
+        "w1", "w2",
+        F.floor(
+            (F.col("c2").cast("double") / F.col("c1").cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("p_micro"),
+    )
+    return (
+        tfb.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("p_micro")).alias("lm_micro_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "lm_micro_sum",
+            (
+                (F.col("lm_micro_sum").cast("double")
+                 / F.col("n_bigrams").cast("double"))
+                / F.lit(1000000.0)
+            ).alias("lm_score"),
+        )
+    )
+
+
+def bigram_lm_score_sql(table: str = "documents",
+                        text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`bigram_lm_score`."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower({text_col}), '{_TOKEN_RE}') AS toks
+      FROM {table}),
+    bi AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM base, UNNEST(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2),
+    tfb AS (
+      SELECT doc_id, w1, w2, COUNT(*)::BIGINT AS cnt
+      FROM bi GROUP BY doc_id, w1, w2),
+    c2 AS (SELECT w1, w2, SUM(cnt)::BIGINT AS c2 FROM tfb GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(cnt)::BIGINT AS c1 FROM tfb GROUP BY w1),
+    probs AS (
+      SELECT w1, w2,
+             CAST(FLOOR((c2::DOUBLE / c1::DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS p_micro
+      FROM c2 JOIN c1 USING (w1))
+    SELECT t.doc_id,
+           SUM(t.cnt)::BIGINT AS n_bigrams,
+           SUM(t.cnt * p.p_micro)::BIGINT AS lm_micro_sum,
+           (SUM(t.cnt * p.p_micro)::DOUBLE / SUM(t.cnt)::DOUBLE) / 1000000.0
+             AS lm_score
+    FROM tfb t JOIN probs p USING (w1, w2)
+    GROUP BY t.doc_id
+    """

@@ -79,6 +79,11 @@ EXACT_QUERIES = {
     "kg_cluster_purity",
     # cohort retention: integer week indices + one snapped division
     "rel_cohort_retention",
+    # BM25 / bigram LM: integer micro-score sums + one or two IEEE
+    # divisions written identically on both sides
+    "ds_bm25_topk", "ds_bigram_lm_score",
+    # SCD2: timestamps/strings/ints/bool only
+    "rel_scd2_history",
 }
 
 

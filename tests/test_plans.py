@@ -527,3 +527,68 @@ def test_incremental_scorer_input_is_the_sha_diff(spark, sf_dir):
     # the diff join sits BELOW the Arrow scorer stage in the plan tree
     assert "InPandas" in plan  # MapInPandas / FlatMapsInPandas marker
     assert plan.index("InPandas") < plan.index("LeftAnti")
+
+
+def test_bm25_all_broadcast_partial_topk(spark, sf_dir):
+    """BM25 candidate restriction is broadcast-side (query battery, df,
+    stats) — no cartesian, no shuffle join, no Python — and the per-query
+    top-k triggers Catalyst's rank-limit pushdown: a PARTIAL
+    WindowGroupLimit heap below the exchange, so the full candidate set
+    never shuffles."""
+    from ehr_ner_spark.operators.retrieval import bm25_topk
+
+    df = bm25_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # qt, dfreq, (dl via AQE)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit", 2)[-1][:2000] or \
+        plan.count("WindowGroupLimit") >= 2  # partial + final group limit
+
+
+def test_bigram_lm_no_python_mapside_combine(spark, sf_dir):
+    """Bigram assembly stays in codegen (transform over the token array —
+    zero Python), every aggregation combines map-side, and no cartesian
+    or global window appears anywhere."""
+    from ehr_ner_spark.operators.retrieval import bigram_lm_score
+
+    df = bigram_lm_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "Window" not in plan
+
+
+def test_scd2_single_exchange_reused_sort(spark, sf_dir):
+    """Both SCD2 windows partition on user_id, so the whole history build
+    rides ONE exchange, and Spark reuses the user-keyed sort for the
+    second window (change detection and interval derivation)."""
+    from ehr_ner_spark import entrypoints
+
+    df = entrypoints.QUERIES_REGISTRY["rel_scd2_history"](spark, sf_dir)
+    plan = _plan(df)
+    n_exchange = (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange RoundRobin")
+    )
+    assert n_exchange == 1
+    assert plan.count("Window") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_grouping_sets_expand_and_partial_agg(spark, sf_dir):
+    """GROUPING SETS compiles to a map-side Expand + partial aggregation
+    (one exchange for all three sets) with the customer dim broadcast."""
+    from ehr_ner_spark import entrypoints
+
+    df = entrypoints.QUERIES_REGISTRY["rel_grouping_sets"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
