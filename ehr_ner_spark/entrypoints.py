@@ -2628,3 +2628,88 @@ def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+def _containment_oracle() -> str:
+    from .operators.dedup import containment_pairs_sql
+
+    return containment_pairs_sql()
+
+
+@_register("ds_minhash_containment", oracle=_containment_oracle)
+def ds_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (|A∩B|/|A| and /|B|) over the same
+    banded LSH candidates as ds_minhash_lsh_pairs — the doc-inclusion /
+    quote-subsumption signal Jaccard under-scores.  Shares the persisted
+    shingle frame and overlap counts with the Jaccard path; one extra 1:1
+    join, no new corpus pass (operators/dedup.py::containment_pairs)."""
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _semdedup_oracle() -> str:
+    from .operators.similarity import semantic_dedup_sql
+
+    return semantic_dedup_sql()
+
+
+@_register("ds_semantic_dedup", oracle=_semdedup_oracle)
+def ds_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: deterministic IVF cells ->
+    within-cell snapped-cosine pairs (the quadratic step is bounded per
+    cell, never corpus-wide) -> connected components -> min-id
+    representative per cluster.  Output has one row per vector with its
+    cluster, cluster size, and keep flag
+    (operators/similarity.py::semantic_dedup)."""
+    from .operators.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+_SNIPPET_W = 5
+
+
+def _snippets_oracle() -> str:
+    from .operators.mention_sql import TOKEN_RE, mentions_oracle_sql
+
+    return f"""
+    WITH m AS ({mentions_oracle_sql(CORPUS_SQL)}),
+    toks AS (
+      SELECT doc_id, regexp_extract_all(content, '{TOKEN_RE}') AS toks
+      FROM ({CORPUS_SQL}))
+    SELECT m.doc_id, m.type, m.start_pos, m.end_pos, m.text,
+           array_to_string(
+             t.toks[GREATEST(1, m.start_pos + 1 - {_SNIPPET_W})
+                    : LEAST(len(t.toks), m.end_pos + 1 + {_SNIPPET_W})],
+             '') AS snippet,
+           GREATEST(0, m.start_pos - {_SNIPPET_W})::BIGINT AS ctx_start
+    FROM m JOIN toks t USING (doc_id)
+    """
+
+
+@_register("kg_mention_snippets", oracle=_snippets_oracle)
+def kg_mention_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reviewer context windows: every detected mention with the
+    surrounding ±5 passage tokens — the snippet column a human review
+    sheet (S8) or an active-learning sampler reads next to the bare span.
+    The mention stream joins BACK to the document store on doc_id (the
+    natural at-scale plan: mentions are the small side after detection,
+    content never crosses the scorer boundary twice); token slicing is
+    pure codegen built-ins with the kernel's exact tokenizer regex."""
+    from .operators.mention_sql import TOKEN_RE
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8).select(
+        "doc_id", "type", "start_pos", "end_pos", "text"
+    )
+    toks = corpus(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract_all(F.col("content"), F.lit(TOKEN_RE), 0).alias("toks"),
+    )
+    b0 = F.greatest(F.lit(0), F.col("start_pos") - F.lit(_SNIPPET_W))
+    e0 = F.least(F.size("toks"), F.col("end_pos") + F.lit(1 + _SNIPPET_W))
+    return m.join(toks, "doc_id").select(
+        "doc_id", "type", "start_pos", "end_pos", "text",
+        F.array_join(F.slice("toks", b0 + 1, e0 - b0), "").alias("snippet"),
+        b0.cast("long").alias("ctx_start"),
+    )

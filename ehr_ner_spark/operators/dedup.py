@@ -289,6 +289,25 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4,
     # one corpus read replacing two is the dominant term — the equivalent
     # there is materializing the shingle table once, bucketed by shingle
     sh = tracked_persist(shingle_rows(docs, text_col, id_col))
+    inter, sizes = _lsh_overlap_counts(sh)
+    jac = F.col("n_common") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("na"), F.col("src") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("dst") == F.col("nb.doc_id"))
+        .where(jac >= threshold)
+        .select("src", "dst", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _lsh_overlap_counts(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH verify stage: band buckets -> candidate self-join ->
+    exact shingle-overlap counts.  Returns ``(inter, sizes)`` where
+    ``inter`` is (src, dst, n_common) over candidate pairs and ``sizes``
+    is (doc_id, n_sh) — the inputs every similarity/containment measure
+    needs.  ``sh`` must be the (persisted) shingle frame so the explode
+    runs once across the signature and verify consumers."""
     sig = signatures_from_shingles(sh)
     band = (
         sig.groupBy("doc_id", F.floor(F.col("perm") / MINHASH_BAND_PERMS).alias("band"))
@@ -318,15 +337,79 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4,
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    jac = F.col("n_common") / (
-        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
-    ).cast("double")
+    return inter, sizes
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Asymmetric shingle containment over the SAME LSH candidate pairs as
+    :func:`minhash_lsh_pairs`: ``c_src = |A∩B| / |A|`` and
+    ``c_dst = |A∩B| / |B|``.  Containment catches the inclusion case
+    Jaccard structurally under-scores — a short document quoted wholesale
+    inside a much longer one has Jaccard ≈ |A|/|B| (tiny) but c_src ≈ 1 —
+    the quote/boilerplate-subsumption signal a dedup pipeline wants next
+    to the symmetric measure.
+
+    Candidate generation, shingle frame and overlap counts are shared with
+    the Jaccard path (:func:`_lsh_overlap_counts`), so at scale this adds
+    ONE extra 1:1 join over the already-banded candidates, not a new
+    corpus pass.  Both containments snap to the shared
+    ``floor(x*1e6+0.5)/1e6`` grid; a pair survives when EITHER direction
+    clears ``threshold``.  Output: (src, dst, n_common, c_src, c_dst).
+    """
+    sh = tracked_persist(shingle_rows(docs, text_col, id_col))
+    inter, sizes = _lsh_overlap_counts(sh)
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    c_src = snap(F.col("n_common").cast("double") / F.col("na.n_sh").cast("double"))
+    c_dst = snap(F.col("n_common").cast("double") / F.col("nb.n_sh").cast("double"))
     return (
         inter.join(sizes.alias("na"), F.col("src") == F.col("na.doc_id"))
         .join(sizes.alias("nb"), F.col("dst") == F.col("nb.doc_id"))
-        .where(jac >= threshold)
-        .select("src", "dst", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "src", "dst", "n_common",
+            c_src.alias("c_src"), c_dst.alias("c_dst"),
+        )
+        .where(F.greatest(F.col("c_src"), F.col("c_dst")) >= threshold)
     )
+
+
+def containment_pairs_sql(threshold: float = CONTAINMENT_THRESHOLD) -> str:
+    """DuckDB twin of :func:`containment_pairs` — same signature prelude,
+    band candidates, overlap counts, 1e-6 snap and either-direction
+    threshold."""
+    return minhash_sig_sql() + f""",
+    bands AS (
+      SELECT doc_id, perm // 4 AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.src, c.dst, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.src
+      JOIN sh b ON b.doc_id = c.dst AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT src, dst, n_common,
+           FLOOR((n_common::DOUBLE / na.n_sh::DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS c_src,
+           FLOOR((n_common::DOUBLE / nb.n_sh::DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS c_dst
+    FROM inter
+    JOIN sizes na ON na.doc_id = inter.src
+    JOIN sizes nb ON nb.doc_id = inter.dst
+    WHERE GREATEST(
+        FLOOR((n_common::DOUBLE / na.n_sh::DOUBLE) * 1000000.0 + 0.5) / 1000000.0,
+        FLOOR((n_common::DOUBLE / nb.n_sh::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+    ) >= {threshold}
+    """
 
 
 def minhash_sig_sql() -> str:

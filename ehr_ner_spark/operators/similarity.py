@@ -335,3 +335,106 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", F.round("cos", 3).alias("score"))
     )
+
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    centroid_stride: int = IVF_CENTROID_STRIDE,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster-then-compare over the embedding table.
+
+    1. coarse cells via :func:`ivf_assign` (deterministic centroids,
+       broadcast argmax assignment — the k-means stand-in);
+    2. candidate pairs = WITHIN-CELL self-join with snapped cosine >=
+       ``threshold`` (the whole point of the method: the quadratic
+       comparison is bounded per cell, never corpus-wide — cross-cell
+       near-dups are out of scope by design, exactly as in the paper);
+    3. connected components over the pair graph (strategy-selected:
+       Arrow union-find small, pointer jumping large) — a duplicate
+       GROUP, not just pairs;
+    4. representative = min vec_id per cluster (``keep`` flag).
+
+    Cosines snap to the 1e-3 grid (floor(x*1000+0.5)/1000) before the
+    threshold test on BOTH engines, same as ds_embedding_neardup.
+    Output: (vec_id, cluster_id, n_members, keep) — one row per vector;
+    singletons are their own cluster.
+    """
+    from .linking import connected_components
+
+    from ..cache import tracked_persist
+
+    _, assigned = ivf_assign(embeddings, centroid_stride)
+    assigned = tracked_persist(assigned)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    snapped = F.floor(
+        _cosine(F.col("a.embedding"), F.col("b.embedding")) * F.lit(1000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000.0)
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(snapped >= threshold)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+    )
+    verts = assigned.select(F.col("vec_id").alias("surface_id"))
+    # comp feeds both the output rows and the cluster-size aggregation —
+    # persist or the union-find/pointer-jumping stage executes twice
+    comp = tracked_persist(connected_components(verts, pairs))
+    clustered = comp.select(
+        F.col("surface_id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+    )
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return clustered.join(sizes, "cluster_id").select(
+        "vec_id", "cluster_id", "n_members",
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+def semantic_dedup_sql(
+    threshold: float = SEMDEDUP_THRESHOLD,
+    centroid_stride: int = IVF_CENTROID_STRIDE,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup`: same deterministic cells,
+    same snapped within-cell pairs, min-reachable-id components via a
+    recursive CTE."""
+    return f"""
+    WITH RECURSIVE cents AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      FROM embeddings WHERE vec_id % {centroid_stride} = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    ass AS MATERIALIZED (
+      SELECT vec_id, emb, cent_id AS cell FROM (
+        SELECT e.vec_id, e.emb, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC,
+                           c.cent_id) AS crk
+        FROM e CROSS JOIN cents c) WHERE crk = 1),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM ass a JOIN ass b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE FLOOR(list_cosine_similarity(a.emb, b.emb) * 1000.0 + 0.5)
+            / 1000.0 >= {threshold}),
+    ebi AS MATERIALIZED (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    reach(node, comp) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT eb.dst, r.comp FROM reach r JOIN ebi eb ON eb.src = r.node),
+    comps AS (
+      SELECT node AS vec_id, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (
+      SELECT cluster_id, COUNT(*)::BIGINT AS n_members
+      FROM comps GROUP BY cluster_id)
+    SELECT c.vec_id, c.cluster_id, s.n_members,
+           (c.vec_id = c.cluster_id) AS keep
+    FROM comps c JOIN sizes s USING (cluster_id)
+    """

