@@ -2713,3 +2713,108 @@ def kg_mention_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("toks", b0 + 1, e0 - b0), "").alias("snippet"),
         b0.cast("long").alias("ctx_start"),
     )
+
+
+def _feature_hash_oracle() -> str:
+    from .operators.featurehash import feature_hash_embed_sql
+
+    return feature_hash_embed_sql()
+
+
+@_register("ds_feature_hash_embed", oracle=_feature_hash_oracle)
+def ds_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) document embeddings: dim-16 signed
+    token-count vectors with NO learned vocabulary — every shard of a
+    100-TB corpus embeds independently, zero coordination.  Pure integer
+    arithmetic end to end (md5-60 bucket + sign, map-side-combined sums,
+    codegen dense fill), so the array compare is bit-exact
+    (operators/featurehash.py::feature_hash_embed)."""
+    from .operators.featurehash import feature_hash_embed
+
+    return feature_hash_embed(_t(spark, sf_dir, "documents"))
+
+
+_INCR_AGG_KEYS = "event_type, date_trunc('hour', ts) AS hour"
+
+
+@_register(
+    "rel_incremental_agg",
+    # the oracle is the FULL recompute over all events — a green row
+    # proves merged partials == full aggregation (the IVM contract)
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for an additive
+    aggregate: the standing snapshot (event_id % 10 != 0) and the new
+    delta batch (event_id % 10 = 0) are aggregated SEPARATELY and merged
+    by summing partial states — COUNT and an exact integer cent-sum are
+    both self-mergeable, which is precisely why they're the IVM-safe
+    aggregate choices.  The oracle recomputes from scratch, so the green
+    driver row proves merged-incremental == full, the same evidence
+    pattern as kg_incremental_triples."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+        )
+
+    snapshot = partial(e.where(F.col("event_id") % 10 != 0))
+    delta = partial(e.where(F.col("event_id") % 10 == 0))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+
+
+_UNCERTAIN_K = 20
+
+
+def _uncertainty_oracle() -> str:
+    from .operators.crf_confidence_sql import crf_confidence_oracle_sql
+
+    return f"""
+    WITH conf AS ({crf_confidence_oracle_sql(CORPUS_SQL, max_seq_length=128)})
+    SELECT doc_id, type, n_pieces, confidence, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY type ORDER BY confidence ASC, doc_id ASC) AS rnk
+      FROM conf)
+    WHERE rnk <= {_UNCERTAIN_K}
+    """
+
+
+@_register("kg_uncertainty_sample", oracle=_uncertainty_oracle)
+def kg_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning batch selection: the 20 LOWEST-confidence (doc,
+    query) pairs per type under the CRF path confidence — the rows a
+    human annotator should label next.  Rides the kg_crf_confidence
+    pipeline unchanged; the per-type top-k compiles to the partial
+    WindowGroupLimit heap, so at corpus scale only k rows per type per
+    map task ever shuffle."""
+    from pyspark.sql.window import Window
+
+    from .operators.crf_confidence import crf_confidence
+
+    conf = crf_confidence(
+        corpus(spark, sf_dir), num_partitions=8, max_seq_length=128
+    )
+    w = Window.partitionBy("type").orderBy(
+        F.asc("confidence"), F.asc("doc_id")
+    )
+    return (
+        conf.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _UNCERTAIN_K)
+    )

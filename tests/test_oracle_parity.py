@@ -87,6 +87,8 @@ EXACT_QUERIES = {
     # containment/semantic-dedup/snippets: integer counts + snapped
     # divisions, or strings/ints/bool only
     "ds_minhash_containment", "ds_semantic_dedup", "kg_mention_snippets",
+    # feature hashing / incremental agg: pure integers (+ timestamps)
+    "ds_feature_hash_embed", "rel_incremental_agg",
 }
 
 

@@ -643,3 +643,41 @@ def test_snippets_single_scorer_pass_equijoin(spark, sf_dir):
     assert plan.count("InPandas") == 1  # the scorer; slicing never in Python
     assert "CartesianProduct" not in plan
     assert "regexp_extract_all" in plan  # tokenizer stays JVM-side
+
+
+def test_feature_hash_pure_jvm_mapside(spark, sf_dir):
+    """The hashing-trick embedding never leaves codegen: no Python stage,
+    both aggregations combine map-side, and the dense fill is a transform
+    over a literal sequence (no per-dimension join fan-out)."""
+    from ehr_ner_spark.operators.featurehash import feature_hash_embed
+
+    df = feature_hash_embed(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_agg_two_partials_one_merge(spark, sf_dir):
+    """Snapshot and delta aggregate independently (both with map-side
+    combine) and merge with a final sum — the plan is pure hash
+    aggregation, no join, no Python."""
+    from ehr_ner_spark import entrypoints
+
+    df = entrypoints.QUERIES_REGISTRY["rel_incremental_agg"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("partial_sum") >= 2  # snapshot + delta partials
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_uncertainty_sample_partial_group_limit(spark, sf_dir):
+    """The per-type most-uncertain pick triggers the rank-limit pushdown:
+    a partial WindowGroupLimit below the exchange, so only k rows per
+    type per map task shuffle."""
+    from ehr_ner_spark import entrypoints
+
+    df = entrypoints.QUERIES_REGISTRY["kg_uncertainty_sample"](spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("InPandas") == 1  # the confidence scorer stage only
