@@ -2818,3 +2818,90 @@ def kg_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         conf.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= _UNCERTAIN_K)
     )
+
+
+def _ensemble_oracle() -> str:
+    from .operators.matrix_sql import ensemble_oracle_sql
+
+    return ensemble_oracle_sql(CORPUS_SQL, max_seq_length=128)
+
+
+@_register("kg_ensemble_mentions", oracle=_ensemble_oracle)
+def kg_ensemble_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision majority vote across all four model families
+    ({BERT, BertBiLSTMCRF} x {SL, QASL}): a span survives when >= 2
+    models emit the exact same (pid, type, start, end, text) — the
+    label-model consensus a distillation/bootstrap pipeline trains on.
+    Reuses the four detect pipelines of kg_model_matrix (each span set
+    DISTINCT + DIN-excluded, P9), then ONE union + map-side-combined
+    vote count; the oracle embeds all four decode twins in one query."""
+    from .operators.crf_detect import detect_mentions_crf
+    from .operators.sl_detect import detect_mentions_sl, detect_mentions_sl_crf
+
+    c = corpus(spark, sf_dir)
+
+    def spans(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("type") != "DIN")
+            .withColumnRenamed("doc_id", "pid")
+            .select("pid", "type", "start_pos", "end_pos", "text")
+            .distinct()
+        )
+
+    union = (
+        spans(detect_mentions(c, num_partitions=8, max_seq_length=128))
+        .unionByName(spans(detect_mentions_sl(c, num_partitions=8, max_seq_length=128)))
+        .unionByName(spans(detect_mentions_sl_crf(c, num_partitions=8, max_seq_length=128)))
+        .unionByName(spans(detect_mentions_crf(c, num_partitions=8, max_seq_length=128)))
+    )
+    return (
+        union.groupBy("pid", "type", "start_pos", "end_pos", "text")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .where(F.col("votes") >= 2)
+    )
+
+
+_BUCKETED_WAREHOUSE = "/tmp/ehr_ner_spark_bucketed"
+
+
+@_register(
+    "rel_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)::BIGINT            AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the 100-TB pattern for a join both
+    sides of which are too big to broadcast: write each side ONCE
+    bucketed (and sorted) by the join key, then every subsequent join on
+    that key runs with ZERO exchange on either side (the bucketed scan
+    already satisfies the join's required distribution; plan-asserted in
+    test_plans.py).  The oracle joins the raw parquet — bucketing is a
+    physical layout choice and must never change the answer."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for name, df, key in (
+        ("b_orders", o, "o_custkey"),
+        ("b_customer", c, "c_custkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{_BUCKETED_WAREHOUSE}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    return (
+        bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

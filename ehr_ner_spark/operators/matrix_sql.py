@@ -76,3 +76,38 @@ def model_matrix_oracle_sql(corpus_sql: str, max_seq_length: int = 128) -> str:
     a_flat AS (SELECT {SPAN_COLS} FROM prioranked WHERE rk = 1)
     {rows}
     """
+
+
+ENSEMBLE_MIN_VOTES = 2
+
+
+def ensemble_oracle_sql(corpus_sql: str, max_seq_length: int = 128,
+                        min_votes: int = ENSEMBLE_MIN_VOTES) -> str:
+    """DuckDB twin of the 4-model majority-vote ensemble: the same four
+    DISTINCT span sets as the comparison matrix, unioned with one vote per
+    model, kept when >= ``min_votes`` models agree on the exact
+    (pid, type, start, end, text) span."""
+    models = {
+        "bert_sl": sl_mentions_oracle_sql(corpus_sql, max_seq_length),
+        "bertbilstmcrf_sl": sl_crf_oracle_sql(corpus_sql, max_seq_length),
+        "bert_qasl": mentions_oracle_sql(corpus_sql, max_seq_length),
+        "bertbilstmcrf_qasl": mentions_crf_oracle_sql(corpus_sql, max_seq_length),
+    }
+    sets = ",\n".join(
+        f"""m_{name} AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS pid, type, start_pos, end_pos, text
+      FROM ({sql})
+      WHERE type <> 'DIN')"""
+        for name, sql in models.items()
+    )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {SPAN_COLS} FROM m_{name}" for name in models
+    )
+    return f"""
+    WITH RECURSIVE
+    {sets}
+    SELECT pid, type, start_pos, end_pos, text, COUNT(*)::BIGINT AS votes
+    FROM ({union})
+    GROUP BY pid, type, start_pos, end_pos, text
+    HAVING COUNT(*) >= {min_votes}
+    """

@@ -89,6 +89,8 @@ EXACT_QUERIES = {
     "ds_minhash_containment", "ds_semantic_dedup", "kg_mention_snippets",
     # feature hashing / incremental agg: pure integers (+ timestamps)
     "ds_feature_hash_embed", "rel_incremental_agg",
+    # ensemble vote: strings + integer span indices + integer votes
+    "kg_ensemble_mentions",
 }
 
 

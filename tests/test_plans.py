@@ -681,3 +681,37 @@ def test_uncertainty_sample_partial_group_limit(spark, sf_dir):
     plan = _plan(df)
     assert "WindowGroupLimit" in plan
     assert plan.count("InPandas") == 1  # the confidence scorer stage only
+
+
+def test_bucketed_join_no_exchange_on_either_side(spark, sf_dir):
+    """With broadcast disabled (the big-x-big regime bucketing exists
+    for), the bucketed join runs as a SortMergeJoin with ZERO exchange on
+    either side — the only shuffle in the whole plan is the final
+    aggregation.  At small scale AQE correctly broadcasts instead; both
+    shapes are exchange-free on the probe side."""
+    for k in ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+        spark.conf.set(k, "-1")
+    try:
+        df = entrypoints.QUERIES_REGISTRY["rel_bucketed_join"](spark, sf_dir)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        # exactly one exchange: the groupBy — the join sides shuffle nothing
+        assert plan.count("Exchange") == 1
+    finally:
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+            spark.conf.unset(k)
+
+
+def test_ensemble_four_arrow_stages_one_vote_agg(spark, sf_dir):
+    """The ensemble is exactly four scorer stages (one per model family)
+    feeding ONE map-side-combined vote count — no join, no Python beyond
+    the scorers."""
+    df = entrypoints.QUERIES_REGISTRY["kg_ensemble_mentions"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("InPandas") == 4
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
