@@ -2905,3 +2905,180 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+def _substring_spans_oracle() -> str:
+    from .operators.substring import substring_spans_sql
+
+    return substring_spans_sql()
+
+
+@_register("ds_substring_dedup", oracle=_substring_spans_oracle)
+def ds_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022 re-expressed): maximal
+    shared runs of >= 8 tokens between document pairs, found by hashing
+    every 8-token window (md5-60bit), capping hot windows (document
+    frequency > 16, broadcast anti-join — the boilerplate guard), one
+    window-hash equi-join, then gaps-and-islands merging on the
+    (pair, ia - ib) diagonal so a long verbatim quote is ONE span row
+    (operators/substring.py::substring_spans)."""
+    from .operators.substring import substring_spans
+
+    return substring_spans(_t(spark, sf_dir, "documents"))
+
+
+def _phrase_search_oracle() -> str:
+    from .operators.substring import phrase_search_sql
+
+    return phrase_search_sql()
+
+
+@_register("ds_phrase_search", oracle=_phrase_search_oracle)
+def ds_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase query ('slow hash batch'): every term filters the
+    token stream FIRST, then the postings chain-join on (doc_id, aligned
+    start) — the execution shape of a positional inverted-index lookup;
+    all joins narrow equi-joins, no term ever fans out
+    (operators/substring.py::phrase_search)."""
+    from .operators.substring import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"))
+
+
+_QUOTAS = {"en": 60, "zh": 25, "es": 25, "de": 20, "fr": 15}
+
+
+def _quota_oracle() -> str:
+    from .operators.sampling import quota_sample_sql
+
+    return quota_sample_sql(_QUOTAS)
+
+
+@_register("ds_quota_sample", oracle=_quota_oracle)
+def ds_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count mixture sampling (data mixing): top-quota docs per
+    language by the deterministic md5 sample key (doc_id tiebreak — keys
+    collide at corpus scale).  The constant-rank filter precedes the
+    per-stratum quota so WindowGroupLimit installs map-side top-k heaps
+    below the exchange; only ~quota rows per stratum ever shuffle
+    (operators/sampling.py::quota_sample)."""
+    from .operators.sampling import quota_sample
+
+    return quota_sample(_t(spark, sf_dir, "documents"), _QUOTAS)
+
+
+def _hits_oracle() -> str:
+    from .operators.hits import hits_oracle_sql
+
+    return hits_oracle_sql(_triples_oracle())
+
+
+@_register("kg_hits", oracle=_hits_oracle)
+def kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the directed doc->entity triple graph
+    (2 rounds, L-infinity normalization): docs score as hubs, entity
+    surfaces as authorities.  Each half-round is one equi-join + one
+    map-side-combined groupBy (shuffle O(edges)); the rescale divides by a
+    broadcast 1-row MAX; scores snap to the 1e-9 grid per step so the
+    unrolled-CTE twin tracks the exact trajectory
+    (operators/hits.py::hits)."""
+    from .operators.hits import hits
+
+    return hits(flagship(spark, sf_dir))
+
+
+@_register(
+    "rel_merge_upsert",
+    oracle="""
+    WITH delta AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice, 'upd' AS action
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'N',
+             o_totalprice, 'ins'
+      FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, action
+    FROM delta
+    UNION ALL
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+           'keep' AS action
+    FROM orders o
+    WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+    """,
+)
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (CDC upsert): a deterministic change batch —
+    updates for keys % 7 == 0, inserts above the key space for % 97 == 0 —
+    merges into the orders snapshot: matched rows take the delta version,
+    unmatched keep the base row.  The survivor pick is a BROADCAST
+    left-anti join on the (small) delta key set — the CDC-batch shape; a
+    delta too big to broadcast rides the bucketed layout of
+    rel_bucketed_join instead.  Doubles pass through untouched (+100.0 is
+    IEEE-exact on both engines) so the row set is bit-exact."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit("upd").alias("action"),
+    )
+    ins = o.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit("ins").alias("action"),
+    )
+    delta = upd.unionByName(ins)
+    keep = o.join(
+        F.broadcast(delta.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).withColumn("action", F.lit("keep"))
+    return delta.unionByName(keep).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "action"
+    )
+
+
+SLIDE_MICROS = 600_000_000  # 10-minute trailing window
+
+
+@_register(
+    "rel_sliding_window",
+    oracle=f"""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w                                        AS n_10m,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w         AS cents_10m
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN {SLIDE_MICROS} PRECEDING AND CURRENT ROW)
+    """,
+)
+def rel_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing RANGE-frame window: per user, the event count and exact
+    cent-sum of the last 10 minutes at every event — the rate-limit /
+    rolling-feature query.  The frame is a value-range over epoch-micros
+    (peer-inclusive, so timestamp ties cannot flip results), partitioned
+    by user_id — a key-local sort, never a global one; integer counts and
+    cent-sums keep both engines bit-exact.  Epoch-micros come from a
+    timezone-free timestampdiff (ts is TIMESTAMP_NTZ; unix_micros would
+    demand a session-timezone cast)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-SLIDE_MICROS, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cents_10m"),
+    )

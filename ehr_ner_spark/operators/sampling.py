@@ -182,3 +182,79 @@ def pack_sequences_sql(
            (start_tok + GREATEST(n_tokens, 1) - 1) // {chunk} AS seq_last
     FROM pre
     """
+
+
+QUOTA_SALT = "quota"
+
+
+def quota_sample(
+    docs_in: DataFrame,
+    quotas: Dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = QUOTA_SALT,
+) -> DataFrame:
+    """Exact-count mixture sampling — the data-mixing op of a pretraining
+    pipeline: hit a TARGET document count per stratum (domain/language),
+    not a rate.  Each stratum's rows are ranked by the deterministic
+    sample key (doc_id tiebreak — md5_60 % 1e6 keys do collide at corpus
+    scale) and the top ``quotas[stratum]`` survive; strata outside the
+    quota map contribute nothing.
+
+    Spark-first top-k-per-group: the rank filter against the CONSTANT
+    ``max(quotas)`` comes first, so Spark 4's WindowGroupLimit rewrite
+    installs per-partition top-k heaps BELOW the exchange — only ~quota
+    rows per stratum per partition ever shuffle, regardless of corpus
+    size.  The per-stratum quota (a when-chain, not a join) then trims the
+    survivors.  Output: (doc_id, stratum, sample_key, rnk).
+    """
+    if not quotas:
+        raise ValueError("quotas must be non-empty")
+    max_q = max(quotas.values())
+    quota = F.lit(0)
+    for s in sorted(quotas):  # deterministic build order
+        quota = F.when(F.col("stratum") == s, F.lit(quotas[s])).otherwise(quota)
+    base = fan_out(docs_in).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        sample_key(F.col(id_col), salt).alias("sample_key"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("stratum").orderBy("sample_key", "doc_id")
+    )
+    return (
+        base.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= F.lit(max_q))
+        .withColumn("_q", quota)
+        .where(F.col("rnk") <= F.col("_q"))
+        .select("doc_id", "stratum", "sample_key",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def quota_sample_sql(
+    quotas: Dict[str, int],
+    table: str = "documents",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = QUOTA_SALT,
+) -> str:
+    """DuckDB twin of :func:`quota_sample` (identical key, rank order and
+    per-stratum CASE quota)."""
+    key = (
+        f"('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SAMPLE_MOD}"
+    )
+    whens = " ".join(f"WHEN '{s}' THEN {quotas[s]}" for s in sorted(quotas))
+    return f"""
+    WITH ranked AS (
+      SELECT {id_col} AS doc_id, {stratum_col} AS stratum,
+             {key} AS sample_key,
+             ROW_NUMBER() OVER (
+               PARTITION BY {stratum_col}
+               ORDER BY {key}, {id_col}) AS rnk
+      FROM {table})
+    SELECT doc_id, stratum, sample_key, rnk
+    FROM ranked
+    WHERE rnk <= CASE stratum {whens} ELSE 0 END
+    """

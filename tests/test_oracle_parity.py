@@ -91,6 +91,11 @@ EXACT_QUERIES = {
     "ds_feature_hash_embed", "rel_incremental_agg",
     # ensemble vote: strings + integer span indices + integer votes
     "kg_ensemble_mentions",
+    # substring spans / phrase hits / quota sample: pure integers + strings
+    "ds_substring_dedup", "ds_phrase_search", "ds_quota_sample",
+    # MERGE upsert: pass-through doubles (+100.0 is IEEE-exact); sliding
+    # window: integer counts + cent sums
+    "rel_merge_upsert", "rel_sliding_window",
 }
 
 

