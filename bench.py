@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "ds_bloom_membership",
     "ds_bm25_topk",
     "ds_bigram_lm_score",
+    "ds_substring_dedup",
 ]
 
 

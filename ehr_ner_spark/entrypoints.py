@@ -3082,3 +3082,44 @@ def rel_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_10m"),
         F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cents_10m"),
     )
+
+
+_PART_WAREHOUSE = "/tmp/ehr_ner_spark_partitioned"
+
+
+@_register(
+    "rel_partitioned_scan",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)::BIGINT                               AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT))        AS cents
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+    GROUP BY event_type
+    """,
+)
+def rel_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning — the mechanism that turns a 100-TB time-range
+    query into a one-day scan: the event log is laid out ONCE partitioned
+    by event_date, and a single-day predicate resolves against the
+    directory listing (PartitionFilters in the scan, plan-asserted) so
+    non-matching days are never opened, let alone read.  The oracle scans
+    the raw table with the same day filter — layout must never change the
+    answer."""
+    ev = _t(spark, sf_dir, "events")
+    path = f"{_PART_WAREHOUSE}/events_by_day"
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    pe = spark.read.parquet(path)
+    return (
+        pe.where(F.col("event_date") == F.lit("2024-01-02").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )

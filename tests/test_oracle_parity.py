@@ -96,6 +96,8 @@ EXACT_QUERIES = {
     # MERGE upsert: pass-through doubles (+100.0 is IEEE-exact); sliding
     # window: integer counts + cent sums
     "rel_merge_upsert", "rel_sliding_window",
+    # partition-pruned day scan: integer counts + cent sums
+    "rel_partitioned_scan",
 }
 
 

@@ -802,3 +802,16 @@ def test_sliding_window_single_userkeyed_exchange(spark, sf_dir):
     assert "RangeFrame" in plan or "RANGE BETWEEN" in plan
     assert plan.count("Exchange") == 1 and "user_id" in plan.split("Exchange", 1)[1][:200]
     assert "rangepartitioning" not in plan.lower().replace("range between", "")
+
+
+def test_partitioned_scan_prunes_to_one_day(spark, sf_dir):
+    """The day predicate resolves against the partition directory listing
+    (PartitionFilters), not as a data filter — non-matching days are never
+    opened."""
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    df = QUERIES_REGISTRY["rel_partitioned_scan"](spark, sf_dir)
+    plan = _formatted(df)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "event_date" in pf[1][:300]
+    assert "partial_count" in plan or "partial_sum" in plan
