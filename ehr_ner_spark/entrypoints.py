@@ -3123,3 +3123,41 @@ def rel_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
     )
+
+
+def _rp_oracle() -> str:
+    from .operators.similarity import random_projection_sql
+
+    return random_projection_sql()
+
+
+@_register("ds_random_projection", oracle=_rp_oracle)
+def ds_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (64 -> 16 dims): the
+    dimensionality-reduction stage that cuts downstream ANN/dedup cost.
+    The +-1 matrix is a pure function of (j, i) via the md5 discipline —
+    no RNG state, identical on every worker/engine — and each coordinate
+    is a literal cast-and-add chain, so the projection is zero-shuffle
+    codegen and BIT-exact against its twin
+    (operators/similarity.py::random_projection)."""
+    from .operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"))
+
+
+def _knn_oracle() -> str:
+    from .operators.similarity import knn_accuracy_sql
+
+    return knn_accuracy_sql()
+
+
+@_register("ds_knn_accuracy", oracle=_knn_oracle)
+def ds_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: 50 query vectors classified by majority
+    vote of their 5 exact-cosine neighbors, reported as per-true-label
+    accuracy.  The vote winner is a combinable MIN over (-votes, label)
+    structs — map-side reducible, no per-query window; integers plus one
+    snapped division (operators/similarity.py::knn_accuracy)."""
+    from .operators.similarity import knn_accuracy
+
+    return knn_accuracy(_t(spark, sf_dir, "embeddings"))

@@ -438,3 +438,161 @@ def semantic_dedup_sql(
            (c.vec_id = c.cluster_id) AS keep
     FROM comps c JOIN sizes s USING (cluster_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random projection (Johnson-Lindenstrauss sign sketch)
+# ---------------------------------------------------------------------------
+
+RP_OUT_DIM = 16
+
+
+def _rp_sign(j: int, i: int) -> int:
+    """The shared +-1 projection matrix entry: parity of md5_60('rp:j:i').
+    Achlioptas (2001) sign matrices satisfy the JL lemma; deriving them
+    from the engine's md5 discipline makes the matrix a pure function of
+    (j, i) — no RNG state, identical on every worker, every engine, every
+    rerun."""
+    from ..hashing import md5_60
+
+    return 1 if md5_60(f"rp:{j}:{i}") % 2 == 0 else -1
+
+
+def random_projection(
+    embeddings: DataFrame, out_dim: int = RP_OUT_DIM, in_dim: int = _DIM,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """Project dim-``in_dim`` float vectors to dim-``out_dim`` with the
+    deterministic sign matrix — the JL dimensionality-reduction stage that
+    cuts ANN/dedup cost 4x at 100 TB.  Pure map-side codegen projection:
+    zero shuffle, zero Python; each output coordinate is a fixed +-chain
+    of casts, so the fold order is literal in the plan and the DuckDB twin
+    (the identical textual chain) is BIT-exact."""
+    def coord(j: int):
+        acc = None
+        for i in range(in_dim):
+            x = F.col(emb_col)[i].cast("double")
+            if acc is None:
+                acc = x if _rp_sign(j, i) > 0 else -x
+            else:
+                acc = (acc + x) if _rp_sign(j, i) > 0 else (acc - x)
+        return acc
+
+    return embeddings.select(
+        id_col,
+        "label",
+        F.array(*[coord(j) for j in range(out_dim)]).alias("proj"),
+    )
+
+
+def random_projection_sql(
+    out_dim: int = RP_OUT_DIM, in_dim: int = _DIM,
+    table: str = "embeddings", id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`random_projection` — the same literal
+    +-chain per coordinate (left-associative adds in the same order)."""
+    coords = []
+    for j in range(out_dim):
+        terms = []
+        for i in range(in_dim):
+            op = "+" if _rp_sign(j, i) > 0 else "-"
+            e = f"{emb_col}[{i + 1}]::DOUBLE"
+            terms.append(e if not terms and op == "+"
+                         else (f"-{e}" if not terms else f" {op} {e}"))
+        coords.append("".join(terms))
+    arr = ",\n             ".join(coords)
+    return f"""
+    SELECT {id_col}, label,
+           [{arr}] AS proj
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# kNN label-vote accuracy (embedding-quality eval)
+# ---------------------------------------------------------------------------
+
+KNN_QUERY_IDS = list(range(50))
+KNN_K = 5
+
+
+def knn_accuracy(
+    embeddings: DataFrame, query_ids: list[int] | None = None, k: int = KNN_K
+) -> DataFrame:
+    """Embedding-quality benchmark: each query vector's label is predicted
+    by majority vote of its k exact-cosine neighbors (self excluded); the
+    output is per-true-label (label, n, n_correct, acc).
+
+    Vote-winner selection is a combinable MIN over (-votes, label)
+    structs — no per-query window, so the reduction combines map-side at
+    any scale (the LPA winner discipline); the only doubles are the
+    neighbor cosines already proven rank-stable in ds_cosine_topk and one
+    snapped division at the end."""
+    ids = KNN_QUERY_IDS if query_ids is None else query_ids
+    nbrs = brute_force_topk(embeddings, ids, k=k)
+    lbl = embeddings.select("vec_id", "label")
+    votes = (
+        nbrs.join(lbl, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pred = (
+        votes.groupBy("query_id")
+        .agg(F.min(F.struct((-F.col("votes")).alias("nv"),
+                            F.col("label").alias("label"))).alias("w"))
+        .select("query_id", F.col("w.label").alias("pred"))
+    )
+    truth = lbl.withColumnRenamed("vec_id", "query_id")
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("pred") == F.col("label")).cast("long")).alias("n_correct"),
+        )
+        .select(
+            "label", "n", "n_correct",
+            (F.floor(F.col("n_correct") / F.col("n") * 1e6 + F.lit(0.5)) / 1e6)
+            .alias("acc"),
+        )
+    )
+
+
+def knn_accuracy_sql(
+    query_ids: list[int] | None = None, k: int = KNN_K,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`knn_accuracy` (same neighbor ranking as the
+    ds_cosine_topk twin, same struct-min vote tie-break: most votes, then
+    smallest label)."""
+    ids = KNN_QUERY_IDS if query_ids is None else query_ids
+    idlist = ", ".join(map(str, ids))
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb FROM {table}
+      WHERE vec_id IN ({idlist})),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.q_emb AS DOUBLE[])) DESC,
+               vec_id) AS rank
+      FROM {table} e, q WHERE e.vec_id <> q.query_id),
+    votes AS (
+      SELECT r.query_id, l.label, COUNT(*) AS votes
+      FROM ranked r JOIN {table} l ON l.vec_id = r.vec_id
+      WHERE r.rank <= {k} GROUP BY 1, 2),
+    pred AS (
+      SELECT query_id, label AS pred FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY votes DESC, label) AS vrk
+        FROM votes) WHERE vrk = 1)
+    SELECT t.label, COUNT(*)::BIGINT AS n,
+           SUM((p.pred = t.label)::BIGINT) AS n_correct,
+           FLOOR(SUM((p.pred = t.label)::BIGINT)::DOUBLE / COUNT(*)::DOUBLE
+                 * 1000000 + 0.5) / 1000000 AS acc
+    FROM pred p JOIN {table} t ON t.vec_id = p.query_id
+    GROUP BY t.label
+    """

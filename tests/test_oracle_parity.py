@@ -98,6 +98,9 @@ EXACT_QUERIES = {
     "rel_merge_upsert", "rel_sliding_window",
     # partition-pruned day scan: integer counts + cent sums
     "rel_partitioned_scan",
+    # sign projection: literal cast-and-add chains, identical fold order;
+    # kNN accuracy: integers + one snapped division
+    "ds_random_projection", "ds_knn_accuracy",
 }
 
 

@@ -815,3 +815,28 @@ def test_partitioned_scan_prunes_to_one_day(spark, sf_dir):
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "event_date" in pf[1][:300]
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_random_projection_zero_shuffle_codegen(spark, sf_dir):
+    """The JL projection is a pure map-side codegen chain: no exchange
+    (beyond a possible input fan-out), no Python, no join."""
+    from ehr_ner_spark.operators.similarity import random_projection
+
+    df = random_projection(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    plan = _plan(df)
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # executedPlan marks codegen stages with the "*(n)" prefix
+    assert "*(1) Project" in plan
+
+
+def test_knn_accuracy_broadcast_queries_no_global_window(spark, sf_dir):
+    """Neighbor scoring broadcasts the 50-query side; the vote winner is a
+    combinable struct-MIN (partial_min), not a per-query sort."""
+    from ehr_ner_spark.operators.similarity import knn_accuracy
+
+    df = knn_accuracy(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    plan = _plan(df)
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan  # broadcast NL on the tiny q side only
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
