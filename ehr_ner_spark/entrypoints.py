@@ -3161,3 +3161,57 @@ def ds_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import knn_accuracy
 
     return knn_accuracy(_t(spark, sf_dir, "embeddings"))
+
+
+def _bpe_oracle() -> str:
+    from .operators.bpe import bpe_merges_sql
+
+    return bpe_merges_sql()
+
+
+@_register("ds_bpe_merges", oracle=_bpe_oracle)
+def ds_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich 2016): 6 learned merges over the
+    corpus.  The only corpus-sized pass is the wordcount; every round is
+    a combinable pair-count + a combinable struct-MIN winner + a 1-row
+    broadcast + a codegen framed-replace rewrite — no Python, no windows,
+    no collect (operators/bpe.py::bpe_merges).  Integer counts -> the
+    unrolled-CTE DuckDB twin matches bit-for-bit."""
+    from .operators.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"))
+
+
+def _bpe_encode_oracle() -> str:
+    from .operators.bpe import BPE_EOW, BPE_FIXED_MERGES
+
+    expr = "'|' || array_to_string(list_append(string_split(word, ''), " \
+           f"'{BPE_EOW}'), '||') || '|'"
+    for lhs, rhs in BPE_FIXED_MERGES:
+        expr = f"replace({expr}, '|{lhs}||{rhs}|', '|{lhs}{rhs}|')"
+    return f"""
+    SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+           SUM(len(string_split(substr(e, 2, length(e) - 2), '||')))::BIGINT
+             AS n_tokens
+    FROM (
+      SELECT doc_id, {expr} AS e FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$'))
+    GROUP BY doc_id
+    """
+
+
+@_register("ds_bpe_encode", oracle=_bpe_encode_oracle)
+def ds_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment half of the tokenizer: apply a FIXED learned merge
+    list (the 6 merges ds_bpe_merges learns at sf0.001, frozen as
+    literals so the query is a pure function of its input) to every
+    document; emit per-doc word and BPE-token counts.  Applying merges
+    sequentially in learned order equals the priority-queue algorithm —
+    a later merge can never create an earlier merge's pair, because the
+    earlier pair would have needed the later symbol during training
+    (operators/bpe.py::bpe_encode)."""
+    from .operators.bpe import BPE_FIXED_MERGES, bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"), BPE_FIXED_MERGES)

@@ -840,3 +840,37 @@ def test_knn_accuracy_broadcast_queries_no_global_window(spark, sf_dir):
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan  # broadcast NL on the tiny q side only
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_bpe_wordcount_partial_agg_and_no_python(spark, sf_dir):
+    """The corpus-sized BPE stage is a map-side-combined wordcount; the
+    merge rounds are combinable aggs + 1-row broadcasts + codegen
+    replace — no Python anywhere, no window, no cartesian blowup beyond
+    the intended 1-row BroadcastNestedLoopJoin."""
+    from ehr_ner_spark.operators.bpe import bpe_merges
+
+    df = bpe_merges(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        rounds=2, checkpoint=False,
+    )
+    plan = _plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "partial_min" in plan  # the winner struct-MIN combines map-side
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Window" not in plan
+    # the only nested-loop join is the 1-row winner broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_single_exchange_no_python(spark, sf_dir):
+    """Encoding is explode -> codegen replace chain -> one doc_id-keyed
+    aggregation: exactly one shuffle, zero Python."""
+    from ehr_ner_spark.operators.bpe import BPE_FIXED_MERGES, bpe_encode
+
+    df = bpe_encode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), BPE_FIXED_MERGES
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -32,7 +32,7 @@ _EMPTY_TABLES = {
     "events": "(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type VARCHAR,"
               " value DOUBLE, props VARCHAR)",
     "documents": "(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)",
-    "embeddings": "(vec_id BIGINT, embedding FLOAT[], norm DOUBLE)",
+    "embeddings": "(vec_id BIGINT, embedding FLOAT[], label INTEGER, norm DOUBLE)",
 }
 
 
