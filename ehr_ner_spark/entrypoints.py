@@ -3215,3 +3215,42 @@ def ds_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import BPE_FIXED_MERGES, bpe_encode
 
     return bpe_encode(_t(spark, sf_dir, "documents"), BPE_FIXED_MERGES)
+
+
+def _simhash_clusters_oracle() -> str:
+    from .operators.dedup import simhash_clusters_sql
+
+    return simhash_clusters_sql()
+
+
+@_register("ds_simhash_clusters", oracle=_simhash_clusters_oracle)
+def ds_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployable form of SimHash dedup: Hamming<=3 band-blocked pairs
+    -> connected components -> (doc_id, cluster_id, n_members, keep), one
+    row per document.  Completes the dedup family's group-level outputs
+    (exact, MinHash, semantic, SimHash all now emit keep-flagged clusters,
+    not just pairs).  The edge list entering CC is the verified near-dup
+    graph — tiny vs the corpus — and CC is strategy-selected, so the
+    operator's cost profile is the pair stage's, already plan-audited
+    (operators/dedup.py::simhash_clusters)."""
+    from .operators.dedup import simhash_clusters
+
+    return simhash_clusters(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _crossval_oracle() -> str:
+    from .operators.sampling import crossval_split_sql
+
+    return crossval_split_sql()
+
+
+@_register("ds_crossval_split", oracle=_crossval_oracle)
+def ds_crossval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment keyed on
+    md5_60('cv:' || doc_id) % 100 — reproducible across engines and STABLE
+    UNDER APPEND (a new shard never reassigns an existing row, unlike
+    row-number folds).  Pure map-side projection: zero shuffles at any
+    scale (operators/sampling.py::crossval_split)."""
+    from .operators.sampling import crossval_split
+
+    return crossval_split(_t(spark, sf_dir, "documents"))

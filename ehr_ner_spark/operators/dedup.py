@@ -190,6 +190,73 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def simhash_clusters(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup GROUPS (the deployable form of
+    :func:`simhash_dedup`): band-blocked pairs -> connected components ->
+    min-id representative, mirroring semantic_dedup's output contract.
+    Output: (doc_id, cluster_id, n_members, keep) — one row per document,
+    singletons are their own cluster.
+
+    Scale shape: the quadratic risk lives entirely inside simhash_dedup's
+    15-bit band buckets; the component stage sees only the verified
+    Hamming<=k edge list (tiny vs the corpus), and CC itself is
+    strategy-selected (single-pass union-find small, pointer jumping
+    large).  Pairs are persisted because connected_components consumes the
+    edge frame twice (strategy probe count + the join rounds)."""
+    from ..cache import tracked_persist
+    from .linking import connected_components
+
+    pairs = tracked_persist(
+        simhash_dedup(docs, text_col, id_col, max_hamming).select("src", "dst")
+    )
+    verts = docs.select(F.col(id_col).alias("surface_id"))
+    comp = tracked_persist(connected_components(verts, pairs))
+    clustered = comp.select(
+        F.col("surface_id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    )
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return clustered.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "n_members",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+SIMHASH_CLUSTERS_SQL_TAIL = """,
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    ebi AS MATERIALIZED (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT eb.dst, r.comp FROM reach r JOIN ebi eb ON eb.src = r.node),
+    comps AS (
+      SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (
+      SELECT cluster_id, COUNT(*)::BIGINT AS n_members
+      FROM comps GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.n_members,
+           (c.doc_id = c.cluster_id) AS keep
+    FROM comps c JOIN sizes s USING (cluster_id)
+"""
+
+
+def simhash_clusters_sql() -> str:
+    """DuckDB twin of :func:`simhash_clusters`: brute-force Hamming pairs
+    (lossless vs banding at Hamming<=3) + min-reachable-id recursive CTE."""
+    return (
+        SIMHASH_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+        + SIMHASH_CLUSTERS_SQL_TAIL
+    )
+
+
 N_MINHASH_PERMS = 16
 MINHASH_BAND_PERMS = 4  # 4 bands x 4 permutations
 

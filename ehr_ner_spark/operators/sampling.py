@@ -258,3 +258,66 @@ def quota_sample_sql(
     FROM ranked
     WHERE rnk <= CASE stratum {whens} ELSE 0 END
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic cross-validation split
+# ---------------------------------------------------------------------------
+
+CV_SALT = "cv"
+CV_BOUNDS = (80, 90)  # md5 bucket < 80 -> train, < 90 -> val, else test
+
+
+def crossval_split(
+    docs_in: DataFrame,
+    bounds: tuple = CV_BOUNDS,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = CV_SALT,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    ``md5_60('cv:' || doc_id) % 100``; bucket < bounds[0] -> train,
+    < bounds[1] -> val, else test.  The split is a pure function of the
+    row id — reproducible across runs, resumes, cluster sizes and engines,
+    and STABLE UNDER APPEND: new documents never move an existing row to a
+    different split (the property k-fold-by-row-number lacks).  Pure
+    map-side projection, zero shuffles.  Output: (doc_id, stratum, bucket,
+    split)."""
+    bucket = F.pmod(
+        md5_60_expr(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ),
+        F.lit(100),
+    )
+    return fan_out(docs_in).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        bucket.alias("bucket"),
+        F.when(bucket < bounds[0], "train")
+        .when(bucket < bounds[1], "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def crossval_split_sql(
+    bounds: tuple = CV_BOUNDS,
+    table: str = "documents",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = CV_SALT,
+) -> str:
+    """DuckDB twin of :func:`crossval_split` (identical bucket expression)."""
+    key = (
+        f"('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % 100"
+    )
+    return f"""
+    SELECT doc_id, stratum, bucket,
+           CASE WHEN bucket < {bounds[0]} THEN 'train'
+                WHEN bucket < {bounds[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT {id_col} AS doc_id, {stratum_col} AS stratum, {key} AS bucket
+      FROM {table})
+    """

@@ -157,3 +157,24 @@ def test_containment_detects_inclusion(spark):
     assert r.c_src == 1.0          # every shingle of doc1 appears in doc2
     assert r.c_dst < 1.0           # but not vice versa
     assert all(k != (1, 3) and k != (2, 3) for k in rows)
+
+
+def test_simhash_clusters_consistent_with_pairs(spark, sf_dir):
+    from ehr_ner_spark.operators.dedup import simhash_clusters, simhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = {r.doc_id: r.cluster_id for r in simhash_clusters(docs).collect()}
+    assert len(clusters) == docs.count()  # one row per document
+    # every verified near-dup pair lands in one cluster
+    pairs = simhash_dedup(docs).collect()
+    for p in pairs:
+        assert clusters[p.src] == clusters[p.dst]
+    # cluster id is the min member id, keep iff representative
+    rows = simhash_clusters(docs).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        assert all(m.n_members == len(members) for m in members)
+        assert sum(m.keep for m in members) == 1

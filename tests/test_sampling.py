@@ -110,3 +110,35 @@ def test_decontaminate_semantics(spark):
     assert got == {contam_id: 2}
     plan = _plan(decontaminate(docs, n=3, min_hits=2))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_crossval_split_semantics(spark, sf_dir):
+    import hashlib
+
+    from ehr_ner_spark.operators.sampling import crossval_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = crossval_split(docs).collect()
+    assert len(rows) == docs.count()  # exactly one split per doc
+    # bucket matches the pure-Python hash discipline
+    for r in rows[:50]:
+        b = int(hashlib.md5(f"cv:{r.doc_id}".encode()).hexdigest()[:15], 16) % 100
+        assert r.bucket == b
+        assert r.split == ("train" if b < 80 else "val" if b < 90 else "test")
+    # rough 80/10/10 at small n
+    n = len(rows)
+    k_train = sum(1 for r in rows if r.split == "train")
+    assert 0.65 <= k_train / n <= 0.95
+    # append stability: splitting HALF the corpus assigns identically
+    half = crossval_split(docs.where(F.col("doc_id") % 2 == 0)).collect()
+    full_map = {r.doc_id: r.split for r in rows}
+    assert all(full_map[r.doc_id] == r.split for r in half)
+
+
+def test_crossval_split_is_map_only(spark, sf_dir):
+    from ehr_ner_spark.operators.sampling import crossval_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(crossval_split(docs))
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
