@@ -3254,3 +3254,107 @@ def ds_crossval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import crossval_split
 
     return crossval_split(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "rel_set_ops",
+    oracle="""
+    WITH urgent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+    low AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '5-LOW')
+    SELECT 'both' AS segment, o_custkey AS custkey FROM (
+      SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM low)
+    UNION ALL
+    SELECT 'urgent_only' AS segment, o_custkey AS custkey FROM (
+      SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM low)
+    UNION ALL
+    SELECT 'low_only' AS segment, o_custkey AS custkey FROM (
+      SELECT o_custkey FROM low EXCEPT SELECT o_custkey FROM urgent)
+    """,
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over customer segments: buyers with urgent orders vs
+    buyers with low-priority orders, partitioned into INTERSECT /
+    EXCEPT / reverse-EXCEPT classes in one frame.  ``intersect`` and
+    ``except`` lower to hash aggregates + shuffles on the SAME key
+    (o_custkey), so AQE reuses one exchange per side across the three
+    branches; no sort, no window, no driver-side set math."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey")).distinct()
+    )
+    low = (
+        o.where(F.col("o_orderpriority") == "5-LOW")
+        .select(F.col("o_custkey").alias("custkey")).distinct()
+    )
+    return (
+        urgent.intersect(low).select(F.lit("both").alias("segment"), "custkey")
+        .unionByName(
+            urgent.subtract(low)
+            .select(F.lit("urgent_only").alias("segment"), "custkey"))
+        .unionByName(
+            low.subtract(urgent)
+            .select(F.lit("low_only").alias("segment"), "custkey"))
+    )
+
+
+_GAP_SEGMENT = "BUILDING"
+
+
+@_register(
+    "rel_gap_fill",
+    oracle=f"""
+    WITH seg AS (SELECT c_custkey FROM customer
+                 WHERE c_mktsegment = '{_GAP_SEGMENT}'),
+    m AS (
+      SELECT o_custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS month_idx,
+             COUNT(*)::BIGINT AS n_orders
+      FROM orders JOIN seg ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    b AS (SELECT o_custkey, MIN(month_idx) AS lo, MAX(month_idx) AS hi
+          FROM m GROUP BY 1),
+    cal AS (SELECT o_custkey, unnest(generate_series(lo, hi)) AS month_idx
+            FROM b)
+    SELECT cal.o_custkey AS custkey, cal.month_idx,
+           COALESCE(m.n_orders, 0)::BIGINT AS n_orders
+    FROM cal LEFT JOIN m USING (o_custkey, month_idx)
+    """,
+)
+def rel_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap fill (time-series densification): per BUILDING-segment
+    customer, the monthly order count with every silent month between the
+    customer's first and last active month materialized as an explicit
+    zero — the shape gap-tolerant downstream models (retention,
+    forecasting) need.  Months are integer epoch-month indices
+    (year*12+month — no engine-dependent date truncation); the calendar is
+    ``sequence()`` + explode per customer (bounded by the span, never a
+    global calendar cross-join); the segment filter broadcasts; counts
+    rejoin on (custkey, month) — every shuffle is on the customer key."""
+    seg = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == _GAP_SEGMENT)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(seg), F.col("o_custkey") == F.col("custkey")
+    )
+    m = o.groupBy(
+        "custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("month_idx"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    cal = (
+        m.groupBy("custkey")
+        .agg(F.min("month_idx").alias("lo"), F.max("month_idx").alias("hi"))
+        .select(
+            "custkey",
+            F.explode(F.sequence("lo", "hi")).alias("month_idx"),
+        )
+    )
+    return cal.join(m, ["custkey", "month_idx"], "left").select(
+        "custkey", "month_idx",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )

@@ -101,6 +101,8 @@ EXACT_QUERIES = {
     # sign projection: literal cast-and-add chains, identical fold order;
     # kNN accuracy: integers + one snapped division
     "ds_random_projection", "ds_knn_accuracy",
+    # simhash clusters / cv split / set ops / gap fill: ints + strings only
+    "ds_simhash_clusters", "ds_crossval_split", "rel_set_ops", "rel_gap_fill",
 }
 
 
