@@ -3358,3 +3358,88 @@ def rel_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "month_idx",
         F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
     )
+
+
+def _vocab_coverage_oracle() -> str:
+    from .operators.textops import vocab_coverage_sql
+
+    return vocab_coverage_sql()
+
+
+@_register("ds_vocab_coverage", oracle=_vocab_coverage_oracle)
+def ds_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV-rate report vs a corpus-learned top-100 vocab: the
+    freeze-the-tokenizer gate.  One corpus-sized map-combined count
+    shuffle; the vocab itself is TakeOrdered over the tiny distinct-token
+    frame and broadcasts back; all-integer output
+    (operators/textops.py::vocab_coverage)."""
+    from .operators.textops import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
+def _relation_cardinality_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT DISTINCT subj, pred, obj FROM ({_triples_oracle()})),
+    h AS (SELECT pred, subj, COUNT(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+    ta AS (SELECT pred, obj, COUNT(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+    agg AS (
+      SELECT pred, COUNT(*)::BIGINT AS n_triples FROM t GROUP BY pred),
+    hs AS (SELECT pred, COUNT(*)::BIGINT AS n_subj,
+                  MAX(c) AS max_obj_per_subj FROM h GROUP BY pred),
+    ts AS (SELECT pred, COUNT(*)::BIGINT AS n_obj,
+                  MAX(c) AS max_subj_per_obj FROM ta GROUP BY pred)
+    SELECT agg.pred, agg.n_triples, hs.n_subj, ts.n_obj,
+           hs.max_obj_per_subj, ts.max_subj_per_obj,
+           CASE WHEN hs.max_obj_per_subj > 1 AND ts.max_subj_per_obj > 1
+                THEN 'N-N'
+                WHEN hs.max_obj_per_subj > 1 THEN '1-N'
+                WHEN ts.max_subj_per_obj > 1 THEN 'N-1'
+                ELSE '1-1' END AS card_class
+    FROM agg JOIN hs USING (pred) JOIN ts USING (pred)
+    """
+
+
+@_register("kg_relation_cardinality", oracle=_relation_cardinality_oracle)
+def kg_relation_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinality profile of the emitted triple graph —
+    the 1-1 / 1-N / N-1 / N-N classification TransE-family negative
+    samplers and schema validators read (Bordes 2013 §4).  Distinct
+    triples -> two key-local count aggs (subject side, object side) ->
+    per-predicate maxima -> a 16-row join.  Every shuffle after the
+    detector is on (pred, subj) or (pred, obj); the final frame is
+    predicate-sized (tiny at any corpus scale)."""
+    from .cache import tracked_persist
+
+    t = tracked_persist(
+        flagship(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    )
+    h = t.groupBy("pred", "subj").agg(F.count(F.lit(1)).alias("c"))
+    ta = t.groupBy("pred", "obj").agg(F.count(F.lit(1)).alias("c"))
+    agg = t.groupBy("pred").agg(F.count(F.lit(1)).alias("n_triples"))
+    hs = h.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_subj"),
+        F.max("c").alias("max_obj_per_subj"),
+    )
+    ts = ta.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_obj"),
+        F.max("c").alias("max_subj_per_obj"),
+    )
+    cls = (
+        F.when(
+            (F.col("max_obj_per_subj") > 1) & (F.col("max_subj_per_obj") > 1),
+            "N-N",
+        )
+        .when(F.col("max_obj_per_subj") > 1, "1-N")
+        .when(F.col("max_subj_per_obj") > 1, "N-1")
+        .otherwise("1-1")
+    )
+    return (
+        agg.join(hs, "pred").join(ts, "pred")
+        .select(
+            "pred", "n_triples", "n_subj", "n_obj",
+            "max_obj_per_subj", "max_subj_per_obj",
+            cls.alias("card_class"),
+        )
+    )

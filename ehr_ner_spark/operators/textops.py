@@ -595,3 +595,75 @@ def chunk_documents_sql(table: str = "documents", size: int = CHUNK_SIZE,
            substring(t, (i * {stride} + 1)::INT, {size}) AS chunk_text
     FROM base, LATERAL UNNEST(range(0, n_chunks)) AS u(i)
     """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage (OOV-rate report)
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 100
+
+
+def vocab_coverage(docs_in: DataFrame, text_col: str = "text",
+                   k: int = VOCAB_K) -> DataFrame:
+    """Per-language OOV report against a corpus-learned top-k vocabulary:
+    how much of each language's token mass a k-entry vocab covers — the
+    go/no-go check before freezing a tokenizer for pretraining.
+
+    Scale shape: the corpus is tokenized ONCE into (lang, word) counts
+    (map-side combined — the only corpus-sized shuffle); the global vocab
+    reduces that small frame again and takes top-k via orderBy+limit
+    (TakeOrderedAndProject: per-partition heaps, never a global window);
+    coverage is a BROADCAST left join of the k-row vocab back onto the
+    per-language counts.  All-integer output — bit-exact in any engine.
+    Tokens are RE2-whitespace-split, the simhash/fingerprint discipline.
+    Output: (lang, total_tokens, covered_tokens, distinct_tokens,
+    covered_distinct)."""
+    from ..cache import tracked_persist
+
+    words = fan_out(docs_in).select(
+        "lang",
+        F.explode(
+            F.split(F.col(text_col), "[ \t\n\r\f]+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    # lw feeds both the vocab reduction and the coverage join
+    lw = tracked_persist(
+        words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = lw.groupBy("w").agg(F.sum("c").alias("tot"))
+    vocab = wc.orderBy(F.desc("tot"), F.asc("w")).limit(k).select(
+        "w", F.lit(True).alias("in_vocab")
+    )
+    cov = lw.join(F.broadcast(vocab), "w", "left")
+    return cov.groupBy("lang").agg(
+        F.sum("c").alias("total_tokens"),
+        F.sum(F.when(F.col("in_vocab"), F.col("c")).otherwise(F.lit(0)))
+        .alias("covered_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.count("in_vocab").alias("covered_distinct"),
+    )
+
+
+def vocab_coverage_sql(table: str = "documents", text_col: str = "text",
+                       k: int = VOCAB_K) -> str:
+    """DuckDB twin of :func:`vocab_coverage` (same tokenizer, same
+    (count DESC, word ASC) vocab order, same integer outputs)."""
+    return f"""
+    WITH words AS (
+      SELECT lang, unnest(string_split_regex({text_col}, '\\s+')) AS w
+      FROM {table}),
+    lw AS (
+      SELECT lang, w, COUNT(*)::BIGINT AS c
+      FROM words WHERE w <> '' GROUP BY 1, 2),
+    wc AS (SELECT w, SUM(c) AS tot FROM lw GROUP BY 1),
+    vocab AS (SELECT w FROM wc ORDER BY tot DESC, w LIMIT {k})
+    SELECT lang,
+           SUM(c)::BIGINT AS total_tokens,
+           SUM(CASE WHEN v.w IS NOT NULL THEN c ELSE 0 END)::BIGINT
+             AS covered_tokens,
+           COUNT(*)::BIGINT AS distinct_tokens,
+           COUNT(v.w)::BIGINT AS covered_distinct
+    FROM lw LEFT JOIN vocab v USING (w)
+    GROUP BY lang
+    """

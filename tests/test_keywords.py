@@ -140,3 +140,37 @@ def test_chunk_documents_covers_every_char(spark):
             range(r["chunk_start"], r["chunk_start"] + len(r["chunk_text"]))
         )
     assert covered == set(range(1, len(text) + 1))
+
+
+def test_vocab_coverage_invariants(spark, sf_dir):
+    from ehr_ner_spark.operators.textops import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = vocab_coverage(docs, k=50).collect()
+    assert {r.lang for r in rows} == {
+        r.lang for r in docs.select("lang").distinct().collect()
+    }
+    for r in rows:
+        assert 0 < r.covered_tokens <= r.total_tokens
+        assert 0 < r.covered_distinct <= min(50, r.distinct_tokens)
+    # k = 0 vocabulary covers nothing
+    empty = vocab_coverage(docs, k=0).collect()
+    assert all(r.covered_tokens == 0 and r.covered_distinct == 0 for r in empty)
+
+
+def test_relation_cardinality_classes(spark):
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    import conftest
+
+    out = QUERIES_REGISTRY["kg_relation_cardinality"](spark, conftest.SF_DIR)
+    rows = out.collect()
+    assert rows, "no predicates emitted"
+    for r in rows:
+        assert r.n_triples >= max(r.n_subj, r.n_obj)
+        expect = (
+            "N-N" if r.max_obj_per_subj > 1 and r.max_subj_per_obj > 1
+            else "1-N" if r.max_obj_per_subj > 1
+            else "N-1" if r.max_subj_per_obj > 1 else "1-1"
+        )
+        assert r.card_class == expect

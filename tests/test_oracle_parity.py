@@ -103,6 +103,8 @@ EXACT_QUERIES = {
     "ds_random_projection", "ds_knn_accuracy",
     # simhash clusters / cv split / set ops / gap fill: ints + strings only
     "ds_simhash_clusters", "ds_crossval_split", "rel_set_ops", "rel_gap_fill",
+    # vocab coverage / relation cardinality: ints + strings only
+    "ds_vocab_coverage", "kg_relation_cardinality",
 }
 
 
