@@ -3443,3 +3443,82 @@ def kg_relation_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             cls.alias("card_class"),
         )
     )
+
+
+def _iqr_oracle() -> str:
+    from .operators.quantiles import iqr_classify_sql
+
+    return iqr_classify_sql()
+
+
+@_register("ds_iqr_classify", oracle=_iqr_oracle)
+def ds_iqr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence length gate: per-language exact Q1/Q3 via the
+    value-histogram quantile trick, every doc classified lo/in/hi against
+    the integer k=1 IQR fences.  The histogram agg is the only
+    corpus-sized shuffle; fences broadcast back
+    (operators/quantiles.py::iqr_classify)."""
+    from .operators.quantiles import iqr_classify
+
+    return iqr_classify(_t(spark, sf_dir, "documents"))
+
+
+def _span_conflicts_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return f"""
+    WITH m AS (
+      SELECT DISTINCT doc_id, type, start_pos, end_pos
+      FROM ({mentions_oracle_sql(CORPUS_SQL)}))
+    SELECT a.doc_id,
+           a.type AS type_a, a.start_pos AS start_a, a.end_pos AS end_a,
+           b.type AS type_b, b.start_pos AS start_b, b.end_pos AS end_b,
+           (LEAST(a.end_pos, b.end_pos)
+            - GREATEST(a.start_pos, b.start_pos) + 1)::BIGINT AS overlap_len
+    FROM m a JOIN m b
+      ON a.doc_id = b.doc_id AND a.type < b.type
+     AND a.start_pos <= b.end_pos AND b.start_pos <= a.end_pos
+    """
+
+
+@_register("kg_span_conflicts", oracle=_span_conflicts_oracle)
+def kg_span_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type overlap report: every pair of DIFFERENT-typed mentions
+    whose token spans intersect — the nested-NER surface a flat schema
+    silently drops and the W8 overlay keeps; reviewers and ontology
+    mappers triage exactly this frame.  Distinct spans self-equi-join on
+    doc_id (per-doc mention counts are battery-bounded, so the join fans
+    out locally, never corpus-quadratically); type_a < type_b
+    de-duplicates pairs; all columns integer/string."""
+    m = (
+        detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+        .select("doc_id", "type", "start_pos", "end_pos")
+        .distinct()
+    )
+    from .cache import tracked_persist
+
+    m = tracked_persist(m)
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.type") < F.col("b.type"))
+            & (F.col("a.start_pos") <= F.col("b.end_pos"))
+            & (F.col("b.start_pos") <= F.col("a.end_pos")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.type").alias("type_a"),
+            F.col("a.start_pos").alias("start_a"),
+            F.col("a.end_pos").alias("end_a"),
+            F.col("b.type").alias("type_b"),
+            F.col("b.start_pos").alias("start_b"),
+            F.col("b.end_pos").alias("end_b"),
+            (
+                F.least("a.end_pos", "b.end_pos")
+                - F.greatest("a.start_pos", "b.start_pos")
+                + F.lit(1)
+            ).cast("long").alias("overlap_len"),
+        )
+    )

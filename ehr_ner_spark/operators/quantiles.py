@@ -100,3 +100,82 @@ def length_quantiles_sql() -> str:
     WHERE c.cum >= (q.q_pct::BIGINT * t.n + 99) // 100
     GROUP BY c.lang, c.metric, q.q_pct
     """
+
+
+# ---------------------------------------------------------------------------
+# IQR fence classification (outlier gate)
+# ---------------------------------------------------------------------------
+
+def iqr_classify(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tukey-fence document classification: per language, exact type-1
+    Q1/Q3 of chars-per-doc via the value-histogram trick (the only
+    corpus-sized shuffle is the map-combined histogram agg), then every
+    document is labeled 'lo' / 'in' / 'hi' against the k=1 integer fences
+    ``[q1 - iqr, q3 + iqr]`` — the pre-training length gate that drops
+    truncation stubs and concatenation blobs.  The 10-row fence frame
+    broadcasts back onto the corpus; all arithmetic is integer, so the
+    twin is bit-exact.  Output: (doc_id, lang, n_chars, q1, q3, side)."""
+    docs = fan_out(docs_in).select(
+        "doc_id", "lang", F.length(text_col).cast("long").alias("n_chars")
+    )
+    hist = docs.groupBy("lang", F.col("n_chars").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("lang", "value", F.sum("cnt").over(w).alias("cum"))
+    tot = hist.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    qpick = (
+        cum.join(tot, "lang")
+        .select(
+            "lang", "value", "cum", "n",
+            F.explode(F.array(F.lit(25), F.lit(75))).alias("q_pct"),
+        )
+        .where(F.col("cum") >= F.expr("(CAST(q_pct AS BIGINT) * n + 99) div 100"))
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("q_pct") == 25, F.col("value"))).alias("q1"),
+            F.min(F.when(F.col("q_pct") == 75, F.col("value"))).alias("q3"),
+        )
+    )
+    side = (
+        F.when(F.col("n_chars") < F.col("q1") - (F.col("q3") - F.col("q1")), "lo")
+        .when(F.col("n_chars") > F.col("q3") + (F.col("q3") - F.col("q1")), "hi")
+        .otherwise("in")
+    )
+    return docs.join(F.broadcast(qpick), "lang").select(
+        "doc_id", "lang", "n_chars", "q1", "q3", side.alias("side")
+    )
+
+
+def iqr_classify_sql() -> str:
+    """DuckDB twin of :func:`iqr_classify` (identical histogram quantile
+    pick and integer fences)."""
+    return r"""
+    WITH v AS (
+      SELECT doc_id, lang, length(text)::BIGINT AS n_chars FROM documents),
+    hist AS (
+      SELECT lang, n_chars AS value, COUNT(*) AS cnt
+      FROM v GROUP BY lang, n_chars),
+    cum AS (
+      SELECT lang, value,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist),
+    tot AS (SELECT lang, SUM(cnt) AS n FROM hist GROUP BY lang),
+    qpick AS (
+      SELECT c.lang,
+             MIN(CASE WHEN q.q_pct = 25 THEN c.value END) AS q1,
+             MIN(CASE WHEN q.q_pct = 75 THEN c.value END) AS q3
+      FROM cum c JOIN tot t USING (lang)
+      CROSS JOIN (VALUES (25), (75)) q(q_pct)
+      WHERE c.cum >= (q.q_pct::BIGINT * t.n + 99) // 100
+      GROUP BY c.lang)
+    SELECT v.doc_id, v.lang, v.n_chars, q.q1, q.q3,
+           CASE WHEN v.n_chars < q.q1 - (q.q3 - q.q1) THEN 'lo'
+                WHEN v.n_chars > q.q3 + (q.q3 - q.q1) THEN 'hi'
+                ELSE 'in' END AS side
+    FROM v JOIN qpick q USING (lang)
+    """

@@ -105,6 +105,8 @@ EXACT_QUERIES = {
     "ds_simhash_clusters", "ds_crossval_split", "rel_set_ops", "rel_gap_fill",
     # vocab coverage / relation cardinality: ints + strings only
     "ds_vocab_coverage", "kg_relation_cardinality",
+    # IQR fences / span conflicts: ints + strings only
+    "ds_iqr_classify", "kg_span_conflicts",
 }
 
 

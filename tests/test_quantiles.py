@@ -48,3 +48,25 @@ def test_quantiles_match_python_reference(spark):
             assert out[(lang, "n_chars", q)] == v
         for q, v in _py_quantiles(words).items():
             assert out[(lang, "n_words", q)] == v
+
+
+def test_iqr_classify_fences(spark, sf_dir):
+    from ehr_ner_spark.operators.quantiles import iqr_classify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = iqr_classify(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.q1 <= r.q3
+        iqr = r.q3 - r.q1
+        expect = (
+            "lo" if r.n_chars < r.q1 - iqr
+            else "hi" if r.n_chars > r.q3 + iqr else "in"
+        )
+        assert r.side == expect
+    # fences hold at least half the corpus per lang (Q1..Q3 alone is ~50%)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.side)
+    for sides in by_lang.values():
+        assert sides.count("in") >= len(sides) // 2
