@@ -3522,3 +3522,59 @@ def kg_span_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("overlap_len"),
         )
     )
+
+
+def _lm_buckets_oracle() -> str:
+    from .operators.retrieval import lm_quality_buckets_sql
+
+    return lm_quality_buckets_sql()
+
+
+@_register("ds_lm_buckets", oracle=_lm_buckets_oracle)
+def ds_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality split: per-language exact
+    terciles of the integer bigram-LM fluency key, cut points via the
+    value-histogram quantile trick, broadcast back — the keep-the-head
+    pretraining filter with zero float discipline anywhere
+    (operators/retrieval.py::lm_quality_buckets)."""
+    from .operators.retrieval import lm_quality_buckets
+
+    return lm_quality_buckets(_t(spark, sf_dir, "documents"))
+
+
+_RECALL_T = 0.5  # shared truth/LSH threshold for the recall audit
+
+
+def _lsh_recall_oracle() -> str:
+    from .operators.dedup import minhash_pairs_sql
+
+    exact = ORACLE_REGISTRY["ds_ngram_jaccard"]
+    return f"""
+    SELECT e.src, e.dst, (l.src IS NOT NULL) AS caught
+    FROM ({exact}) e
+    LEFT JOIN ({minhash_pairs_sql(threshold=_RECALL_T)}) l
+      ON e.src = l.src AND e.dst = l.dst
+    """
+
+
+@_register("ds_lsh_recall_eval", oracle=_lsh_recall_oracle)
+def ds_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the production near-dup path: every exact n-gram
+    Jaccard >= 0.5 pair (the truth set, hot-shingle-capped) labeled with
+    whether the MinHash-LSH pipeline at the same threshold catches it —
+    the measured banding miss rate that sizes (bands, rows) before a
+    100-TB dedup run.  Truth and candidate sets are each the
+    already-plan-audited operators; the audit itself is one equi-join on
+    the (src, dst) pair key."""
+    from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=_RECALL_T).select(
+        "src", "dst"
+    )
+    lsh = minhash_lsh_pairs(docs, threshold=_RECALL_T).select(
+        "src", "dst", F.lit(True).alias("_c")
+    )
+    return exact.join(lsh, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("_c", F.lit(False)).alias("caught")
+    )

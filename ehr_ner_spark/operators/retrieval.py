@@ -333,3 +333,93 @@ def bigram_lm_score_sql(table: str = "documents",
     FROM tfb t JOIN probs p USING (w1, w2)
     GROUP BY t.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM-quality buckets
+# ---------------------------------------------------------------------------
+
+def lm_quality_buckets(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek 2020): per language, documents
+    split into head / middle / tail thirds by their bigram-LM fluency — the
+    standard pre-filter that keeps the head for pretraining and drops the
+    tail.
+
+    The per-doc quality key is the INTEGER mean micro-probability
+    ``lm_micro_sum div n_bigrams`` (floor division of two exact BIGINTs —
+    no float ordering anywhere), and the per-language cut points are exact
+    type-1 33/67-percentiles of that key via the value-histogram trick
+    (the histogram shuffle is bounded by distinct key values, never rows).
+    Cuts broadcast back onto the scored corpus.  Docs with < 2 tokens have
+    no transitions and drop out, as in bigram_lm_score.
+    Output: (doc_id, lang, q, c33, c67, bucket)."""
+    from pyspark.sql.window import Window
+
+    scores = bigram_lm_score(docs_in, text_col).select(
+        "doc_id", F.expr("lm_micro_sum div n_bigrams").alias("q")
+    )
+    scored = fan_out(docs_in).select("doc_id", "lang").join(scores, "doc_id")
+    hist = scored.groupBy("lang", F.col("q").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("lang", "value", F.sum("cnt").over(w).alias("cum"))
+    tot = hist.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    cuts = (
+        cum.join(tot, "lang")
+        .select(
+            "lang", "value",
+            F.explode(F.array(F.lit(33), F.lit(67))).alias("q_pct"),
+            "cum", "n",
+        )
+        .where(F.col("cum") >= F.expr("(CAST(q_pct AS BIGINT) * n + 99) div 100"))
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("q_pct") == 33, F.col("value"))).alias("c33"),
+            F.min(F.when(F.col("q_pct") == 67, F.col("value"))).alias("c67"),
+        )
+    )
+    bucket = (
+        F.when(F.col("q") <= F.col("c33"), "tail")
+        .when(F.col("q") <= F.col("c67"), "middle")
+        .otherwise("head")
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "q", "c33", "c67", bucket.alias("bucket")
+    )
+
+
+def lm_quality_buckets_sql(table: str = "documents",
+                           text_col: str = "text") -> str:
+    """DuckDB twin of :func:`lm_quality_buckets` (same integer key,
+    histogram cuts, and boundary CASE)."""
+    return f"""
+    WITH lm AS ({bigram_lm_score_sql(table, text_col)}),
+    scored AS (
+      SELECT d.doc_id, d.lang, lm.lm_micro_sum // lm.n_bigrams AS q
+      FROM {table} d JOIN lm ON d.doc_id = lm.doc_id),
+    hist AS (
+      SELECT lang, q AS value, COUNT(*) AS cnt FROM scored GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, value,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist),
+    tot AS (SELECT lang, SUM(cnt) AS n FROM hist GROUP BY lang),
+    cuts AS (
+      SELECT c.lang,
+             MIN(CASE WHEN p.q_pct = 33 THEN c.value END) AS c33,
+             MIN(CASE WHEN p.q_pct = 67 THEN c.value END) AS c67
+      FROM cum c JOIN tot t USING (lang)
+      CROSS JOIN (VALUES (33), (67)) p(q_pct)
+      WHERE c.cum >= (p.q_pct::BIGINT * t.n + 99) // 100
+      GROUP BY c.lang)
+    SELECT s.doc_id, s.lang, s.q, cu.c33, cu.c67,
+           CASE WHEN s.q <= cu.c33 THEN 'tail'
+                WHEN s.q <= cu.c67 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM scored s JOIN cuts cu USING (lang)
+    """

@@ -178,3 +178,17 @@ def test_simhash_clusters_consistent_with_pairs(spark, sf_dir):
         assert cid == min(m.doc_id for m in members)
         assert all(m.n_members == len(members) for m in members)
         assert sum(m.keep for m in members) == 1
+
+
+def test_lsh_recall_eval_semantics(spark, sf_dir):
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    out = QUERIES_REGISTRY["ds_lsh_recall_eval"](spark, sf_dir).collect()
+    assert out, "truth set empty — threshold too high for the fixture"
+    # banding at 4 bands x 4 rows catches most >=0.5 pairs
+    recall = sum(r.caught for r in out) / len(out)
+    assert recall >= 0.5
+    # pair keys are canonical and unique
+    keys = [(r.src, r.dst) for r in out]
+    assert len(keys) == len(set(keys))
+    assert all(s < d for s, d in keys)

@@ -174,3 +174,25 @@ def test_relation_cardinality_classes(spark):
             else "N-1" if r.max_subj_per_obj > 1 else "1-1"
         )
         assert r.card_class == expect
+
+
+def test_lm_buckets_are_language_local_terciles(spark, sf_dir):
+    from ehr_ner_spark.operators.retrieval import lm_quality_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = lm_quality_buckets(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.c33 <= r.c67
+        expect = (
+            "tail" if r.q <= r.c33 else "middle" if r.q <= r.c67 else "head"
+        )
+        assert r.bucket == expect
+    # each language has all three buckets when it has enough docs
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.bucket)
+    for lang, buckets in by_lang.items():
+        n = sum(1 for r in rows if r.lang == lang)
+        if n >= 30:
+            assert buckets == {"head", "middle", "tail"}, (lang, buckets)

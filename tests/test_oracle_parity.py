@@ -107,6 +107,8 @@ EXACT_QUERIES = {
     "ds_vocab_coverage", "kg_relation_cardinality",
     # IQR fences / span conflicts: ints + strings only
     "ds_iqr_classify", "kg_span_conflicts",
+    # LM buckets (integer fluency key) / LSH recall audit (ids + bool)
+    "ds_lm_buckets", "ds_lsh_recall_eval",
 }
 
 
