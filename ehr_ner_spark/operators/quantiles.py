@@ -44,7 +44,11 @@ def length_quantiles(docs_in: DataFrame,
         F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+"))
         .cast("long").alias("value"),
     )
-    hist = (
+    from ..cache import tracked_persist
+
+    # hist feeds the cumulative window AND the totals agg — persist the
+    # tiny histogram or the corpus-sized aggregation executes twice
+    hist = tracked_persist(
         chars.unionByName(words)
         .groupBy("lang", "metric", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -118,8 +122,14 @@ def iqr_classify(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
     docs = fan_out(docs_in).select(
         "doc_id", "lang", F.length(text_col).cast("long").alias("n_chars")
     )
-    hist = docs.groupBy("lang", F.col("n_chars").alias("value")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    from ..cache import tracked_persist
+
+    # two consumers (cum window + totals): persist the tiny histogram so
+    # the corpus aggregation runs once
+    hist = tracked_persist(
+        docs.groupBy("lang", F.col("n_chars").alias("value")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
     w = (
         Window.partitionBy("lang").orderBy("value")

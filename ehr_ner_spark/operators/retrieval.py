@@ -358,9 +358,16 @@ def lm_quality_buckets(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
     scores = bigram_lm_score(docs_in, text_col).select(
         "doc_id", F.expr("lm_micro_sum div n_bigrams").alias("q")
     )
-    scored = fan_out(docs_in).select("doc_id", "lang").join(scores, "doc_id")
-    hist = scored.groupBy("lang", F.col("q").alias("value")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # scored feeds the cut-point histogram AND the final classification
+    # join — persist or the whole bigram-LM stack executes twice; hist
+    # likewise feeds the cum window + totals agg
+    scored = tracked_persist(
+        fan_out(docs_in).select("doc_id", "lang").join(scores, "doc_id")
+    )
+    hist = tracked_persist(
+        scored.groupBy("lang", F.col("q").alias("value")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
     w = (
         Window.partitionBy("lang").orderBy("value")

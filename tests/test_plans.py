@@ -874,3 +874,59 @@ def test_bpe_encode_single_exchange_no_python(spark, sf_dir):
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_vocab_coverage_takeordered_and_broadcast(spark, sf_dir):
+    """The vocab pick is TakeOrdered per-partition heaps (never a global
+    window) and rejoins the count frame via broadcast; the corpus-sized
+    count agg map-side combines."""
+    from ehr_ner_spark.operators.textops import vocab_coverage
+
+    df = vocab_coverage(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_iqr_classify_broadcast_fences_single_corpus_shuffle(spark, sf_dir):
+    """The corpus-sized histogram agg materializes ONCE (persisted — it
+    feeds both the cumulative window and the totals agg); fences come back
+    as a broadcast; every hash exchange is language-keyed."""
+    from ehr_ner_spark.operators.quantiles import iqr_classify
+
+    df = iqr_classify(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # hist computed once, reused twice
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "lang" in seg[:100]
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_gap_fill_broadcast_segment_and_keylocal_shuffles(spark, sf_dir):
+    """The segment dimension broadcasts onto orders; every hash exchange is
+    on the customer key; the calendar explode never cross-joins."""
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    df = QUERIES_REGISTRY["rel_gap_fill"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "custkey" in seg[:120]
+
+
+def test_relation_cardinality_predicate_keyed_aggs(spark, sf_dir):
+    """After the detector, every exchange is on pred / (pred, subj|obj) and
+    all count aggs partial-combine map-side."""
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    df = QUERIES_REGISTRY["kg_relation_cardinality"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_count" in plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg[:160]
+        assert "pred" in head or "doc_id" in head  # detector's own repartition
