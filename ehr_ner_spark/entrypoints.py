@@ -3578,3 +3578,24 @@ def ds_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(lsh, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("_c", F.lit(False)).alias("caught")
     )
+
+
+def _ego_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+    from .operators.walks import ego_networks_sql
+
+    return ego_networks_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_ego_networks", oracle=_ego_oracle)
+def kg_ego_networks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop ego networks around a deterministic ~5% entity seed set —
+    the GNN-training neighborhood sampler over the co-occurrence graph.
+    Hop-1 is a hash-filtered slice of the doubled adjacency; hop-2 is one
+    frontier equi-join + a seed-keyed anti-join dedup; nodes carry their
+    minimum hop (operators/walks.py::ego_networks)."""
+    from .operators.communities import entity_edges
+    from .operators.walks import ego_networks
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return ego_networks(entity_edges(m))

@@ -159,3 +159,81 @@ def walk_skipgrams_sql(mentions_sql: str, min_pair: int = 2,
       AND a.step <> b.step AND abs(a.step - b.step) <= {window}
       AND a.node <> b.node
     GROUP BY a.node, b.node"""
+
+
+# ---------------------------------------------------------------------------
+# Ego-network (2-hop neighborhood) sampling
+# ---------------------------------------------------------------------------
+
+EGO_MOD = 20  # ~5% of nodes become seeds, by the shared md5 discipline
+
+
+def ego_networks(edges: DataFrame, mod: int = EGO_MOD) -> DataFrame:
+    """GNN-style 2-hop neighborhood extraction around deterministic seed
+    entities: seeds are nodes with ``md5_60('ego:' || node) % mod == 0``
+    (a reproducible sample, no RNG), output is (seed, node, hop) with each
+    node recorded at its MINIMUM hop (hop-1 neighbors never reappear at
+    hop 2, and the seed itself is excluded).
+
+    Scale shape: hop-1 is a broadcast-friendly semi-filter of the doubled
+    adjacency on the seed set; hop-2 is ONE frontier-to-adjacency
+    equi-join (fan-out = frontier node degree — the support>=min_pair
+    edge filter has already thinned hubs) followed by a seed-keyed
+    left-anti dedup against hop-1.  No iteration state, no windows;
+    everything shuffles on seed or node keys."""
+    from ..cache import tracked_persist
+    from ..hashing import md5_60_expr
+
+    bidir = edges.select(
+        F.col("ent_a").alias("src"), F.col("ent_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("ent_b").alias("src"), F.col("ent_a").alias("dst"))
+    )
+    is_seed = (
+        F.pmod(md5_60_expr(F.concat(F.lit("ego:"), F.col("src"))), F.lit(mod))
+        == 0
+    )
+    # h1 feeds the hop-2 expansion AND the anti-join AND the output
+    h1 = tracked_persist(
+        bidir.where(is_seed).select(
+            F.col("src").alias("seed"), F.col("dst").alias("node")
+        )
+    )
+    h2 = (
+        h1.join(bidir, h1.node == bidir.src)
+        .select("seed", F.col("dst").alias("node2"))
+        .where(F.col("node2") != F.col("seed"))
+        .distinct()
+        .withColumnRenamed("node2", "node")
+        .join(h1, ["seed", "node"], "left_anti")
+    )
+    return (
+        h1.select("seed", "node", F.lit(1).cast("long").alias("hop"))
+        .unionByName(
+            h2.select("seed", "node", F.lit(2).cast("long").alias("hop"))
+        )
+    )
+
+
+def ego_networks_sql(mentions_sql: str, min_pair: int = 2,
+                     mod: int = EGO_MOD) -> str:
+    """DuckDB twin of :func:`ego_networks` over the shared edge prelude."""
+    from .graph_sql import edges_prelude
+
+    return edges_prelude(mentions_sql, min_pair, with_bidir=True) + f""",
+    seeds AS (
+      SELECT DISTINCT src AS seed FROM bidir
+      WHERE ('0x' || substr(md5('ego:' || src), 1, 15))::BIGINT % {mod} = 0),
+    h1 AS (
+      SELECT b.src AS seed, b.dst AS node
+      FROM bidir b JOIN seeds s ON b.src = s.seed),
+    h2 AS (
+      SELECT DISTINCT h.seed, b.dst AS node
+      FROM h1 h JOIN bidir b ON h.node = b.src
+      WHERE b.dst <> h.seed
+        AND NOT EXISTS (SELECT 1 FROM h1 x
+                        WHERE x.seed = h.seed AND x.node = b.dst))
+    SELECT seed, node, 1::BIGINT AS hop FROM h1
+    UNION ALL
+    SELECT seed, node, 2::BIGINT AS hop FROM h2
+    """

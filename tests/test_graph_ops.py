@@ -228,3 +228,26 @@ def test_landmark_paths_hop_bound_and_unreachable(spark):
     assert {r["landmark"] for r in out} == {"a", "b"}
     assert all(r["entity"] in {"a", "b", "c"} for r in out)
     assert all(r["dist"] <= 1 for r in out)  # K3 diameter
+
+
+def test_ego_networks_min_hop_and_seed_exclusion(spark):
+    from pyspark.sql import Row
+
+    from ehr_ner_spark.operators.walks import ego_networks
+
+    # path graph A-B-C-D plus triangle A-B, B-C, A-C would give hop ties;
+    # use a simple known shape and force every node to be a seed (mod=1)
+    edges = spark.createDataFrame(
+        [Row(ent_a="A", ent_b="B"), Row(ent_a="B", ent_b="C"),
+         Row(ent_a="C", ent_b="D")]
+    )
+    rows = ego_networks(edges, mod=1).collect()
+    nets = {}
+    for r in rows:
+        nets.setdefault(r.seed, {})[r.node] = r.hop
+    assert nets["A"] == {"B": 1, "C": 2}
+    assert nets["B"] == {"A": 1, "C": 1, "D": 2}
+    assert nets["D"] == {"C": 1, "B": 2}
+    # seed never appears in its own net; every node at its minimum hop
+    for seed, net in nets.items():
+        assert seed not in net

@@ -109,6 +109,8 @@ EXACT_QUERIES = {
     "ds_iqr_classify", "kg_span_conflicts",
     # LM buckets (integer fluency key) / LSH recall audit (ids + bool)
     "ds_lm_buckets", "ds_lsh_recall_eval",
+    # ego networks: strings + integer hops
+    "kg_ego_networks",
 }
 
 
