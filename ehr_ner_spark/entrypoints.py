@@ -3599,3 +3599,35 @@ def kg_ego_networks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
     return ego_networks(entity_edges(m))
+
+
+def _alias_dict_oracle() -> str:
+    from .operators.mention_sql import alias_dictionary_oracle_sql
+
+    return alias_dictionary_oracle_sql(CORPUS_SQL)
+
+
+@_register("kg_alias_dictionary", oracle=_alias_dict_oracle)
+def kg_alias_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surface-form dictionary the linking stage learns: every
+    canonical entity that absorbed >= 2 distinct surfaces, expanded to one
+    row per alias with its mention count, cluster size, and representative
+    flag — the lookup table downstream normalizers and the review UI load.
+    Pure reuse of canonicalize() (persisted signature/edge frames inside);
+    the only additions are a component-keyed size agg and a 1:1 join."""
+    from .operators.linking import canonicalize
+
+    cmap = canonicalize(detect_mentions(corpus(spark, sf_dir), num_partitions=8))
+    sized = cmap.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_aliases")
+    )
+    return (
+        cmap.join(sized, "component")
+        .where(F.col("n_aliases") >= 2)
+        .select(
+            F.col("canonical_text").alias("canonical"),
+            F.col("text").alias("alias"),
+            "n_mentions", "n_aliases",
+            (F.col("text") == F.col("canonical_text")).alias("is_canonical"),
+        )
+    )

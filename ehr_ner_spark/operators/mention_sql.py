@@ -524,11 +524,13 @@ def augment_oracle_sql(corpus_sql: str, p_times: float = 1.1) -> str:
     )
 
 
-def canonical_triples_oracle_sql(corpus_sql: str, threshold: float = 0.5) -> str:
-    """DuckDB twin of the ENTIRE KG pipeline: battery mention detection ->
-    surface MinHash/LSH linking -> Jaccard verify -> connected components
-    (recursive CTE: min reachable surface id == the engine's union-find /
-    min-propagation result) -> canonical election -> triples.
+def _linking_ctes(corpus_sql: str, threshold: float = 0.5) -> str:
+    """Shared DuckDB CTE chain for every linking-stage twin: battery
+    mention detection -> surface MinHash/LSH -> Jaccard verify ->
+    recursive-CTE connected components -> canonical election, ending at
+    ``cmap (text, n_mentions, component, canonical_text)``.  Callers
+    append their own final SELECT (plus optional CTEs with a leading
+    comma) and must promote the opening WITH to WITH RECURSIVE.
 
     Every constant is imported from operators/linking.py so the two engines
     share one definition: md5-60bit surface ids and shingle hashes, the
@@ -626,16 +628,40 @@ def canonical_triples_oracle_sql(corpus_sql: str, threshold: float = 0.5) -> str
                                      ORDER BY n_mentions DESC, text ASC) AS rk
         FROM slabeled) WHERE rk = 1),
     cmap AS (
-      SELECT l.text, c.canonical_text
-      FROM slabeled l JOIN canon c USING (component))
+      SELECT l.text, l.n_mentions, l.component, c.canonical_text
+      FROM slabeled l JOIN canon c USING (component))"""
+    )
+    return base
+
+
+def canonical_triples_oracle_sql(corpus_sql: str, threshold: float = 0.5) -> str:
+    """DuckDB twin of the ENTIRE KG pipeline (see :func:`_linking_ctes`)
+    materialized as (subj, pred, obj, surface) triples."""
+    base = _linking_ctes(corpus_sql, threshold) + """
     SELECT 'doc:' || CAST(m.doc_id AS VARCHAR) AS subj,
            'hasEntityType:' || m.type          AS pred,
            COALESCE(c.canonical_text, m.text)  AS obj,
            m.text                              AS surface
     FROM m_spans m LEFT JOIN cmap c ON c.text = m.text
     """
-    )
     # the recursive reach CTE requires the RECURSIVE keyword on the WITH
+    return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
+
+
+def alias_dictionary_oracle_sql(corpus_sql: str, threshold: float = 0.5) -> str:
+    """DuckDB twin of the alias dictionary: every multi-surface canonical
+    cluster expanded to (canonical, alias, n_mentions, n_aliases,
+    is_canonical) rows over the shared linking CTE chain."""
+    base = _linking_ctes(corpus_sql, threshold) + """,
+    csize AS (
+      SELECT component, COUNT(*)::BIGINT AS n_aliases
+      FROM cmap GROUP BY component)
+    SELECT c.canonical_text AS canonical, c.text AS alias,
+           c.n_mentions, s.n_aliases,
+           (c.text = c.canonical_text) AS is_canonical
+    FROM cmap c JOIN csize s USING (component)
+    WHERE s.n_aliases >= 2
+    """
     return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
 
 

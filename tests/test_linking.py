@@ -158,3 +158,26 @@ def test_canonical_triples_shape(spark, mentions):
     assert all(r.pred == "hasEntityType:DTN" for r in rows)
     m = {r.surface: r.obj for r in rows}
     assert m["aspirin100m"] == "aspirin100mg"
+
+
+def test_alias_dictionary_cluster_invariants(spark, sf_dir):
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    rows = QUERIES_REGISTRY["kg_alias_dictionary"](spark, sf_dir).collect()
+    assert rows, "fixture produced no multi-surface clusters"
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical, []).append(r)
+    for canon, members in by_canon.items():
+        # exactly one representative, and it is the canonical surface
+        reps = [m for m in members if m.is_canonical]
+        assert len(reps) == 1 and reps[0].alias == canon
+        assert all(m.n_aliases == len(members) for m in members)
+        assert len(members) >= 2
+        # election order: representative has the max mention count
+        # (ties broken by text asc, which the alias sort can't see here)
+        assert reps[0].n_mentions == max(m.n_mentions for m in members) or \
+            reps[0].alias < min(
+                m.alias for m in members
+                if m.n_mentions == max(x.n_mentions for x in members)
+            )

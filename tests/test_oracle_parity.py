@@ -111,6 +111,8 @@ EXACT_QUERIES = {
     "ds_lm_buckets", "ds_lsh_recall_eval",
     # ego networks: strings + integer hops
     "kg_ego_networks",
+    # alias dictionary: strings + integer counts + bool
+    "kg_alias_dictionary",
 }
 
 
