@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ds_bm25_topk",
     "ds_bigram_lm_score",
     "ds_substring_dedup",
+    "ds_lm_buckets",
 ]
 
 

@@ -3631,3 +3631,122 @@ def kg_alias_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("text") == F.col("canonical_text")).alias("is_canonical"),
         )
     )
+
+
+def _fertility_oracle() -> str:
+    enc = ORACLE_REGISTRY["ds_bpe_encode"]
+    return f"""
+    WITH enc AS ({enc})
+    SELECT d.lang,
+           SUM(enc.n_words)::BIGINT  AS n_words,
+           SUM(enc.n_tokens)::BIGINT AS n_tokens,
+           (1000000 * SUM(enc.n_tokens)) // SUM(enc.n_words) AS fert_micro
+    FROM enc JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
+
+
+@_register("ds_tokenizer_fertility", oracle=_fertility_oracle)
+def ds_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (tokens emitted per word) under
+    the frozen BPE merge list — the fairness metric multilingual
+    pretraining audits before committing a vocabulary (a language with
+    2x fertility pays 2x context window).  Rides ds_bpe_encode unchanged;
+    one lang-keyed map-combined agg; the ratio stays integer
+    (micro-fertility via BIGINT floor division)."""
+    from .operators.bpe import BPE_FIXED_MERGES, bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, BPE_FIXED_MERGES)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "lang", "n_words", "n_tokens",
+            F.expr("(1000000 * n_tokens) div n_words").alias("fert_micro"),
+        )
+    )
+
+
+def _dup_stats_oracle() -> str:
+    from .operators.dedup import simhash_clusters_sql
+    from .operators.mention_sql import minhash_dedup_oracle_sql
+    from .operators.similarity import semantic_dedup_sql
+
+    return f"""
+    SELECT 'exact' AS family, n AS n_members, COUNT(*)::BIGINT AS n_clusters
+    FROM (SELECT COUNT(*)::BIGINT AS n FROM documents GROUP BY text)
+    GROUP BY n
+    UNION ALL
+    SELECT 'minhash', n, COUNT(*)::BIGINT FROM (
+      SELECT COUNT(*)::BIGINT AS n
+      FROM ({minhash_dedup_oracle_sql(threshold=0.6)})
+      GROUP BY component)
+    GROUP BY n
+    UNION ALL
+    SELECT 'simhash', n_members, COUNT(*)::BIGINT FROM (
+      SELECT DISTINCT cluster_id, n_members
+      FROM ({simhash_clusters_sql()}))
+    GROUP BY n_members
+    UNION ALL
+    SELECT 'semantic', n_members, COUNT(*)::BIGINT FROM (
+      SELECT DISTINCT cluster_id, n_members
+      FROM ({semantic_dedup_sql()}))
+    GROUP BY n_members
+    """
+
+
+@_register("ds_dup_cluster_stats", oracle=_dup_stats_oracle)
+def ds_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup report card: cluster-size histograms of all four
+    duplicate-group families (exact text, MinHash/LSH text, SimHash text,
+    semantic embedding) in one frame — what a corpus drop's duplication
+    profile looks like before choosing a keep policy.  Each branch is the
+    already-audited operator reduced to its (cluster, size) skeleton; the
+    histograms are tiny key-local aggs; the union is plan-parallel (the
+    four stacks share no shuffle)."""
+    from .operators.dedup import (
+        exact_dedup,
+        minhash_lsh_dedup,
+        simhash_clusters,
+    )
+    from .operators.similarity import semantic_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = (
+        exact_dedup(docs)
+        .select("canonical_doc_id", F.col("group_size").alias("n_members"))
+        .distinct()
+        .groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.lit("exact").alias("family"), "n_members", "n_clusters")
+    )
+    mh = (
+        minhash_lsh_dedup(docs, threshold=0.6)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.lit("minhash").alias("family"), "n_members", "n_clusters")
+    )
+    sh = (
+        simhash_clusters(docs)
+        .select("cluster_id", "n_members")
+        .distinct()
+        .groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.lit("simhash").alias("family"), "n_members", "n_clusters")
+    )
+    se = (
+        semantic_dedup(_t(spark, sf_dir, "embeddings"))
+        .select("cluster_id", "n_members")
+        .distinct()
+        .groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.lit("semantic").alias("family"), "n_members", "n_clusters")
+    )
+    return ex.unionByName(mh).unionByName(sh).unionByName(se)

@@ -113,6 +113,8 @@ EXACT_QUERIES = {
     "kg_ego_networks",
     # alias dictionary: strings + integer counts + bool
     "kg_alias_dictionary",
+    # fertility (BIGINT floor division) / dedup report card: all integer
+    "ds_tokenizer_fertility", "ds_dup_cluster_stats",
 }
 
 
