@@ -3750,3 +3750,54 @@ def ds_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("semantic").alias("family"), "n_members", "n_clusters")
     )
     return ex.unionByName(mh).unionByName(sh).unionByName(se)
+
+
+def _temperature_oracle() -> str:
+    from .operators.sampling import temperature_mixture_sql
+
+    return temperature_mixture_sql()
+
+
+@_register("ds_temperature_mixture", oracle=_temperature_oracle)
+def ds_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature-scaled data mixing (alpha = 0.5): stratum
+    shares proportional to sqrt(n), BIGINT floor allocation of a fixed
+    budget, deterministic md5 rank selection with the constant-budget
+    WindowGroupLimit heap below the exchange
+    (operators/sampling.py::temperature_mixture)."""
+    from .operators.sampling import temperature_mixture
+
+    return temperature_mixture(_t(spark, sf_dir, "documents"))
+
+
+def _degree_dist_oracle() -> str:
+    from .operators.graph_sql import edges_prelude
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return edges_prelude(mentions_oracle_sql(CORPUS_SQL)) + """
+    SELECT degree, COUNT(*)::BIGINT AS n_nodes FROM (
+      SELECT src, COUNT(*)::BIGINT AS degree FROM bidir GROUP BY src)
+    GROUP BY degree
+    """
+
+
+@_register("kg_degree_distribution", oracle=_degree_dist_oracle)
+def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the entity co-occurrence graph — the
+    one-glance skew check (a heavy-tailed degree curve is what turns the
+    downstream wedge/frontier joins quadratic, so this report is the
+    go/no-go before the graph family runs at a new scale).  Two map-side
+    combinable count aggs over the doubled adjacency; output is bounded
+    by the number of DISTINCT degrees."""
+    from .operators.communities import entity_edges
+
+    edges = entity_edges(
+        detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    )
+    bidir = edges.select(F.col("ent_a").alias("src")).unionByName(
+        edges.select(F.col("ent_b").alias("src"))
+    )
+    return (
+        bidir.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

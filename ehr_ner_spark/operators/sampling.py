@@ -321,3 +321,97 @@ def crossval_split_sql(
       SELECT {id_col} AS doc_id, {stratum_col} AS stratum, {key} AS bucket
       FROM {table})
     """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (mT5-style alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET = 100
+MIX_SALT = "mix"
+
+
+def temperature_mixture(
+    docs_in: DataFrame,
+    budget: int = MIX_BUDGET,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = MIX_SALT,
+) -> DataFrame:
+    """Temperature-scaled data mixing (the mT5/XLM-R alpha = 0.5 recipe):
+    each stratum's share of a fixed document budget is proportional to
+    ``sqrt(n_stratum)`` rather than ``n_stratum``, up-weighting tail
+    languages that proportional sampling starves.
+
+    Weights stay cross-engine exact: IEEE-754 requires sqrt to be
+    correctly rounded, and ``floor(sqrt(BIGINT))`` of a < 2^53 count is
+    therefore identical in any engine; quotas are BIGINT floor allocations
+    ``(budget * w) div sum_w`` (the documented bias: floor allocation can
+    undershoot the budget by < n_strata rows, never overshoot).  Row
+    selection reuses the quota_sample shape — rank by the deterministic
+    md5 sample key, constant-budget rank filter FIRST so WindowGroupLimit
+    installs map-side heaps, then the per-stratum quota join (computed,
+    so a when-chain can't express it).  Output: (doc_id, stratum, rnk,
+    quota)."""
+    counts = fan_out(docs_in).groupBy(
+        F.col(stratum_col).alias("stratum")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = counts.select(
+        "stratum", F.floor(F.sqrt(F.col("n"))).cast("long").alias("w")
+    )
+    tot = w.agg(F.sum("w").alias("sum_w"))
+    quotas = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.expr(f"({budget} * w) div sum_w").alias("quota"),
+        )
+    )
+    base = fan_out(docs_in).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        sample_key(F.col(id_col), salt).alias("sample_key"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("stratum").orderBy("sample_key", "doc_id")
+    )
+    return (
+        base.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= F.lit(budget))  # constant cap -> group limit
+        .join(F.broadcast(quotas), "stratum")
+        .where(F.col("rnk") <= F.col("quota"))
+        .select("doc_id", "stratum", F.col("rnk").cast("long").alias("rnk"),
+                "quota")
+    )
+
+
+def temperature_mixture_sql(
+    budget: int = MIX_BUDGET,
+    table: str = "documents",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = MIX_SALT,
+) -> str:
+    """DuckDB twin of :func:`temperature_mixture` (identical weights,
+    floor allocation, rank order)."""
+    key = (
+        f"('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {SAMPLE_MOD}"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT {stratum_col} AS stratum, COUNT(*)::BIGINT AS n
+      FROM {table} GROUP BY 1),
+    w AS (SELECT stratum, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w FROM counts),
+    quotas AS (
+      SELECT stratum, ({budget} * w) // (SELECT SUM(w) FROM w) AS quota
+      FROM w),
+    ranked AS (
+      SELECT {id_col} AS doc_id, {stratum_col} AS stratum,
+             ROW_NUMBER() OVER (PARTITION BY {stratum_col}
+                                ORDER BY {key}, {id_col}) AS rnk
+      FROM {table})
+    SELECT r.doc_id, r.stratum, r.rnk, q.quota
+    FROM ranked r JOIN quotas q USING (stratum)
+    WHERE r.rnk <= q.quota
+    """

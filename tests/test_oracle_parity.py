@@ -115,6 +115,8 @@ EXACT_QUERIES = {
     "kg_alias_dictionary",
     # fertility (BIGINT floor division) / dedup report card: all integer
     "ds_tokenizer_fertility", "ds_dup_cluster_stats",
+    # temperature mixture (IEEE-exact sqrt floor) / degree histogram
+    "ds_temperature_mixture", "kg_degree_distribution",
 }
 
 

@@ -142,3 +142,28 @@ def test_crossval_split_is_map_only(spark, sf_dir):
     plan = _plan(crossval_split(docs))
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mixture_allocation(spark, sf_dir):
+    import math
+
+    from ehr_ner_spark.operators.sampling import temperature_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = temperature_mixture(docs, budget=60).collect()
+    counts = {r.lang: c for r, c in (
+        (r, r["count"]) for r in docs.groupBy("lang").count().collect())}
+    w = {s: math.isqrt(n) for s, n in counts.items()}
+    sum_w = sum(w.values())
+    expect_quota = {s: (60 * ws) // sum_w for s, ws in w.items()}
+    got = {}
+    for r in rows:
+        got.setdefault(r.stratum, []).append(r)
+        assert r.quota == expect_quota[r.stratum]
+    # exactly quota rows per stratum, never over budget in total
+    for s, members in got.items():
+        assert len(members) == expect_quota[s]
+    assert len(rows) <= 60
+    # temperature flattens: the share of the largest stratum shrinks
+    big = max(counts, key=counts.get)
+    assert expect_quota[big] / 60 < counts[big] / sum(counts.values()) + 1e-9
