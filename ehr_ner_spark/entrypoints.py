@@ -3801,3 +3801,82 @@ def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         bidir.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         .groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+def _lang_confusion_oracle() -> str:
+    from .operators.textops import lang_id_sql
+
+    return f"""
+    WITH pred AS ({lang_id_sql()})
+    SELECT d.lang AS lang_true, p.lang_pred,
+           COUNT(*)::BIGINT AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@_register("ds_lang_confusion", oracle=_lang_confusion_oracle)
+def ds_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID audit: the confusion matrix of the lang_id classifier
+    against the source-declared language — the drift monitor a crawl
+    pipeline reads before trusting per-language routing downstream.
+    Classifier and truth join 1:1 on doc_id; the matrix is one map-side
+    combinable count agg, output bounded by |langs|^2."""
+    from .operators.textops import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred.select("doc_id", "lang_pred"), "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _minhash_est_oracle() -> str:
+    from .operators.dedup import minhash_pairs_sql, minhash_sig_sql
+
+    sig = minhash_sig_sql() + "SELECT doc_id, perm, minhash FROM sig"
+    return f"""
+    SELECT p.src, p.dst, COUNT(sa.perm)::BIGINT AS est_16
+    FROM ({minhash_pairs_sql(threshold=_MINHASH_PAIRS_THRESHOLD)}) p
+    JOIN ({sig}) sa ON sa.doc_id = p.src
+    JOIN ({sig}) sb ON sb.doc_id = p.dst
+      AND sb.perm = sa.perm AND sb.minhash = sa.minhash
+    GROUP BY p.src, p.dst
+    """
+
+
+@_register("ds_minhash_estimate", oracle=_minhash_est_oracle)
+def ds_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-bias audit of the MinHash kernel: for every verified
+    near-dup pair, the number of agreeing permutations out of 16 — the
+    signature's own Jaccard estimate (est_16/16) next to the exact verify
+    the pipeline already computed.  Companion to ds_lsh_recall_eval: that
+    one measures banding recall, this one measures signature fidelity.
+    The signature frame joins twice on doc_id (n_docs x 16 longs — tiny
+    vs the corpus); the agree-count is one map-combinable agg."""
+    from .cache import tracked_persist as _persist
+    from .operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=_MINHASH_PAIRS_THRESHOLD
+    ).select("src", "dst")
+    sig = _persist(minhash_signatures(docs))
+    sa = sig.select(
+        F.col("doc_id").alias("src"), "perm",
+        F.col("minhash").alias("mh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("dst"), "perm",
+        F.col("minhash").alias("mh_b"),
+    )
+    return (
+        pairs.join(sa, "src")
+        .join(sb, ["dst", "perm"])
+        .where(F.col("mh_a") == F.col("mh_b"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("est_16"))
+    )

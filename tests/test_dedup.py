@@ -192,3 +192,13 @@ def test_lsh_recall_eval_semantics(spark, sf_dir):
     keys = [(r.src, r.dst) for r in out]
     assert len(keys) == len(set(keys))
     assert all(s < d for s, d in keys)
+
+
+def test_minhash_estimate_bounds_and_band_floor(spark, sf_dir):
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    rows = QUERIES_REGISTRY["ds_minhash_estimate"](spark, sf_dir).collect()
+    assert rows, "no verified pairs in the fixture"
+    for r in rows:
+        # a banded candidate shares at least one full band (4 perms)
+        assert 4 <= r.est_16 <= 16

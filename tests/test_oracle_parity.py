@@ -117,6 +117,8 @@ EXACT_QUERIES = {
     "ds_tokenizer_fertility", "ds_dup_cluster_stats",
     # temperature mixture (IEEE-exact sqrt floor) / degree histogram
     "ds_temperature_mixture", "kg_degree_distribution",
+    # lang-ID confusion matrix / minhash agree-count audit: all integer
+    "ds_lang_confusion", "ds_minhash_estimate",
 }
 
 
