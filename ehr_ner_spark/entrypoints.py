@@ -3880,3 +3880,40 @@ def ds_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("est_16"))
     )
+
+
+def _confident_triples_oracle() -> str:
+    from .operators.crf_confidence_sql import crf_confidence_oracle_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return f"""
+    WITH m AS ({mentions_oracle_sql(CORPUS_SQL)}),
+    conf AS ({crf_confidence_oracle_sql(CORPUS_SQL, max_seq_length=128)})
+    SELECT 'doc:' || CAST(m.doc_id AS VARCHAR) AS subj,
+           'hasEntityType:' || m.type          AS pred,
+           m.text                              AS obj,
+           c.confidence
+    FROM m JOIN conf c ON c.doc_id = m.doc_id AND c.type = m.type
+    """
+
+
+@_register("kg_confident_triples", oracle=_confident_triples_oracle)
+def kg_confident_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-weighted triples: every emitted (subj, pred, obj) carries
+    the CRF path confidence of its (doc, query) decode — the trust score a
+    downstream KG consumer thresholds on before accepting an edge (the
+    reference computes exactly this score and comments it out;
+    bert_qasl_predictor.py:68).  Two already-audited stacks joined 1:N on
+    the (doc_id, type) key; no new corpus pass."""
+    from .operators.crf_confidence import crf_confidence
+
+    c = corpus(spark, sf_dir)
+    t = mentions_as_triples(detect_mentions(c, num_partitions=8)).select(
+        "subj", "pred", "obj", "doc_id", "type"
+    )
+    conf = crf_confidence(c, num_partitions=8, max_seq_length=128).select(
+        "doc_id", "type", "confidence"
+    )
+    return t.join(conf, ["doc_id", "type"]).select(
+        "subj", "pred", "obj", "confidence"
+    )
