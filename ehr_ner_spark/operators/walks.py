@@ -184,10 +184,16 @@ def ego_networks(edges: DataFrame, mod: int = EGO_MOD) -> DataFrame:
     from ..cache import tracked_persist
     from ..hashing import md5_60_expr
 
-    bidir = edges.select(
-        F.col("ent_a").alias("src"), F.col("ent_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("ent_b").alias("src"), F.col("ent_a").alias("dst"))
+    # bidir feeds the hop-1 seed filter AND the hop-2 expansion join —
+    # persist the (tiny, distinct-edge-sized) adjacency or everything
+    # upstream of `edges` (for the registered query: the whole scorer
+    # pipeline) executes once per consumer
+    bidir = tracked_persist(
+        edges.select(
+            F.col("ent_a").alias("src"), F.col("ent_b").alias("dst")
+        ).unionByName(
+            edges.select(F.col("ent_b").alias("src"), F.col("ent_a").alias("dst"))
+        )
     )
     is_seed = (
         F.pmod(md5_60_expr(F.concat(F.lit("ego:"), F.col("src"))), F.lit(mod))
