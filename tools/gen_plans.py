@@ -1,0 +1,37 @@
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import __spark_entry__ as se
+
+SF = "/root/testdata/sf0.01"
+PICK = ["kg_mentions", "kg_canonical_triples", "ds_minhash_lsh_pairs",
+        "ds_ngram_jaccard", "ds_bm25_topk", "rel_partitioned_scan",
+        "ds_lm_buckets", "kg_ego_networks"]
+BLURB = {
+    "kg_mentions": "Flagship battery detect: ONE explicit doc-hash Exchange, ONE Arrow scorer stage, content pruned before the mention stream.",
+    "kg_canonical_triples": "Whole north-rule pipeline: detect -> LSH linking -> CC -> election -> triples.",
+    "ds_minhash_lsh_pairs": "MinHash LSH: map-side partial-min signature agg, band equi-join, candidate-restricted verify over the persisted shingle frame.",
+    "ds_ngram_jaccard": "Exact n-gram Jaccard with the hot-shingle DF cap as a broadcast anti-join BEFORE the self-join.",
+    "ds_bm25_topk": "BM25: broadcast battery, candidate restriction before any score shuffle, per-query top-k as a partial WindowGroupLimit heap.",
+    "rel_partitioned_scan": "Day-partitioned layout: the single-day predicate resolves in PartitionFilters — non-matching days never open.",
+    "ds_lm_buckets": "CCNet buckets: bigram-LM stack persisted (one corpus pass), histogram cuts broadcast back.",
+    "kg_ego_networks": "2-hop ego nets: persisted doubled adjacency, one frontier equi-join, seed-keyed anti-join dedup.",
+}
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "32").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+qs = se.queries()
+out = ["# PLANS — formatted physical plans of headline queries (sf0.01)",
+       "",
+       "Regenerate with `python tools/gen_plans.py` (any sf dir). These are",
+       "the plans the plan-shape tests in `tests/test_plans.py` pin; the",
+       "narrative scale audit lives in BENCH/BASELINE.md and COVERAGE.md.",
+       ""]
+for name in PICK:
+    df = qs[name](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    out += [f"## {name}", "", BLURB[name], "", "```", plan.rstrip(), "```", ""]
+open("/root/repo/PLANS.md", "w").write("\n".join(out))
+print("WROTE", sum(len(x) for x in out))
+spark.stop()
