@@ -3917,3 +3917,88 @@ def kg_confident_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.join(conf, ["doc_id", "type"]).select(
         "subj", "pred", "obj", "confidence"
     )
+
+
+@_register(
+    "ds_keep_policy",
+    oracle="""
+    WITH g AS (
+      SELECT text, MIN(doc_id) AS group_id, COUNT(*)::BIGINT AS group_size
+      FROM documents GROUP BY text),
+    member AS (
+      SELECT d.doc_id, d.n_chars, g.group_id, g.group_size
+      FROM documents d JOIN g ON d.text = g.text),
+    win AS (
+      SELECT group_id,
+             MAX(n_chars * 10000000000 - doc_id) AS wkey
+      FROM member GROUP BY group_id)
+    SELECT m.doc_id, m.group_id, m.group_size,
+           (m.n_chars * 10000000000 - m.doc_id = w.wkey) AS keep
+    FROM member m JOIN win w USING (group_id)
+    """,
+)
+def ds_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keep policy (the C4 'keep the longest' rule):
+    within each exact-duplicate group the longest document survives,
+    doc_id breaking ties — unlike min-id keep, the survivor is the best
+    artifact, not an arbitrary one.  The winner is a COMBINABLE integer
+    MAX over the packed (n_chars, -doc_id) key — map-side reducible, no
+    per-group window or sort anywhere; the winner key broadcasts back via
+    a group-keyed 1:1 join.  (Packing is safe: doc_id < 1e10 by the
+    synthesizer's contract, so the key orders by length first, then by
+    smaller id.)"""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    g = d.groupBy("text").agg(
+        F.min("doc_id").alias("group_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    member = d.join(g, "text").select(
+        "doc_id", "n_chars", "group_id", "group_size"
+    )
+    wkey = (F.col("n_chars") * F.lit(10000000000) - F.col("doc_id"))
+    win = member.groupBy("group_id").agg(F.max(wkey).alias("wkey"))
+    return member.join(win, "group_id").select(
+        "doc_id", "group_id", "group_size",
+        (wkey == F.col("wkey")).alias("keep"),
+    )
+
+
+N_SHARDS = 16
+
+
+@_register(
+    "ds_shard_manifest",
+    oracle=f"""
+    SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % {N_SHARDS}                  AS shard,
+           COUNT(*)::BIGINT                         AS n_docs,
+           SUM(n_chars)::BIGINT                     AS sum_chars,
+           SUM(doc_id)::BIGINT                      AS id_checksum,
+           MIN(doc_id)                              AS min_doc_id,
+           MAX(doc_id)                              AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def ds_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export manifest: documents hash-assigned to 16
+    shards by the md5 discipline, with per-shard row counts, byte mass
+    and id checksums — what a resumable distributed writer records before
+    and verifies after an export (the same evidence contract as the
+    icetable snapshot layer, expressed as a query).  One map-combinable
+    agg; shard assignment is a pure row function, so the manifest is
+    identical at any parallelism."""
+    from .hashing import md5_60_expr
+
+    d = _t(spark, sf_dir, "documents")
+    shard = F.pmod(
+        md5_60_expr(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        F.lit(N_SHARDS),
+    )
+    return d.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

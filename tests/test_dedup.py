@@ -202,3 +202,23 @@ def test_minhash_estimate_bounds_and_band_floor(spark, sf_dir):
     for r in rows:
         # a banded candidate shares at least one full band (4 perms)
         assert 4 <= r.est_16 <= 16
+
+
+def test_keep_policy_longest_wins(spark, sf_dir):
+    from ehr_ner_spark.entrypoints import QUERIES_REGISTRY
+
+    rows = QUERIES_REGISTRY["ds_keep_policy"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars").collect()
+    }
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    for gid, members in by_group.items():
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1
+        best = max(members, key=lambda m: (docs[m.doc_id], -m.doc_id))
+        assert keeps[0].doc_id == best.doc_id
+        assert all(m.group_size == len(members) for m in members)

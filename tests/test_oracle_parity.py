@@ -119,6 +119,8 @@ EXACT_QUERIES = {
     "ds_temperature_mixture", "kg_degree_distribution",
     # lang-ID confusion matrix / minhash agree-count audit: all integer
     "ds_lang_confusion", "ds_minhash_estimate",
+    # keep policy (packed integer max) / shard manifest: all integer
+    "ds_keep_policy", "ds_shard_manifest",
 }
 
 
