@@ -13,6 +13,7 @@ order is engine-dependent; everything integer-derived matches bit-for-bit.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2861,6 +2862,83 @@ def kg_ensemble_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _agreement_oracle() -> str:
+    from .operators.matrix_sql import agreement_oracle_sql
+
+    return agreement_oracle_sql(CORPUS_SQL, max_seq_length=128)
+
+
+@_register("kg_model_agreement", oracle=_agreement_oracle)
+def kg_model_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise inter-model agreement matrix: every unordered pair of the
+    four model families scored with exact-span intersection size and
+    integer micro-Jaccard — the annotator-agreement / ensemble-diversity
+    audit (kg_model_matrix scores each model against an answer set; this
+    scores the models against EACH OTHER, which is what tells you whether
+    a majority vote adds information or just replays one model thrice).
+    Each span set is tagged and unioned once; the pairwise intersection
+    is ONE equi-join on the exact span key (never a cross join — the key
+    carries all five span columns), and the 4x4 scaffold is a broadcast
+    of the 4-row sizes frame against itself, so nothing here scales with
+    the corpus except the already-audited detect pipelines."""
+    from .operators.crf_detect import detect_mentions_crf
+    from .operators.sl_detect import detect_mentions_sl, detect_mentions_sl_crf
+
+    c = corpus(spark, sf_dir)
+    kw = dict(num_partitions=8, max_seq_length=128)
+    families = [
+        ("bert_sl", detect_mentions_sl(c, **kw)),
+        ("bertbilstmcrf_sl", detect_mentions_sl_crf(c, **kw)),
+        ("bert_qasl", detect_mentions(c, **kw)),
+        ("bertbilstmcrf_qasl", detect_mentions_crf(c, **kw)),
+    ]
+    key = ["pid", "type", "start_pos", "end_pos", "text"]
+
+    def spans(name: str, df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("type") != "DIN")
+            .withColumnRenamed("doc_id", "pid")
+            .select(*key)
+            .distinct()
+            .withColumn("model", F.lit(name))
+        )
+
+    from .cache import tracked_persist
+
+    u = tracked_persist(
+        reduce(
+            lambda x, y: x.unionByName(y),
+            [spans(name, df) for name, df in families],
+        )
+    )
+    sizes = u.groupBy("model").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        u.alias("a")
+        .join(u.alias("b"), key)
+        .where(F.col("a.model") < F.col("b.model"))
+        .groupBy(
+            F.col("a.model").alias("model_a"),
+            F.col("b.model").alias("model_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("model").alias("model_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("model").alias("model_b"), F.col("n").alias("n_b"))
+    scaffold = F.broadcast(sa).crossJoin(F.broadcast(sb)).where(
+        F.col("model_a") < F.col("model_b")
+    )
+    return (
+        scaffold.join(F.broadcast(inter), ["model_a", "model_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .select(
+            "model_a", "model_b", "n_a", "n_b", "n_inter",
+            F.expr(
+                "(1000000 * n_inter) div (n_a + n_b - n_inter)"
+            ).alias("jaccard_micro"),
+        )
+    )
+
+
 _BUCKETED_WAREHOUSE = "/tmp/ehr_ner_spark_bucketed"
 
 
@@ -3081,6 +3159,60 @@ def rel_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_10m"),
         F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cents_10m"),
+    )
+
+
+@_register(
+    "rel_event_deltas",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events)
+    SELECT user_id,
+           COUNT(*)::BIGINT                          AS n_events,
+           COUNT(prev_us)::BIGINT                    AS n_gaps,
+           MIN(us - prev_us)                         AS min_gap_us,
+           MAX(us - prev_us)                         AS max_gap_us,
+           MAX(us) - MIN(us)                         AS span_us,
+           COALESCE(SUM(us - prev_us) // NULLIF(COUNT(prev_us), 0), 0)
+                                                     AS mean_gap_us
+    FROM seq GROUP BY user_id
+    """,
+)
+def rel_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile via LAG: gap count, min/max/mean gap
+    and total activity span in integer microseconds — the sessionization
+    precursor and bot-detection feature every event pipeline computes.
+    ONE user-keyed exchange feeds both the LAG window and the final
+    aggregate (key-local sort, never global); ties on ts are broken by
+    event_id so the delta sequence is deterministic on both engines, and
+    all arithmetic is integer epoch-micros (timezone-free timestampdiff —
+    ts is TIMESTAMP_NTZ)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        micros.alias("us"),
+        F.lag(micros).over(w).alias("prev_us"),
+    )
+    gap = F.col("us") - F.col("prev_us")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("prev_us").alias("n_gaps"),
+        F.min(gap).alias("min_gap_us"),
+        F.max(gap).alias("max_gap_us"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+        F.coalesce(
+            F.expr("sum(us - prev_us) div nullif(count(prev_us), 0)"),
+            F.lit(0),
+        ).alias("mean_gap_us"),
     )
 
 
@@ -3800,6 +3932,31 @@ def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bidir.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         .groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def _adjacency_csr_oracle() -> str:
+    from .operators.csr import adjacency_csr_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return adjacency_csr_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_adjacency_csr", oracle=_adjacency_csr_oracle)
+def kg_adjacency_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR export of the entity co-occurrence graph: per node its degree,
+    sorted neighbor array, and the exclusive global prefix sum of degrees
+    (the CSR row-pointer a graph store / GNN loader ingests).  The prefix
+    sum uses the two-level distributed decomposition — range-partitioned
+    local running totals plus a partition-count-sized base window — so NO
+    global single-task window ever touches a data-sized frame; offsets
+    are a pure function of the data at any parallelism
+    (operators/csr.py)."""
+    from .operators.communities import entity_edges
+    from .operators.csr import adjacency_csr
+
+    return adjacency_csr(
+        entity_edges(detect_mentions(corpus(spark, sf_dir), num_partitions=8))
     )
 
 

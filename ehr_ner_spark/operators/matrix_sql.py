@@ -111,3 +111,48 @@ def ensemble_oracle_sql(corpus_sql: str, max_seq_length: int = 128,
     GROUP BY pid, type, start_pos, end_pos, text
     HAVING COUNT(*) >= {min_votes}
     """
+
+
+def agreement_oracle_sql(corpus_sql: str, max_seq_length: int = 128) -> str:
+    """DuckDB twin of the pairwise inter-model agreement matrix: the same
+    four DISTINCT span sets as the comparison matrix, every unordered model
+    pair scored with exact-span intersection size and integer micro-Jaccard
+    ((1e6 * |A inter B|) // |A union B|) — the annotator-agreement view of
+    the model zoo (evaluate.py compares each model to answers; this compares
+    the models to EACH OTHER, the ensemble-diversity audit)."""
+    models = {
+        "bert_sl": sl_mentions_oracle_sql(corpus_sql, max_seq_length),
+        "bertbilstmcrf_sl": sl_crf_oracle_sql(corpus_sql, max_seq_length),
+        "bert_qasl": mentions_oracle_sql(corpus_sql, max_seq_length),
+        "bertbilstmcrf_qasl": mentions_crf_oracle_sql(corpus_sql, max_seq_length),
+    }
+    sets = ",\n".join(
+        f"""m_{name} AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS pid, type, start_pos, end_pos, text
+      FROM ({sql})
+      WHERE type <> 'DIN')"""
+        for name, sql in models.items()
+    )
+    union = "\n      UNION ALL ".join(
+        f"SELECT '{name}' AS model, {SPAN_COLS} FROM m_{name}" for name in models
+    )
+    return f"""
+    WITH RECURSIVE
+    {sets},
+    u AS MATERIALIZED ({union}),
+    sizes AS (SELECT model, COUNT(*)::BIGINT AS n FROM u GROUP BY model),
+    inter AS (
+      SELECT a.model AS model_a, b.model AS model_b, COUNT(*)::BIGINT AS n_inter
+      FROM u a JOIN u b
+        ON a.pid = b.pid AND a.type = b.type
+       AND a.start_pos = b.start_pos AND a.end_pos = b.end_pos
+       AND a.text = b.text AND a.model < b.model
+      GROUP BY 1, 2)
+    SELECT sa.model AS model_a, sb.model AS model_b,
+           sa.n AS n_a, sb.n AS n_b,
+           COALESCE(i.n_inter, 0)::BIGINT AS n_inter,
+           ((1000000 * COALESCE(i.n_inter, 0))
+              // (sa.n + sb.n - COALESCE(i.n_inter, 0))) AS jaccard_micro
+    FROM sizes sa JOIN sizes sb ON sa.model < sb.model
+    LEFT JOIN inter i ON i.model_a = sa.model AND i.model_b = sb.model
+    """

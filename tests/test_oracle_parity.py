@@ -121,6 +121,9 @@ EXACT_QUERIES = {
     "ds_lang_confusion", "ds_minhash_estimate",
     # keep policy (packed integer max) / shard manifest: all integer
     "ds_keep_policy", "ds_shard_manifest",
+    # inter-model agreement (integer micro-Jaccard) / CSR export (integer
+    # offsets + sorted string arrays) / event deltas (integer epoch-micros)
+    "kg_model_agreement", "kg_adjacency_csr", "rel_event_deltas",
 }
 
 
