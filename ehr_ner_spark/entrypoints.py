@@ -3960,6 +3960,150 @@ def kg_adjacency_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ds_dataset_card",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*)::BIGINT AS total_docs FROM documents)
+    SELECT source, lang,
+           COUNT(*)::BIGINT                          AS n_docs,
+           SUM(n_chars)::BIGINT                      AS sum_chars,
+           SUM(n_chars)::BIGINT // COUNT(*)          AS mean_chars,
+           (10000 * COUNT(*)::BIGINT) // MAX(tot.total_docs) AS share_bp
+    FROM documents, tot
+    GROUP BY source, lang
+    """,
+)
+def ds_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-(source, language) composition table every
+    corpus release ships — document counts, byte mass, mean length and
+    corpus share in integer basis points.  One map-combinable agg plus a
+    broadcast of the single-row total; output bounded by |sources|x|langs|,
+    so the report is identical at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    tot = d.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "lang", "n_docs", "sum_chars",
+            F.expr("sum_chars div n_docs").alias("mean_chars"),
+            F.expr("(10000 * n_docs) div total_docs").alias("share_bp"),
+        )
+    )
+
+
+def _graph_summary_oracle() -> str:
+    from .operators.graph_sql import edges_prelude
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return edges_prelude(mentions_oracle_sql(CORPUS_SQL)) + """,
+    deg AS (SELECT src, COUNT(*)::BIGINT AS degree FROM bidir GROUP BY src)
+    SELECT
+      (SELECT COUNT(DISTINCT text) FROM mentions)::BIGINT AS n_entities,
+      (SELECT COUNT(*) FROM deg)::BIGINT                  AS n_connected,
+      (SELECT COUNT(*) FROM ed)::BIGINT                   AS n_edges,
+      (SELECT MAX(degree) FROM deg)                       AS max_degree,
+      (SELECT (1000000 * SUM(degree)) // COUNT(*) FROM deg)
+                                                          AS avg_degree_micro
+    """
+
+
+@_register("kg_graph_summary", oracle=_graph_summary_oracle)
+def kg_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph card for the entity co-occurrence graph: entity and
+    connected-node counts, undirected edge count, max degree and mean
+    degree in integer micro units — the first thing an operator reads
+    before pointing the graph family at a new corpus (max_degree is the
+    wedge-join blow-up predictor; n_edges/n_connected sizes the CC and
+    LPA frontiers).  All branches are map-combinable aggregates over
+    frames the graph stack already builds; the four scalars meet in
+    broadcast cross-joins of one-row frames."""
+    from .operators.communities import entity_edges
+    from .cache import tracked_persist
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    m = tracked_persist(m.select("doc_id", "text").distinct())
+    edges = tracked_persist(entity_edges(m))
+    bidir = edges.select(F.col("ent_a").alias("src")).unionByName(
+        edges.select(F.col("ent_b").alias("src"))
+    )
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    n_entities = m.agg(
+        F.countDistinct("text").alias("n_entities")
+    )
+    deg_card = deg.agg(
+        F.count(F.lit(1)).alias("n_connected"),
+        F.max("degree").alias("max_degree"),
+        F.expr("(1000000 * sum(degree)) div count(*)").alias(
+            "avg_degree_micro"
+        ),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_entities.crossJoin(F.broadcast(deg_card))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_entities", "n_connected", "n_edges",
+            "max_degree", "avg_degree_micro",
+        )
+    )
+
+
+def _type_graph_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return f"""
+    WITH mentions AS ({mentions_oracle_sql(CORPUS_SQL)}),
+    ents AS (SELECT DISTINCT doc_id, type, text FROM mentions),
+    pairs AS (
+      SELECT DISTINCT a.type AS type_a, a.text AS text_a,
+                      b.type AS type_b, b.text AS text_b
+      FROM ents a JOIN ents b
+        ON a.doc_id = b.doc_id
+       AND (a.type < b.type OR (a.type = b.type AND a.text < b.text)))
+    SELECT type_a, type_b, COUNT(*)::BIGINT AS n_pairs
+    FROM pairs GROUP BY type_a, type_b
+    """
+
+
+@_register("kg_type_graph", oracle=_type_graph_oracle)
+def kg_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-induction view: the entity-type co-occurrence graph —
+    distinct cross-type entity pairs sharing a document, rolled up per
+    (type_a, type_b).  This is the KG-schema summary an ontology mapper
+    reads before writing relation extractors (which type pairs actually
+    co-occur, and how richly).  Same doc-keyed battery-bounded self-join
+    discipline as kg_span_conflicts; output bounded by |types|^2."""
+    from .cache import tracked_persist
+
+    ents = tracked_persist(
+        detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+        .select("doc_id", "type", "text")
+        .distinct()
+    )
+    a, b = ents.alias("a"), ents.alias("b")
+    order_ok = (F.col("a.type") < F.col("b.type")) | (
+        (F.col("a.type") == F.col("b.type")) & (F.col("a.text") < F.col("b.text"))
+    )
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & order_ok)
+        .select(
+            F.col("a.type").alias("type_a"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.type").alias("type_b"),
+            F.col("b.text").alias("text_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 def _lang_confusion_oracle() -> str:
     from .operators.textops import lang_id_sql
 

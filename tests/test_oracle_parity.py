@@ -124,6 +124,8 @@ EXACT_QUERIES = {
     # inter-model agreement (integer micro-Jaccard) / CSR export (integer
     # offsets + sorted string arrays) / event deltas (integer epoch-micros)
     "kg_model_agreement", "kg_adjacency_csr", "rel_event_deltas",
+    # dataset card / graph card / type graph: all integer + string
+    "ds_dataset_card", "kg_graph_summary", "kg_type_graph",
 }
 
 
