@@ -4104,6 +4104,161 @@ def kg_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entity_sources_oracle() -> str:
+    from .operators.mention_sql import _linking_ctes
+
+    base = _linking_ctes(CORPUS_SQL) + """,
+    mm AS (
+      SELECT COALESCE(c.canonical_text, m.text) AS canonical,
+             d.repo, m.doc_id
+      FROM m_spans m LEFT JOIN cmap c ON c.text = m.text
+      JOIN corpus d ON m.doc_id = d.doc_id),
+    per_src AS (
+      SELECT canonical, repo, COUNT(*)::BIGINT AS n
+      FROM mm GROUP BY 1, 2),
+    top AS (
+      SELECT canonical, repo AS top_source, n AS top_source_n FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical
+                                     ORDER BY n DESC, repo ASC) AS rk
+        FROM per_src) WHERE rk = 1),
+    card AS (
+      SELECT canonical, SUM(n)::BIGINT AS n_mentions,
+             COUNT(*)::BIGINT AS n_sources
+      FROM per_src GROUP BY canonical),
+    docs AS (
+      SELECT canonical, COUNT(*)::BIGINT AS n_docs
+      FROM (SELECT DISTINCT canonical, doc_id FROM mm) GROUP BY canonical)
+    SELECT c.canonical, c.n_mentions, d.n_docs, c.n_sources,
+           t.top_source, t.top_source_n
+    FROM card c JOIN docs d USING (canonical) JOIN top t USING (canonical)
+    """
+    return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
+
+
+@_register("kg_entity_sources", oracle=_entity_sources_oracle)
+def kg_entity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance profile per canonical entity: mention mass, distinct
+    documents, distinct sources, and the dominant source (count desc,
+    name asc — a COMBINABLE min(struct(-n, repo)) argmax, never a
+    data-sized window).  This is the trust table a KG consumer reads
+    before believing an edge: an entity attested by one repo is a
+    different animal from one attested by fifty.  Reuses the audited
+    linking stack; three key-local aggregates meet on the canonical
+    key."""
+    from .operators.linking import canonicalize
+    from .cache import tracked_persist
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    cmap = canonicalize(m).select("text", "canonical_text")
+    mm = tracked_persist(
+        m.select("text", "repo", "doc_id")
+        .join(cmap, "text", "left")
+        .select(
+            F.coalesce("canonical_text", "text").alias("canonical"),
+            "repo", "doc_id",
+        )
+    )
+    per_src = tracked_persist(
+        mm.groupBy("canonical", "repo").agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = per_src.groupBy("canonical").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("neg"), F.col("repo").alias("r"))
+        ).alias("t")
+    ).select(
+        "canonical",
+        F.col("t.r").alias("top_source"),
+        (-F.col("t.neg")).alias("top_source_n"),
+    )
+    card = per_src.groupBy("canonical").agg(
+        F.sum("n").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    docs = (
+        mm.select("canonical", "doc_id").distinct()
+        .groupBy("canonical").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        card.join(docs, "canonical").join(top, "canonical")
+        .select("canonical", "n_mentions", "n_docs", "n_sources",
+                "top_source", "top_source_n")
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+    WITH exact_tk AS ({ORACLE_REGISTRY["ds_cosine_topk"]}),
+    ivf_tk AS ({ORACLE_REGISTRY["ds_ivf_ann"]})
+    SELECT e.query_id, e.rank, e.vec_id,
+           (i.vec_id IS NOT NULL) AS caught
+    FROM exact_tk e LEFT JOIN ivf_tk i
+      ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    """
+
+
+@_register("ds_ivf_recall_eval", oracle=_ivf_recall_oracle)
+def ds_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall audit: every exact-cosine top-5 neighbor labeled
+    caught/missed by the nprobe=4 IVF path — the measured recall that
+    sizes (n_cells, nprobe) before an ANN index ships, completing the
+    audit family next to ds_lsh_recall_eval's MinHash-banding audit.
+    Both stacks are the already-audited operators; the verdict is ONE
+    (query_id, vec_id) equi-join."""
+    from .operators.similarity import brute_force_topk, ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    exact_tk = brute_force_topk(e, _ANN_QUERY_IDS, k=5).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id"
+    )
+    ivf_tk = (
+        ivf_ann_topk(e, _ANN_QUERY_IDS, k=5)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(True))
+    )
+    return exact_tk.join(ivf_tk, ["query_id", "vec_id"], "left").select(
+        "query_id", "rank", "vec_id",
+        F.coalesce("_hit", F.lit(False)).alias("caught"),
+    )
+
+
+@_register(
+    "rel_rolling_distinct",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    cand AS (
+      SELECT DISTINCT user_id, d + CAST(x.range AS INTEGER) AS wend
+      FROM ud, range(0, 7) x)
+    SELECT c.wend AS day, COUNT(*)::BIGINT AS users_7d
+    FROM cand c JOIN days ON c.wend = days.d
+    GROUP BY 1
+    """,
+)
+def rel_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per active day — the DAU/WAU surface.
+    Distinct-count over a sliding window has NO combinable aggregate, so
+    the scalable form is the replicate-to-windows decomposition: each
+    (user, day) fact fans out map-side to the <=7 window-ends it can
+    serve, one distinct, one count — all key-local shuffles, never a
+    per-day scan of trailing history.  Window-ends are restricted to
+    observed days so the report has no synthetic calendar rows."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    cand = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("off")).alias("day"))
+        .distinct()
+    )
+    return cand.join(days, "day").groupBy("day").agg(
+        F.count(F.lit(1)).alias("users_7d")
+    )
+
+
 def _lang_confusion_oracle() -> str:
     from .operators.textops import lang_id_sql
 

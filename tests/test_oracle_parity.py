@@ -126,6 +126,9 @@ EXACT_QUERIES = {
     "kg_model_agreement", "kg_adjacency_csr", "rel_event_deltas",
     # dataset card / graph card / type graph: all integer + string
     "ds_dataset_card", "kg_graph_summary", "kg_type_graph",
+    # entity provenance (ints + strings) / IVF recall (ints + bool) /
+    # rolling distinct (dates + ints)
+    "kg_entity_sources", "ds_ivf_recall_eval", "rel_rolling_distinct",
 }
 
 
