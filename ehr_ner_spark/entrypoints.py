@@ -4259,6 +4259,73 @@ def rel_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _blocking_stats_oracle() -> str:
+    from .operators.linking import PAIR_CAP
+    from .operators.mention_sql import _linking_ctes
+
+    base = _linking_ctes(CORPUS_SQL) + f"""
+    SELECT band::BIGINT AS band,
+           SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_singleton_buckets,
+           SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi_buckets,
+           MAX(n)::BIGINT AS max_bucket,
+           SUM(CASE WHEN n > {PAIR_CAP} THEN 1 ELSE 0 END)::BIGINT
+             AS n_capped,
+           SUM(CASE WHEN n <= 1 THEN 0
+                    WHEN n <= {PAIR_CAP} THEN (n * (n - 1)) // 2
+                    ELSE n - 1 END)::BIGINT AS pairs_emitted
+    FROM bsize GROUP BY 1
+    """
+    return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
+
+
+@_register("kg_blocking_stats", oracle=_blocking_stats_oracle)
+def kg_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH blocking audit for the linking stage: bucket-size
+    profile, the largest bucket (the verify-join fan-out predictor), how
+    many buckets tripped the PAIR_CAP chain-pair skew guard, and exactly
+    how many candidate pairs the guard admits — the driver-visible form
+    of the skew-guard evidence the stress runs log
+    (operators/linking.py::blocking_stats)."""
+    from .operators.linking import blocking_stats, surface_signatures
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return blocking_stats(surface_signatures(m))
+
+
+@_register(
+    "ds_normalize_text",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g'))                       AS norm_text,
+           length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')))::BIGINT              AS n_chars_norm
+    FROM documents
+    """,
+)
+def ds_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the stage every dedup/fingerprint
+    family assumes upstream): lowercase, non-alphanumerics to spaces,
+    whitespace collapsed, trimmed.  Pure JVM built-ins in one codegen
+    stage — a map-only op with zero shuffles at any scale; the regexes
+    use only character classes so Java and RE2 semantics agree."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "),
+            r" +", " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
 def _lang_confusion_oracle() -> str:
     from .operators.textops import lang_id_sql
 

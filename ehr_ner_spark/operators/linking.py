@@ -160,9 +160,11 @@ def surface_signatures(mentions: DataFrame) -> DataFrame:
     return surfaces.mapInPandas(add_sig, _SIG_SCHEMA)
 
 
-def candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH banding -> (band, band_hash) buckets -> skew-capped pair emission."""
-    bands = sigs.select(
+def band_frame(sigs: DataFrame) -> DataFrame:
+    """One row per (surface_id, band) with the band's identity string —
+    the shared blocking stage behind pair emission AND the blocking-stats
+    audit."""
+    return sigs.select(
         "surface_id",
         F.posexplode(
             F.array(
@@ -175,6 +177,37 @@ def candidate_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
+
+
+def blocking_stats(sigs: DataFrame) -> DataFrame:
+    """Per-band blocking audit: singleton/multi bucket counts, the largest
+    bucket, how many buckets tripped the PAIR_CAP chain-pair guard, and
+    exactly how many candidate pairs the guard lets through — the
+    operational go/no-go read BEFORE pointing the linker at a new corpus
+    (max_bucket predicts the verify-join fan-out; n_capped > 0 means the
+    skew guard is live, pairs_emitted is its O(n) bound doing its job).
+    Two key-local count aggregations; output is exactly LSH_BANDS rows."""
+    b = band_frame(sigs).groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pair_cases = F.expr(
+        f"CASE WHEN n <= 1 THEN 0 WHEN n <= {PAIR_CAP} "
+        f"THEN (n * (n - 1)) div 2 ELSE n - 1 END"
+    )
+    return b.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
+            "n_singleton_buckets"
+        ),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_multi_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(F.col("n") > PAIR_CAP, 1).otherwise(0)).alias("n_capped"),
+        F.sum(pair_cases).alias("pairs_emitted"),
+    )
+
+
+def candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banding -> (band, band_hash) buckets -> skew-capped pair emission."""
+    bands = band_frame(sigs)
     grouped = bands.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_set("surface_id")).alias("members")
     ).where(F.size("members") > 1)

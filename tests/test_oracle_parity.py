@@ -129,6 +129,8 @@ EXACT_QUERIES = {
     # entity provenance (ints + strings) / IVF recall (ints + bool) /
     # rolling distinct (dates + ints)
     "kg_entity_sources", "ds_ivf_recall_eval", "rel_rolling_distinct",
+    # blocking audit (all integer) / normalization (strings + ints)
+    "kg_blocking_stats", "ds_normalize_text",
 }
 
 
