@@ -4525,3 +4525,125 @@ def ds_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series / layout / data-quality / fuzzy-linking batch (session 9)
+# ---------------------------------------------------------------------------
+
+
+def _ohlc_oracle() -> str:
+    from .operators.timeseries import ohlc_bars_sql
+
+    return ohlc_bars_sql()
+
+
+@_register("rel_ohlc_bars", oracle=_ohlc_oracle)
+def rel_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling bars per event type — ONE map-side-
+    combined aggregation; open/close are min_by/max_by over a unique
+    zero-padded (micros, event_id) key so the pick is deterministic on
+    any partitioning; volume sums half-away-snapped integer micros
+    (order-independent BIGINT), divided once (operators/timeseries.py)."""
+    from .operators.timeseries import ohlc_bars
+
+    return ohlc_bars(_t(spark, sf_dir, "events"))
+
+
+def _markov_oracle() -> str:
+    from .operators.timeseries import markov_transitions_sql
+
+    return markov_transitions_sql()
+
+
+@_register("rel_markov_transitions", oracle=_markov_oracle)
+def rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over each user's
+    time-ordered sequence: a user-partitioned LEAD window (millions of
+    small partitions — the natural key, no global sort) into one
+    combinable count per (from, to) cell; output is |types|^2 rows at
+    any input scale (operators/timeseries.py)."""
+    from .operators.timeseries import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+def _anomaly_oracle() -> str:
+    from .operators.timeseries import anomaly_zscore_sql
+
+    return anomaly_zscore_sql()
+
+
+@_register("ds_anomaly_zscore", oracle=_anomaly_oracle)
+def ds_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags per event type: z-scores of the daily
+    counts against that type's own distribution, derived from exact
+    BIGINT moments (sum, sum-of-squares) through one fixed chain of IEEE
+    double ops, snapped to the shared 1e-6 grid; two combinable aggs +
+    one tiny broadcast-scale join back (operators/timeseries.py)."""
+    from .operators.timeseries import anomaly_zscore
+
+    return anomaly_zscore(_t(spark, sf_dir, "events"))
+
+
+def _zorder_oracle() -> str:
+    from .operators.layout import zorder_layout_sql
+
+    return zorder_layout_sql()
+
+
+@_register("rel_zorder_layout", oracle=_zorder_oracle)
+def rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout statistics over orders clustered on
+    (o_custkey, orderdate): the bit interleave is a pure integer column
+    expression (codegen, no UDF), buckets are z-prefixes, and the
+    per-bucket min/max frame IS the footer stats a reader prunes on —
+    probe_overlaps counts the buckets a 2-D predicate box actually scans
+    (operators/layout.py)."""
+    from .operators.layout import zorder_layout
+
+    return zorder_layout(_t(spark, sf_dir, "orders"))
+
+
+def _fd_oracle() -> str:
+    from .operators.dataquality import fd_violations_sql
+
+    return fd_violations_sql()
+
+
+@_register("rel_fd_violations", oracle=_fd_oracle)
+def rel_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (g3 error + key/row violation counts)
+    for three candidate FDs across customer/orders/events — the
+    data-quality gate before trusting a column as a canonicalization
+    key; per FD: two map-side-combined aggregations, shuffle carries the
+    (X, Y) group frame, never raw rows (operators/dataquality.py)."""
+    from .operators.dataquality import fd_violations
+
+    return fd_violations({
+        "customer": _t(spark, sf_dir, "customer"),
+        "orders": _t(spark, sf_dir, "orders"),
+        "events": _t(spark, sf_dir, "events"),
+    })
+
+
+def _fuzzy_oracle() -> str:
+    from .operators.fuzzy import fuzzy_alias_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return fuzzy_alias_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_fuzzy_aliases", oracle=_fuzzy_oracle)
+def kg_fuzzy_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance alias candidates (levenshtein <= 2) over the
+    detected-mention surface vocabulary — the record-linkage recall
+    booster for short typo'd aliases the MinHash linker cannot see;
+    blocking keys (first char, length..length+2) make the candidate join
+    an equi-join that is lossless within the distance budget for
+    same-first-char pairs (operators/fuzzy.py)."""
+    from .operators.fuzzy import fuzzy_alias_pairs
+
+    return fuzzy_alias_pairs(
+        detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    )

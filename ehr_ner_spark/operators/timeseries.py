@@ -1,0 +1,228 @@
+"""Time-series operators over the event log: OHLC downsampling bars,
+first-order Markov transition matrices, and z-score anomaly flags —
+the monitoring / feature-engineering surface a KG-construction pipeline
+runs beside its extraction jobs (ingest-rate bars, user-behaviour
+transitions, per-type volume anomalies).
+
+Spark-first shape, 100-TB story:
+
+* OHLC bars are ONE map-side-combined aggregation keyed by
+  (event_type, hour): open/close ride ``min_by``/``max_by`` over a
+  zero-padded (micros, event_id) string key — totally ordered and
+  unique, so the pick is deterministic on any partitioning — and the
+  shuffle carries one row per bar, never raw events;
+* Markov transitions use a user-partitioned LEAD window (the natural
+  key — millions of small partitions, no global sort), then one
+  combinable count per (from, to) cell: the output is |types|^2 rows
+  regardless of input scale;
+* anomaly z-scores aggregate daily counts (combinable), then join the
+  tiny per-type moment frame back broadcast-style; no window.
+
+Float discipline (what makes the DuckDB twins exact): bar volumes are
+summed as half-away-snapped integer micros (BIGINT, order-independent)
+and divided once at the end; open/high/low/close are single picked
+values (no summation); z-scores are derived from exact integer moments
+(sum, sum-of-squares of daily counts) through one fixed-shape chain of
+IEEE double ops (each individually exact-rounded, hence
+engine-identical), then snapped to the shared 1e-6 half-away grid.
+
+Reference contact: none (the reference is a per-document NER engine);
+these extend the relational event-log family of operators/retention.py
+and operators/funnel.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MICROS_PER_HOUR = 3_600_000_000
+ZSCORE_FLAG = 2.0
+
+
+def _ordkey():
+    """Zero-padded (event-time micros, event_id) string — a unique total
+    order identical in Spark and DuckDB, so min_by/max_by never tie."""
+    return F.concat(
+        F.lpad(F.expr("unix_micros(cast(ts as timestamp))").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+
+
+ORDKEY_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 20, '0')"
+)
+
+_SNAP = "FLOOR({x} * 1000000.0 + 0.5) / 1000000.0"
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """events -> hourly (event_type, hour, open, high, low, close,
+    n_events, volume) bars; hour is integer epoch-micros div 3.6e9."""
+    return (
+        events.select(
+            "event_type",
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {MICROS_PER_HOUR}")
+            .alias("hour"),
+            "value",
+            _ordkey().alias("_k"),
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("_vmicros"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.min_by("value", F.col("_k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("_k")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("_vmicros") / F.lit(1000000.0)).alias("volume"),
+        )
+    )
+
+
+def ohlc_bars_sql() -> str:
+    """DuckDB twin: same integer hour, same unique order key, same
+    integer-micros volume sum."""
+    return f"""
+    SELECT event_type,
+           epoch_us(ts) // {MICROS_PER_HOUR} AS hour,
+           arg_min(value, {ORDKEY_SQL}) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, {ORDKEY_SQL}) AS close,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+             / 1000000.0 AS volume
+    FROM events
+    GROUP BY event_type, epoch_us(ts) // {MICROS_PER_HOUR}
+    """
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix: (from_type, to_type,
+    n_trans, n_from, p) over each user's time-ordered event sequence."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(cast(ts as timestamp))"), F.col("event_id")
+    )
+    from ..cache import tracked_persist
+
+    # persisted: the |types|^2 cell frame feeds both the totals roll-up
+    # and the final join — without it the event-scale window runs twice
+    trans = tracked_persist(
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return trans.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "n_from",
+        (
+            F.floor(
+                F.col("n_trans").cast("double") / F.col("n_from")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ) / F.lit(1000000.0)
+        ).alias("p"),
+    )
+
+
+def markov_transitions_sql() -> str:
+    """DuckDB twin: identical (micros, event_id) LEAD ordering."""
+    return """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS to_type
+      FROM events),
+    trans AS (
+      SELECT from_type, to_type, COUNT(*) AS n_trans
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type),
+    totals AS (
+      SELECT from_type, SUM(n_trans) AS n_from
+      FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.n_trans, tt.n_from::BIGINT AS n_from,
+           FLOOR(t.n_trans::DOUBLE / tt.n_from * 1000000.0 + 0.5)
+             / 1000000.0 AS p
+    FROM trans t JOIN totals tt ON tt.from_type = t.from_type
+    """
+
+
+def anomaly_zscore(events: DataFrame,
+                   flag_at: float = ZSCORE_FLAG) -> DataFrame:
+    """Per-(event_type, day) daily-count z-scores vs that type's own
+    30-day distribution; |z| > `flag_at` marks the day anomalous.
+
+    The moments (count, sum, sum of squares of the daily counts) are
+    exact BIGINTs; mean/variance/z are one fixed chain of IEEE doubles
+    evaluated identically in the twin, snapped to the 1e-6 grid."""
+    daily = (
+        events.select(
+            "event_type",
+            F.expr(
+                "datediff(to_date(ts), DATE '1970-01-01')"
+            ).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_days"),
+        F.sum("n").alias("_s"),
+        F.sum(F.col("n") * F.col("n")).alias("_s2"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_days")
+    var = (
+        F.col("_s2").cast("double") / F.col("_days") - mean * mean
+    )
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    return (
+        daily.join(stats, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            snap(mean).alias("mean_n"),
+            snap(z).alias("z"),
+            (F.abs(snap(z)) > F.lit(flag_at)).alias("is_anomaly"),
+        )
+    )
+
+
+def anomaly_zscore_sql(flag_at: float = ZSCORE_FLAG) -> str:
+    """DuckDB twin: same integer moments, same double-op chain."""
+    mean = "(s._s::DOUBLE / s._days)"
+    var = f"(s._s2::DOUBLE / s._days - {mean} * {mean})"
+    z = f"((d.n::DOUBLE - {mean}) / sqrt({var}))"
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT
+               AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS _days, SUM(n) AS _s,
+             SUM(n * n) AS _s2
+      FROM daily GROUP BY event_type)
+    SELECT d.event_type, d.day, d.n,
+           {_SNAP.format(x=mean)} AS mean_n,
+           {_SNAP.format(x=z)} AS z,
+           ABS({_SNAP.format(x=z)}) > {flag_at} AS is_anomaly
+    FROM daily d JOIN stats s ON s.event_type = d.event_type
+    """
