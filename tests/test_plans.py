@@ -930,3 +930,47 @@ def test_relation_cardinality_predicate_keyed_aggs(spark, sf_dir):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         head = seg[:160]
         assert "pred" in head or "doc_id" in head  # detector's own repartition
+
+
+def test_ohlc_single_partial_aggregation(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_ohlc_bars"](spark, sf_dir)
+    plan = _plan(df)
+    # one key-local shuffle with map-side combine; no window, no Python
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "Window" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_zorder_layout_is_pure_codegen_one_shuffle(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_zorder_layout"](spark, sf_dir)
+    plan = _plan(df)
+    # the 32-term Morton interleave stays a column expression: no UDF,
+    # no window, exactly the bucket-keyed aggregation exchange
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+    fmt = _formatted(df)
+    read_schema = fmt.split("ReadSchema", 1)[1][:300]
+    assert "o_totalprice" not in read_schema  # column pruning holds
+
+
+def test_fd_audit_two_level_partial_aggs(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_fd_violations"](spark, sf_dir)
+    plan = _plan(df)
+    # per FD: (X, Y) count then per-X roll-up — all hash aggregates with
+    # map-side combine, no window/sort anywhere
+    assert "partial_count" in plan
+    assert "Window" not in plan and "Sort" not in plan.replace("SortAgg", "")
+
+
+def test_fuzzy_aliases_blocked_equijoin_no_cartesian(spark, sf_dir):
+    from ehr_ner_spark.operators.fuzzy import fuzzy_alias_pairs
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=4)
+    plan = _plan(fuzzy_alias_pairs(m))
+    # candidate generation must be an equi-join on the block key — never
+    # a cartesian/nested-loop over the surface vocabulary
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # distance filter present, post-blocking
