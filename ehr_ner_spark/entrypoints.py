@@ -2456,7 +2456,7 @@ def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*)::BIGINT                               AS n,
-           SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           SUM(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
            COUNT(CASE WHEN json_extract_string(props, '$.k')::BIGINT > 50
                  THEN 1 END)::BIGINT                      AS n_big
     FROM events
@@ -2745,7 +2745,7 @@ _INCR_AGG_KEYS = "event_type, date_trunc('hour', ts) AS hour"
     oracle="""
     SELECT event_type, date_trunc('hour', ts) AS hour,
            COUNT(*)::BIGINT AS n,
-           SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents
+           SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -3127,7 +3127,7 @@ SLIDE_MICROS = 600_000_000  # 10-minute trailing window
     oracle=f"""
     SELECT event_id, user_id,
            COUNT(*) OVER w                                        AS n_10m,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w         AS cents_10m
+           (SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w)::BIGINT AS cents_10m
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -3176,7 +3176,7 @@ def rel_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(us - prev_us)                         AS min_gap_us,
            MAX(us - prev_us)                         AS max_gap_us,
            MAX(us) - MIN(us)                         AS span_us,
-           COALESCE(SUM(us - prev_us) // NULLIF(COUNT(prev_us), 0), 0)
+           COALESCE(SUM(us - prev_us) // NULLIF(COUNT(prev_us), 0), 0)::BIGINT
                                                      AS mean_gap_us
     FROM seq GROUP BY user_id
     """,
@@ -3224,7 +3224,7 @@ _PART_WAREHOUSE = "/tmp/ehr_ner_spark_partitioned"
     oracle="""
     SELECT event_type,
            COUNT(*)::BIGINT                               AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT))        AS cents
+           SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS cents
     FROM events
     WHERE CAST(ts AS DATE) = DATE '2024-01-02'
     GROUP BY event_type
@@ -3772,7 +3772,7 @@ def _fertility_oracle() -> str:
     SELECT d.lang,
            SUM(enc.n_words)::BIGINT  AS n_words,
            SUM(enc.n_tokens)::BIGINT AS n_tokens,
-           (1000000 * SUM(enc.n_tokens)) // SUM(enc.n_words) AS fert_micro
+           ((1000000 * SUM(enc.n_tokens)) // SUM(enc.n_words))::BIGINT AS fert_micro
     FROM enc JOIN documents d USING (doc_id)
     GROUP BY d.lang
     """
@@ -4007,7 +4007,7 @@ def _graph_summary_oracle() -> str:
       (SELECT COUNT(*) FROM deg)::BIGINT                  AS n_connected,
       (SELECT COUNT(*) FROM ed)::BIGINT                   AS n_edges,
       (SELECT MAX(degree) FROM deg)                       AS max_degree,
-      (SELECT (1000000 * SUM(degree)) // COUNT(*) FROM deg)
+      (SELECT ((1000000 * SUM(degree)) // COUNT(*))::BIGINT FROM deg)
                                                           AS avg_degree_micro
     """
 
@@ -4229,7 +4229,7 @@ def ds_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT DISTINCT user_id, d + CAST(x.range AS INTEGER) AS wend
       FROM ud, range(0, 7) x)
-    SELECT c.wend AS day, COUNT(*)::BIGINT AS users_7d
+    SELECT CAST(c.wend AS VARCHAR) AS day, COUNT(*)::BIGINT AS users_7d
     FROM cand c JOIN days ON c.wend = days.d
     GROUP BY 1
     """,
@@ -4254,8 +4254,14 @@ def rel_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.date_add("d", F.col("off")).alias("day"))
         .distinct()
     )
-    return cand.join(days, "day").groupBy("day").agg(
-        F.count(F.lit(1)).alias("users_7d")
+    return (
+        cand.join(days, "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("users_7d"))
+        # day as ISO string: Spark DateType and DuckDB DATE reach pandas
+        # as different dtypes (object-of-date vs datetime64), which breaks
+        # a strict value-hash even though the dates are equal
+        .select(F.col("day").cast("string").alias("day"), "users_7d")
     )
 
 
@@ -4647,3 +4653,85 @@ def kg_fuzzy_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_alias_pairs(
         detect_mentions(corpus(spark, sf_dir), num_partitions=8)
     )
+
+
+def _assertions_oracle() -> str:
+    from .operators.assertions import mention_assertions_sql
+
+    return mention_assertions_sql(_gold_prelude())
+
+
+@_register("kg_mention_assertions", oracle=_assertions_oracle)
+def kg_mention_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NegEx-style assertion detection: each gold mention flagged negated
+    when a cue token occurs in the 3 tokens before it.  The naive range
+    join is rewritten as a constant map-side cue explosion + one doc-keyed
+    EQUI-join — skew-free, codegen to the join
+    (operators/assertions.py)."""
+    from .operators.assertions import mention_assertions
+
+    return mention_assertions(corpus(spark, sf_dir))
+
+
+_PRF_CASE = """
+  ROUND(CASE WHEN nb_pred > 0
+        THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END, 6) AS precision,
+  ROUND(CASE WHEN nb_true > 0
+        THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END, 6) AS recall,
+  ROUND(CASE WHEN (CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END
+                 + CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END) > 0
+        THEN 2 * (CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END)
+               * (CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END)
+               / ((CASE WHEN nb_pred > 0 THEN nb_correct / CAST(nb_pred AS DOUBLE) ELSE 0 END)
+                + (CASE WHEN nb_true > 0 THEN nb_correct / CAST(nb_true AS DOUBLE) ELSE 0 END))
+        ELSE 0 END, 6) AS f1"""
+
+
+def _metrics_by_source_oracle() -> str:
+    return (
+        _gold_prelude().rstrip()
+        + ",\n"
+        + _FLAT_SQL_BODY.format(prio=_gold_prio_case())
+        + f""",
+gmap AS (SELECT doc_id AS pid, repo FROM corpus),
+g AS (SELECT DISTINCT pid, type, start_pos, end_pos, text FROM gold),
+p AS (SELECT DISTINCT pid, type, start_pos, end_pos, text FROM flat),
+c AS (SELECT * FROM p INTERSECT SELECT * FROM g),
+nt AS (SELECT repo, COUNT(*) AS nb_true
+       FROM g JOIN gmap USING (pid) GROUP BY repo),
+np AS (SELECT repo, COUNT(*) AS nb_pred
+       FROM p JOIN gmap USING (pid) GROUP BY repo),
+nc AS (SELECT repo, COUNT(*) AS nb_correct
+       FROM c JOIN gmap USING (pid) GROUP BY repo),
+base AS (
+  SELECT COALESCE(nt.repo, np.repo, nc.repo) AS repo,
+         COALESCE(nb_correct, 0)::BIGINT AS nb_correct,
+         COALESCE(nb_pred, 0)::BIGINT AS nb_pred,
+         COALESCE(nb_true, 0)::BIGINT AS nb_true
+  FROM nt
+  FULL JOIN np ON np.repo = nt.repo
+  FULL JOIN nc ON nc.repo = COALESCE(nt.repo, np.repo))
+SELECT repo, nb_correct, nb_pred, nb_true,{_PRF_CASE}
+FROM base"""
+    )
+
+
+@_register("kg_metrics_by_source", oracle=_metrics_by_source_oracle)
+def kg_metrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced evaluation: A1 micro P/R/F1 stratified per source repo — the
+    slice-based error analysis that a single corpus micro hides (a 0.95
+    aggregate can mask a 0.50 slice).  Three map-side-combined per-repo
+    counts over pid-keyed joins with the doc->repo map; output is
+    |repos| rows at any corpus scale (operators/metrics.py)."""
+    from .operators.gold import GOLD_PRIORITY, gold_mentions
+    from .operators.metrics import micro_prf_by_group
+    from .operators.priority import flat_projection
+
+    c = corpus(spark, sf_dir)
+    g = gold_mentions(c)
+    out = micro_prf_by_group(
+        g,
+        flat_projection(g, GOLD_PRIORITY),
+        c.select(F.col("doc_id").alias("pid"), F.col("repo").alias("grp")),
+    )
+    return out.withColumnRenamed("grp", "repo")

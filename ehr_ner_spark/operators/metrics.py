@@ -175,3 +175,59 @@ def token_accuracy(gold_tokens: DataFrame, pred_tokens: DataFrame) -> DataFrame:
         F.round(F.avg((F.col("g.label") == F.col("p.label")).cast("double")), 6).alias("accuracy"),
         F.count(F.lit(1)).alias("nb_tokens"),
     )
+
+
+def micro_prf_by_group(gold: DataFrame, pred: DataFrame,
+                       doc_groups: DataFrame,
+                       digits: int = 6) -> DataFrame:
+    """Sliced evaluation: micro P/R/F1 per document group (A1 stratified
+    by `doc_groups` (pid, grp) — e.g. per source repo), the slice-based
+    error analysis a corpus-scale evaluation needs (a 0.95 corpus micro
+    can hide a 0.50 slice).
+
+    Same set semantics as :func:`micro_prf`; per-group counts are three
+    map-side-combined aggregations over the pid-keyed join with the
+    group map, met by full outer joins on the group key so slices with
+    zero predictions (or zero gold) still report.  At scale the group
+    map is doc-count-sized and the per-group frame is |groups| rows."""
+    g, p = _as_sets(gold, pred)
+    correct = p.join(g, SPAN_KEY, "inner")
+
+    def _cnt(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.join(doc_groups, "pid")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    counts = (
+        _cnt(g, "nb_true")
+        .join(_cnt(p, "nb_pred"), "grp", "full")
+        .join(_cnt(correct, "nb_correct"), "grp", "full")
+        .select(
+            "grp",
+            F.coalesce("nb_correct", F.lit(0)).alias("nb_correct"),
+            F.coalesce("nb_pred", F.lit(0)).alias("nb_pred"),
+            F.coalesce("nb_true", F.lit(0)).alias("nb_true"),
+        )
+    )
+    pr = F.when(F.col("nb_pred") > 0,
+                F.col("nb_correct") / F.col("nb_pred")).otherwise(F.lit(0.0))
+    rc = F.when(F.col("nb_true") > 0,
+                F.col("nb_correct") / F.col("nb_true")).otherwise(F.lit(0.0))
+    return counts.select(
+        "grp", "nb_correct", "nb_pred", "nb_true",
+        pr.alias("p_raw"), rc.alias("r_raw"),
+    ).select(
+        "grp", "nb_correct", "nb_pred", "nb_true",
+        F.round("p_raw", digits).alias("precision"),
+        F.round("r_raw", digits).alias("recall"),
+        F.round(
+            F.when(
+                (F.col("p_raw") + F.col("r_raw")) > 0,
+                2 * F.col("p_raw") * F.col("r_raw")
+                / (F.col("p_raw") + F.col("r_raw")),
+            ).otherwise(F.lit(0.0)),
+            digits,
+        ).alias("f1"),
+    )

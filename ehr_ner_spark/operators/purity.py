@@ -78,7 +78,8 @@ def cluster_purity_sql(canonical_triples_sql: str) -> str:
       FROM counts c JOIN folded f
         ON f.entity = c.entity AND c.n = f.max_n
       GROUP BY c.entity)
-    SELECT f.entity, f.n_mentions, f.n_types, m.majority_type,
+    SELECT f.entity, f.n_mentions::BIGINT AS n_mentions, f.n_types,
+           m.majority_type,
            FLOOR(f.max_n::DOUBLE / f.n_mentions * 1000000.0 + 0.5)
              / 1000000.0 AS purity
     FROM folded f JOIN majority m ON m.entity = f.entity

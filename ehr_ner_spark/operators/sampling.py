@@ -177,9 +177,10 @@ def pack_sequences_sql(
              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
       FROM toks)
-    SELECT doc_id, n_tokens, start_tok,
-           start_tok // {chunk} AS seq_first,
-           (start_tok + GREATEST(n_tokens, 1) - 1) // {chunk} AS seq_last
+    SELECT doc_id, n_tokens, start_tok::BIGINT AS start_tok,
+           (start_tok // {chunk})::BIGINT AS seq_first,
+           ((start_tok + GREATEST(n_tokens, 1) - 1) // {chunk})::BIGINT
+             AS seq_last
     FROM pre
     """
 
@@ -404,7 +405,7 @@ def temperature_mixture_sql(
       FROM {table} GROUP BY 1),
     w AS (SELECT stratum, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w FROM counts),
     quotas AS (
-      SELECT stratum, ({budget} * w) // (SELECT SUM(w) FROM w) AS quota
+      SELECT stratum, (({budget} * w) // (SELECT SUM(w) FROM w))::BIGINT AS quota
       FROM w),
     ranked AS (
       SELECT {id_col} AS doc_id, {stratum_col} AS stratum,

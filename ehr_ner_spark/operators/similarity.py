@@ -590,7 +590,7 @@ def knn_accuracy_sql(
                  ORDER BY votes DESC, label) AS vrk
         FROM votes) WHERE vrk = 1)
     SELECT t.label, COUNT(*)::BIGINT AS n,
-           SUM((p.pred = t.label)::BIGINT) AS n_correct,
+           SUM((p.pred = t.label)::BIGINT)::BIGINT AS n_correct,
            FLOOR(SUM((p.pred = t.label)::BIGINT)::DOUBLE / COUNT(*)::DOUBLE
                  * 1000000 + 0.5) / 1000000 AS acc
     FROM pred p JOIN {table} t ON t.vec_id = p.query_id

@@ -170,8 +170,8 @@ def count_min_topk_sql(k: int = CM_TOPK) -> str:
       SELECT p.term, p.exact_cnt, MIN(s.cell_cnt) AS cm_est
       FROM probe p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
       GROUP BY p.term, p.exact_cnt)
-    SELECT term, exact_cnt, cm_est,
-           cm_est - exact_cnt AS overestimate,
+    SELECT term, exact_cnt, cm_est::BIGINT AS cm_est,
+           (cm_est - exact_cnt)::BIGINT AS overestimate,
            ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, term ASC) AS rnk
     FROM est
     """
@@ -288,7 +288,8 @@ def hll_distinct_sql() -> str:
       FROM toks GROUP BY lang)
     SELECT e.lang, e.exact_distinct, p.hll_regs_nonzero,
            (p.s_present
-            + ({HLL_M} - p.hll_regs_nonzero) * {1 << cap}::BIGINT) AS hll_sum,
+            + ({HLL_M} - p.hll_regs_nonzero) * {1 << cap}::BIGINT)::BIGINT
+             AS hll_sum,
            FLOOR({HLL_K_LIT}
                  / CAST(p.s_present
                         + ({HLL_M} - p.hll_regs_nonzero)

@@ -20,9 +20,22 @@ TABLES = [
 
 
 def _canon(pdf):
-    import pandas as pd
+    import numpy as np
 
-    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf[sorted(pdf.columns)].copy()
+    # array cells (Spark ArrayType / DuckDB LIST reach pandas as ndarray
+    # or list) are unorderable for sort_values: canonicalize to a string
+    # form first — per-element so float reprs stay engine-identical
+    for col in pdf.columns:
+        if pdf[col].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+            pdf[col] = pdf[col].map(
+                lambda v: "[" + ",".join(
+                    repr(round(float(x), 9))
+                    if isinstance(x, (float, np.floating)) else str(x)
+                    for x in v
+                ) + "]"
+                if isinstance(v, (list, np.ndarray)) else str(v)
+            )
     pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
     return pdf
 
