@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "ds_bigram_lm_score",
     "ds_substring_dedup",
     "ds_lm_buckets",
+    "kg_fuzzy_aliases",
 ]
 
 
