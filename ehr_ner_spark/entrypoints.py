@@ -4735,3 +4735,25 @@ def kg_metrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(F.col("doc_id").alias("pid"), F.col("repo").alias("grp")),
     )
     return out.withColumnRenamed("grp", "repo")
+
+
+def _related_docs_oracle() -> str:
+    from .operators.cooccur import related_docs_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return related_docs_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_related_docs", oracle=_related_docs_oracle)
+def kg_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related documents by shared entity vocabulary — the doc-side
+    mirror of kg_entity_cooccur (corpus navigation / "similar notes").
+    Hub entities (document frequency > 64) are excluded via a broadcast
+    anti-join BEFORE the entity-keyed self-join, the same quadratic-
+    fan-out guard as the n-gram hot-shingle cap; top-50 winners via
+    TakeOrdered heaps (operators/cooccur.py::related_docs)."""
+    from .operators.cooccur import related_docs
+
+    return related_docs(
+        detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    )

@@ -113,3 +113,78 @@ def entity_cooccurrence_sql(mentions_sql: str, corpus_sql: str,
       FROM scored)
     WHERE rnk <= {top}
     """
+
+
+RELATED_DF_CAP = 64
+RELATED_MIN_SHARED = 2
+RELATED_TOP = 50
+
+
+def related_docs(mentions: DataFrame,
+                 df_cap: int = RELATED_DF_CAP,
+                 min_shared: int = RELATED_MIN_SHARED,
+                 top: int = RELATED_TOP) -> DataFrame:
+    """The doc-side mirror of entity co-occurrence — "related documents"
+    by shared entity vocabulary: top-`top` (doc_a, doc_b, n_shared)
+    pairs sharing >= `min_shared` distinct entities.
+
+    Scale guard: the entity-keyed self-join fans out quadratically in an
+    entity's document frequency, and corpus-hub entities appear in MOST
+    docs — so entities with df > `df_cap` are excluded from pair
+    generation via a broadcast anti-join BEFORE the self-join (the same
+    hub cap as ngram_jaccard's NGRAM_DF_CAP and link_prediction's spoke
+    cap; a hub entity carries no discriminative relatedness signal
+    anyway).  The cap is applied identically in the DuckDB twin, so the
+    oracle is exact."""
+    from pyspark.sql.window import Window
+
+    from ..cache import tracked_persist
+
+    ents = tracked_persist(mentions.select("doc_id", "text").distinct())
+    hubs = (
+        ents.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("text")
+    )
+    kept = ents.join(F.broadcast(hubs), "text", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "text")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "text")
+    pairs = (
+        a.join(b, "text")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    winners = pairs.orderBy(
+        F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(top)
+    w = Window.orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+    return winners.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def related_docs_sql(mentions_sql: str,
+                     df_cap: int = RELATED_DF_CAP,
+                     min_shared: int = RELATED_MIN_SHARED,
+                     top: int = RELATED_TOP) -> str:
+    """DuckDB twin: identical hub cap, pair universe and rank order."""
+    return f"""
+    WITH mentions AS ({mentions_sql}),
+    ents AS (SELECT DISTINCT doc_id, text FROM mentions),
+    kept AS (
+      SELECT doc_id, text FROM ents
+      WHERE text NOT IN (
+        SELECT text FROM ents GROUP BY text HAVING COUNT(*) > {df_cap})),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {min_shared})
+    SELECT doc_a, doc_b, n_shared, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY n_shared DESC, doc_a ASC, doc_b ASC) AS rnk
+      FROM pairs)
+    WHERE rnk <= {top}
+    """

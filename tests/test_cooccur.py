@@ -45,3 +45,29 @@ def test_pair_order_canonical(spark, frames):
     # aspirin+ibuprofen now appears, with doc-3-only support
     got = {(r["ent_a"], r["ent_b"]): r["n_ab"] for r in out}
     assert got[("aspirin", "ibuprofen")] == 1
+
+
+def test_related_docs_hand_case(spark):
+    from ehr_ner_spark.operators.cooccur import related_docs
+
+    m = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "z"),
+         (2, "x"), (2, "y"),
+         (3, "x"), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in related_docs(m, df_cap=64, min_shared=2).collect()}
+    # docs 1,2 share {x, y}; 1,3 and 2,3 share only {x}
+    assert out == {(1, 2): 2}
+
+
+def test_related_docs_hub_cap_excludes_corpus_stopword_entity(spark):
+    from ehr_ner_spark.operators.cooccur import related_docs
+
+    rows = [(d, "hub") for d in range(10)] + [(1, "a"), (2, "a")]
+    m = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in related_docs(m, df_cap=5, min_shared=1).collect()}
+    # 'hub' (df 10 > cap 5) generates NO pairs; only 'a' pairs 1-2
+    assert out == {(1, 2): 1}
