@@ -77,7 +77,10 @@ def main() -> None:
             print(f"{name}: NO-ORACLE (rows-only)")
             continue
         try:
+            from ehr_ner_spark.cache import release_all
+
             sdf = fn(spark, sf_dir).toPandas()
+            release_all()  # tracked persists don't accumulate across queries
             odf = con.execute(entrypoints.ORACLE_REGISTRY[name]).fetchdf()
             s, o = _canon(sdf), _canon(odf)
             rows = len(s) == len(o)
