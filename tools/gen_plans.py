@@ -7,7 +7,7 @@ SF = "/root/testdata/sf0.01"
 PICK = ["kg_mentions", "kg_canonical_triples", "ds_minhash_lsh_pairs",
         "ds_ngram_jaccard", "ds_bm25_topk", "rel_partitioned_scan",
         "ds_lm_buckets", "kg_ego_networks", "kg_adjacency_csr",
-        "kg_blocking_stats"]
+        "kg_blocking_stats", "rel_zorder_layout", "kg_fuzzy_aliases"]
 BLURB = {
     "kg_mentions": "Flagship battery detect: ONE explicit doc-hash Exchange, ONE Arrow scorer stage, content pruned before the mention stream.",
     "kg_canonical_triples": "Whole north-rule pipeline: detect -> LSH linking -> CC -> election -> triples.",
@@ -19,6 +19,8 @@ BLURB = {
     "kg_ego_networks": "2-hop ego nets: persisted doubled adjacency, one frontier equi-join, seed-keyed anti-join dedup.",
     "kg_adjacency_csr": "CSR export: two-level distributed prefix sum — the data-sized running-sum Window is partitioned by _pid; the only unpartitioned Window runs over the 16-row totals frame; bases rejoin as a broadcast.",
     "kg_blocking_stats": "LSH blocking audit: band explode, two key-local count aggs, output bounded by LSH_BANDS.",
+    "rel_zorder_layout": "Z-order layout: the 32-term Morton interleave is a pure codegen column expression — no UDF, no window, one bucket-keyed Exchange.",
+    "kg_fuzzy_aliases": "Fuzzy aliases: blocked candidate generation as a (first, len-key) equi-join — no cartesian/nested loop; levenshtein runs only on candidates.",
 }
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "32").getOrCreate())
