@@ -4757,3 +4757,71 @@ def kg_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return related_docs(
         detect_mentions(corpus(spark, sf_dir), num_partitions=8)
     )
+
+
+# ---------------------------------------------------------------------------
+# lakehouse-maintenance / smoothing batch (session 10)
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_diff_oracle() -> str:
+    from .operators.lakehouse import snapshot_diff_sql
+
+    return snapshot_diff_sql()
+
+
+@_register("rel_snapshot_diff", oracle=_snapshot_diff_oracle)
+def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog (CDC) between two snapshot versions of the orders table:
+    every key classified insert / delete / update by ONE full-outer
+    equi-join on the table key, unchanged rows never emitted.  The two
+    versions are synthesized deterministically (mod-key inserts/deletes,
+    +1.0 price updates) so the diff is oracle-checkable; on a real
+    Iceberg catalog the inputs would be manifest-diff-pruned changed-file
+    scans feeding this exact query shape
+    (operators/lakehouse.py::snapshot_diff)."""
+    from .operators.lakehouse import snapshot_diff
+
+    return snapshot_diff(_t(spark, sf_dir, "orders"))
+
+
+def _compaction_oracle() -> str:
+    from .operators.lakehouse import compaction_plan_sql
+
+    return compaction_plan_sql()
+
+
+@_register("rel_compaction_plan", oracle=_compaction_oracle)
+def rel_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the planning half of Iceberg's
+    binpack rewrite): a manifest-shaped frame (one row per file with an
+    integer byte size) is cut into ~16 KiB bins per partition by running
+    byte mass over a (size DESC, file_id) order — per-bin overfill
+    bounded by one file, all windows keyed by the partition column, no
+    global sort.  At 10^12 files the manifest frame is itself big data,
+    which is why the planner is a distributed query
+    (operators/lakehouse.py::compaction_plan)."""
+    from .operators.lakehouse import compaction_plan
+
+    return compaction_plan(_t(spark, sf_dir, "orders"))
+
+
+def _ewma_oracle() -> str:
+    from .operators.timeseries import ewma_volume_sql
+
+    return ewma_volume_sql()
+
+
+@_register("rel_ewma_volume", oracle=_ewma_oracle)
+def rel_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA trend line of the per-type daily event volume (alpha = 1/2,
+    16-day truncation).  The fixed alpha makes the whole computation
+    integer — weights are shifted BIGINTs, the numerator a combinable
+    SUM, the final division by 2^16 exact in doubles — and the sliding
+    window is decomposed replicate-to-window-ends (each daily fact fans
+    map-side to the <=16 window-ends it serves), so every shuffle is
+    key-local and nothing rescans trailing history
+    (operators/timeseries.py::ewma_volume)."""
+    from .operators.timeseries import ewma_volume
+
+    return ewma_volume(_t(spark, sf_dir, "events"))

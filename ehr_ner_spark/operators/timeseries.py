@@ -226,3 +226,89 @@ def anomaly_zscore_sql(flag_at: float = ZSCORE_FLAG) -> str:
            ABS({_SNAP.format(x=z)}) > {flag_at} AS is_anomaly
     FROM daily d JOIN stats s ON s.event_type = d.event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# EWMA volume smoothing (alpha = 1/2, truncated lookback)
+# ---------------------------------------------------------------------------
+
+EWMA_SPAN = 16  # lookback days; weight of day (t - i) is 2^(15 - i)
+
+
+def ewma_volume(events: DataFrame) -> DataFrame:
+    """Exponentially weighted moving average of the per-type daily volume
+    — the trend line the z-score anomaly gate is read against.  alpha is
+    fixed at 1/2 with an EWMA_SPAN-day truncation, which makes the whole
+    computation INTEGER: the weight of the day i steps back is the BIGINT
+    2^(15 - i), the smoothed numerator is a plain combinable SUM, and the
+    final ewma = num / 2^16 is a division by a power of two — exact in
+    IEEE doubles, so the twin matches bit-for-bit with no snapping.
+
+    Scale shape: a windowed weighted sum has no combinable aggregate over
+    a naive per-day window scan, so this uses the same replicate-to-
+    window-ends decomposition as rel_rolling_distinct: each (type, day,
+    n) fact fans out map-side to the <= EWMA_SPAN window-ends it can
+    serve, carrying its shifted weight, then ONE map-side-combined sum
+    keyed by (type, window_end).  All shuffles are key-local; window-ends
+    are restricted to days the type actually observed (no synthetic
+    calendar rows)."""
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("datediff(to_date(ts), DATE '1970-01-01')")
+            .cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cand = daily.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(EWMA_SPAN - 1))
+        ).alias("off"),
+        "day",
+        "n",
+    ).select(
+        "event_type",
+        (F.col("day") + F.col("off")).alias("wday"),
+        (
+            F.col("n")
+            * F.expr(f"shiftleft(CAST(1 AS BIGINT), {EWMA_SPAN - 1} - off)")
+        ).alias("w"),
+    )
+    observed = daily.select(
+        "event_type", F.col("day").alias("wday"), "n"
+    )
+    denom = float(1 << EWMA_SPAN)
+    return (
+        cand.join(observed, ["event_type", "wday"])
+        .groupBy("event_type", F.col("wday").alias("day"), "n")
+        .agg(F.sum("w").alias("ewma_num"))
+        .select(
+            "event_type", "day", "n", "ewma_num",
+            (F.col("ewma_num") / F.lit(denom)).alias("ewma"),
+        )
+    )
+
+
+def ewma_volume_sql() -> str:
+    """DuckDB twin: same replicate-to-window-ends decomposition, same
+    shifted BIGINT weights, same exact power-of-two division."""
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT
+               AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    cand AS (
+      SELECT d.event_type, d.day + x.range AS wday,
+             d.n * (1::BIGINT << ({EWMA_SPAN - 1} - x.range)) AS w
+      FROM daily d, range(0, {EWMA_SPAN}) x)
+    SELECT c.event_type, c.wday AS day, o.n,
+           SUM(c.w)::BIGINT AS ewma_num,
+           SUM(c.w)::BIGINT / {float(1 << EWMA_SPAN)} AS ewma
+    FROM cand c
+    JOIN daily o ON o.event_type = c.event_type AND o.day = c.wday
+    GROUP BY 1, 2, 3
+    """

@@ -1,0 +1,142 @@
+"""Snapshot diff (CDC) and compaction planning (operators/lakehouse.py):
+hand-checked change classification and bin-packing invariants, plus EWMA
+hand cases for the timeseries addition (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ehr_ner_spark.operators.lakehouse import (
+    BIN_TARGET_BYTES,
+    DEL_MOD,
+    INS_MOD,
+    UPD_MOD,
+    compaction_plan,
+    file_manifest,
+    snapshot_diff,
+)
+from ehr_ner_spark.operators.timeseries import EWMA_SPAN, ewma_volume
+
+
+def _orders(spark, keys, price=100.0):
+    return spark.createDataFrame(
+        [(k, 1, "O", price, dt.datetime(1995, 3, 1 + (k % 25)), "1-URGENT")
+         for k in keys],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_classification(spark):
+    # one representative key per class (and one unchanged key)
+    ins = INS_MOD * UPD_MOD        # % INS_MOD == 0, % DEL_MOD != 0 -> insert
+    dele = DEL_MOD                 # % DEL_MOD == 0, % INS_MOD != 0 -> delete
+    upd = UPD_MOD                  # updated in place
+    same = 1                       # untouched -> not emitted
+    gone = INS_MOD * DEL_MOD       # absent from BOTH versions -> no row
+    out = {r["o_orderkey"]: r for r in
+           snapshot_diff(_orders(spark, [ins, dele, upd, same, gone]))
+           .collect()}
+    assert out[ins]["change"] == "insert" and out[ins]["old_price"] is None
+    assert out[dele]["change"] == "delete" and out[dele]["new_price"] is None
+    assert out[upd]["change"] == "update"
+    assert out[upd]["new_price"] == out[upd]["old_price"] + 1.0
+    assert same not in out and gone not in out
+
+
+def test_snapshot_diff_emits_only_changes(spark):
+    # keys coprime to every mod knob -> empty changelog
+    keys = [k for k in range(1, 200)
+            if k % INS_MOD and k % DEL_MOD and k % UPD_MOD]
+    assert snapshot_diff(_orders(spark, keys)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# compaction plan
+# ---------------------------------------------------------------------------
+
+def test_compaction_bins_are_contiguous_and_bounded(spark):
+    plan = compaction_plan(_orders(spark, range(1, 400))).collect()
+    assert plan
+    by_part: dict = {}
+    max_file = max(r["size_bytes"] for r in plan)
+    for r in plan:
+        by_part.setdefault(r["part_month"], {}).setdefault(
+            r["bin"], []).append(r)
+    for part, bins in by_part.items():
+        # bins are consecutive from 0
+        assert sorted(bins) == list(range(len(bins)))
+        for b, rows in bins.items():
+            total = sum(r["size_bytes"] for r in rows)
+            # every row carries its bin's totals
+            assert all(r["bin_bytes"] == total for r in rows)
+            assert all(r["bin_files"] == len(rows) for r in rows)
+            # overfill bounded by one file
+            assert total < BIN_TARGET_BYTES + max_file
+            # every bin except the last is filled to the target
+            if b < len(bins) - 1:
+                assert total >= BIN_TARGET_BYTES - max_file + 1
+
+
+def test_compaction_plan_partition_invariant(spark):
+    """The plan is a pure function of the manifest, not of the input's
+    physical partitioning."""
+    o = _orders(spark, range(1, 200))
+    a = sorted(map(tuple, compaction_plan(o).collect()))
+    b = sorted(map(tuple, compaction_plan(o.repartition(13)).collect()))
+    assert a == b
+
+
+def test_manifest_sizes_match_group_sums(spark):
+    o = _orders(spark, range(1, 60))
+    man = {(r["part_month"], r["file_id"]): r["size_bytes"]
+           for r in file_manifest(o).collect()}
+    exact = {(r["part_month"], r["file_id"]): r["sz"] for r in
+             o.groupBy(
+                 (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+                 .cast("long").alias("part_month"),
+                 (F.col("o_orderkey") % 50).alias("file_id"))
+             .agg((F.count(F.lit(1)) * 512
+                   + F.sum(F.length("o_orderpriority")))
+                  .cast("long").alias("sz")).collect()}
+    assert man == exact
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+def _ev(spark, rows):
+    """rows: (event_id, day_offset, event_type) — one event per row."""
+    return spark.createDataFrame(
+        [(i, 1, dt.datetime(2024, 1, 1 + d, 12), t, 1.0)
+         for i, d, t in rows],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+
+
+def test_ewma_hand_case(spark):
+    # day 0: 3 events, day 1: 1 event ->
+    #   ewma(day0) = 3 * 2^15 / 2^16 = 1.5
+    #   ewma(day1) = (1 * 2^15 + 3 * 2^14) / 2^16 = 1.25
+    rows = ([(i, 0, "c") for i in range(3)] + [(9, 1, "c")])
+    out = {r["day"]: r for r in ewma_volume(_ev(spark, rows)).collect()}
+    d0 = min(out)
+    assert out[d0]["n"] == 3 and out[d0]["ewma"] == 1.5
+    assert out[d0 + 1]["n"] == 1 and out[d0 + 1]["ewma"] == 1.25
+
+
+def test_ewma_truncates_at_span(spark):
+    # a burst EWMA_SPAN days back contributes nothing to today
+    rows = [(1, 0, "c"), (2, EWMA_SPAN, "c")]
+    out = {r["day"]: r for r in ewma_volume(_ev(spark, rows)).collect()}
+    late = max(out)
+    # only the day's own count remains in the window
+    assert out[late]["ewma"] == 0.5

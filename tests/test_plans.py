@@ -974,3 +974,39 @@ def test_fuzzy_aliases_blocked_equijoin_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan  # distance filter present, post-blocking
+
+
+def test_snapshot_diff_single_equijoin_no_python(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_snapshot_diff"](spark, sf_dir)
+    plan = _plan(df)
+    # ONE key-equi full-outer join; classification is map-only
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    fmt = _formatted(df)
+    # both version scans prune to the key + price columns
+    for rs in fmt.split("ReadSchema")[1:]:
+        assert "o_orderpriority" not in rs[:300]
+
+
+def test_compaction_plan_keylocal_windows_no_global_sort(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_compaction_plan"](spark, sf_dir)
+    plan = _plan(df)
+    # windows keyed by the partition column (and bin) only — every
+    # exchange is a hashpartitioning, never a global range sort
+    assert "rangepartitioning" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan  # manifest agg combines map-side
+
+
+def test_ewma_keylocal_shuffles_no_window(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_ewma_volume"](spark, sf_dir)
+    plan = _plan(df)
+    # replicate-to-window-ends form: combinable sums + one equi-join,
+    # no Window operator, no range partitioning, no Python
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
