@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "ds_substring_dedup",
     "ds_lm_buckets",
     "kg_fuzzy_aliases",
+    "rel_snapshot_diff",
 ]
 
 

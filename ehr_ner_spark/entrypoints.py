@@ -904,7 +904,9 @@ def kg_nested_minus_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.gold import GOLD_PRIORITY, gold_mentions
     from .operators.priority import flat_projection, nested_minus_flat
 
-    g = gold_mentions(corpus(spark, sf_dir))
+    from .cache import tracked_persist
+
+    g = tracked_persist(gold_mentions(corpus(spark, sf_dir)))
     return _spans_long(nested_minus_flat(g, flat_projection(g, GOLD_PRIORITY)))
 
 
@@ -938,7 +940,11 @@ def kg_metrics_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.metrics import micro_prf
     from .operators.priority import flat_projection
 
-    g = gold_mentions(corpus(spark, sf_dir))
+    from .cache import tracked_persist
+
+    # gold feeds four consumers (flat projection + the three count
+    # branches); persist so the tokenize/paint pipeline runs once
+    g = tracked_persist(gold_mentions(corpus(spark, sf_dir)))
     return micro_prf(g, flat_projection(g, GOLD_PRIORITY))
 
 
@@ -1020,7 +1026,9 @@ def kg_type_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.metrics import classification_report
     from .operators.priority import flat_projection
 
-    g = gold_mentions(corpus(spark, sf_dir))
+    from .cache import tracked_persist
+
+    g = tracked_persist(gold_mentions(corpus(spark, sf_dir)))
     return classification_report(g, flat_projection(g, GOLD_PRIORITY))
 
 

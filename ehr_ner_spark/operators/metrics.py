@@ -26,8 +26,14 @@ SPAN_KEY = ["pid", "type", "start_pos", "end_pos", "text"]
 
 
 def _as_sets(gold: DataFrame, pred: DataFrame):
-    g = gold.select(*SPAN_KEY).dropDuplicates(SPAN_KEY)
-    p = pred.select(*SPAN_KEY).dropDuplicates(SPAN_KEY)
+    """Deduped span sets, persisted: every caller consumes each set at
+    least twice (its own count agg + the intersection join), so without
+    the persist the upstream gold/detect pipeline re-executes per
+    consumer (released via cache.release_all between registry queries)."""
+    from ..cache import tracked_persist
+
+    g = tracked_persist(gold.select(*SPAN_KEY).dropDuplicates(SPAN_KEY))
+    p = tracked_persist(pred.select(*SPAN_KEY).dropDuplicates(SPAN_KEY))
     return g, p
 
 
@@ -94,6 +100,9 @@ def classification_report(gold: DataFrame, pred: DataFrame, digits: int = 6) -> 
         F.col("nb_true").alias("support"),
     )
 
+    from ..cache import tracked_persist
+
+    per = tracked_persist(per)  # feeds the type rows AND both rollups
     totals = per.agg(
         F.sum("nb_correct").alias("c"),
         F.sum("nb_pred").alias("pn"),
