@@ -4833,3 +4833,66 @@ def rel_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import ewma_volume
 
     return ewma_volume(_t(spark, sf_dir, "events"))
+
+
+def _entity_churn_oracle() -> str:
+    from .operators.lakehouse import DEL_MOD, INS_MOD
+    from .operators.mention_sql import _linking_ctes
+
+    base = _linking_ctes(CORPUS_SQL) + f""",
+    mm AS (
+      SELECT COALESCE(c.canonical_text, m.text) AS canonical, m.doc_id
+      FROM m_spans m LEFT JOIN cmap c ON c.text = m.text),
+    pv AS (
+      SELECT canonical,
+             SUM(CASE WHEN doc_id % {INS_MOD} <> 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_v1,
+             SUM(CASE WHEN doc_id % {DEL_MOD} <> 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_v2
+      FROM mm GROUP BY 1)
+    SELECT canonical,
+           CASE WHEN n_v1 = 0 THEN 'appeared'
+                ELSE 'disappeared' END AS status,
+           n_v1, n_v2
+    FROM pv WHERE (n_v1 = 0) <> (n_v2 = 0)
+    """
+    return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
+
+
+@_register("kg_entity_churn", oracle=_entity_churn_oracle)
+def kg_entity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-entity churn between the two corpus snapshot versions
+    (the same mod-key versioning as rel_snapshot_diff): which entities
+    APPEARED (no attesting mention in any v1 document) or DISAPPEARED
+    (none left in v2) — the KG-side answer to "what did this ingest
+    batch change", read before republishing downstream edges.  ONE
+    scorer pass over the full corpus and one canonical map serve both
+    versions: per-version attestation counts are conditional sums in a
+    single canonical-keyed aggregate, so version membership never forks
+    the pipeline.  Unchanged entities are not emitted (CDC contract)."""
+    from .operators.lakehouse import DEL_MOD, INS_MOD
+    from .operators.linking import canonicalize
+    from .cache import tracked_persist
+
+    m = tracked_persist(
+        detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+        .select("text", "doc_id")
+    )
+    cmap = canonicalize(m).select("text", "canonical_text")
+    mm = m.join(cmap, "text", "left").select(
+        F.coalesce("canonical_text", "text").alias("canonical"), "doc_id"
+    )
+    pv = mm.groupBy("canonical").agg(
+        F.sum(
+            F.when(F.col("doc_id") % INS_MOD != 0, 1).otherwise(0)
+        ).cast("long").alias("n_v1"),
+        F.sum(
+            F.when(F.col("doc_id") % DEL_MOD != 0, 1).otherwise(0)
+        ).cast("long").alias("n_v2"),
+    )
+    status = F.when(F.col("n_v1") == 0, F.lit("appeared")).otherwise(
+        F.lit("disappeared")
+    )
+    return pv.where(
+        (F.col("n_v1") == 0) != (F.col("n_v2") == 0)
+    ).select("canonical", status.alias("status"), "n_v1", "n_v2")
