@@ -4896,3 +4896,102 @@ def kg_entity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pv.where(
         (F.col("n_v1") == 0) != (F.col("n_v2") == 0)
     ).select("canonical", status.alias("status"), "n_v1", "n_v2")
+
+
+def _grouped_corr_oracle() -> str:
+    from .operators.stats import grouped_corr_sql
+
+    return grouped_corr_sql("SELECT * FROM lineitem")
+
+
+@_register("rel_grouped_corr", oracle=_grouped_corr_oracle)
+def rel_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation / covariance / OLS slope of
+    extendedprice (cents) on quantity, from six exact BIGINT moments in ONE
+    combinable aggregate — the profiling statistic behind join-selectivity
+    and anomaly models, computed without corr()'s engine-dependent float
+    summation order (operators/stats.py)."""
+    from .operators.stats import grouped_corr
+
+    return grouped_corr(_t(spark, sf_dir, "lineitem"))
+
+
+def _histogram_oracle() -> str:
+    from .operators.stats import equiwidth_histogram_sql
+
+    return equiwidth_histogram_sql("SELECT * FROM lineitem")
+
+
+@_register("rel_histogram", oracle=_histogram_oracle)
+def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram with the bucket id as pure integer DIV on
+    cents — codegen arithmetic, no window, one key-local count/sum
+    aggregate whose exchange carries at most n_partitions x n_buckets rows
+    (operators/stats.py)."""
+    from .operators.stats import equiwidth_histogram
+
+    return equiwidth_histogram(_t(spark, sf_dir, "lineitem"))
+
+
+def _char_entropy_oracle() -> str:
+    from .operators.textops import char_entropy_sql
+
+    return char_entropy_sql()
+
+
+@_register("ds_char_entropy", oracle=_char_entropy_oracle)
+def ds_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate (gibberish / binary-blob detection):
+    per-doc char histogram built map-side with higher-order array functions
+    (NO char-explode row amplification, no shuffle), entropy from the
+    integer-count identity (ln n - sum c ln c / n)/ln 2
+    (operators/textops.py)."""
+    from .operators.textops import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def _mime_sniff_oracle() -> str:
+    from .operators.multimodal import sniff_mime_sql
+
+    return sniff_mime_sql(48)
+
+
+@_register("mm_mime_sniff", oracle=_mime_sniff_oracle)
+def mm_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME detection over opaque binary payloads (REAL PNG /
+    JPEG / RIFF-WAVE / mp4-ftyp signatures): map-only hex-prefix CASE in
+    whole-stage codegen, no UDF.  Catches headerless and mislabelled assets
+    before any decoder runs (operators/multimodal.py)."""
+    from .operators.multimodal import sniff_mime, synth_media_magic
+
+    return sniff_mime(synth_media_magic(spark, 48))
+
+
+@_register(
+    "rel_stream_stream_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, c.click_id, p.purchase_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 7200 SECONDS
+    """,
+)
+def rel_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver evidence: Spark's NATIVE stream-stream interval join
+    (click -> purchase attribution, both sides watermarked, event-time
+    range condition so join state is evicted as the watermark advances)
+    over a deterministic event-time-ordered micro-batch schedule; the
+    accumulated append sink is hash-checked against the plain batch range
+    join (streaming/jobs.py::stream_stream_attribution)."""
+    from .streaming.jobs import stream_stream_attribution
+
+    return stream_stream_attribution(spark, sf_dir)

@@ -168,3 +168,105 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.where(F.col("kind") == "video").mapInPandas(run, _FRAME_SCHEMA)
+
+
+# Real container-format magic signatures (hex, uppercase).
+MAGIC_HEX = {
+    "image": "89504E470D0A1A0A",          # PNG
+    "audio": "52494646" + "00000000" + "57415645",  # RIFF....WAVE
+    "video": "00000018667479706D703432",  # mp4 ftyp box (mp42 brand)
+}
+JPEG_HEX = "FFD8FFE000104A464946"          # JFIF JPEG
+NO_MAGIC_MOD = 7    # every 7th payload: raw bytes, no container header
+JPEG_MOD = 11       # every 11th: a JPEG regardless of declared kind
+
+
+def synth_media_magic(spark, n: int = 64) -> DataFrame:
+    """:func:`synth_media` variant whose payloads start with REAL container
+    magic bytes — PNG / RIFF-WAVE / mp4-ftyp by kind — so the sniffer below
+    is exercised against true signatures.  Two deterministic fault classes:
+    every ``NO_MAGIC_MOD``-th payload carries no header (an ingest bug:
+    raw stream dumped without its container) and every ``JPEG_MOD``-th is a
+    JPEG regardless of the declared kind (mislabelled asset)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        body = hashlib.sha256(f"media{i}".encode()).digest() * 8
+        if i % NO_MAGIC_MOD == 0:
+            head = b""
+        elif i % JPEG_MOD == 0:
+            head = bytes.fromhex(JPEG_HEX)
+        else:
+            head = bytes.fromhex(MAGIC_HEX[kind])
+        rows.append(
+            (i, kind, f"application/x-fake-{kind}", 32 + i % 64, 24 + i % 48,
+             1000 + 100 * i, bytearray(head + body)),
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def sniff_mime(media: DataFrame) -> DataFrame:
+    """Magic-byte MIME detection over the opaque binary payload — the
+    ingest-side trust audit that catches mislabelled or headerless assets
+    BEFORE they reach a decoder.  Pure built-ins: one ``hex(substring())``
+    prefix per row inside whole-stage codegen, no UDF, no shuffle (the
+    classifier is a map-only CASE).  Real signatures: PNG, JPEG/JFIF,
+    RIFF-WAVE (bytes 1-4 + 9-12), mp4 ftyp (bytes 5-8).
+    Output: (media_id, kind, sniffed_mime, kind_matches)."""
+    hx = F.hex(F.substring("payload", 1, 12))
+    sniffed = (
+        F.when(hx.startswith("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(hx.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(
+            (F.substring(hx, 1, 8) == "52494646")
+            & (F.substring(hx, 17, 8) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .when(F.substring(hx, 9, 8) == "66747970", F.lit("video/mp4"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        sniffed.alias("sniffed_mime"),
+        (F.split(sniffed, "/").getItem(0) == F.col("kind")).alias(
+            "kind_matches"
+        ),
+    )
+
+
+def sniff_mime_sql(n: int = 64) -> str:
+    """DuckDB twin: replays the deterministic generator RULE (which magic
+    hex each media_id received) and applies the SAME hex-prefix classifier,
+    so the engine's sniff of real binary payloads is checked against an
+    independent SQL derivation."""
+    png = MAGIC_HEX["image"]
+    wav = MAGIC_HEX["audio"]
+    mp4 = MAGIC_HEX["video"]
+    return f"""
+    WITH m AS (
+      SELECT i AS media_id,
+             ['image', 'audio', 'video'][(i % 3) + 1] AS kind,
+             CASE WHEN i % {NO_MAGIC_MOD} = 0 THEN ''
+                  WHEN i % {JPEG_MOD} = 0 THEN '{JPEG_HEX}'
+                  WHEN i % 3 = 0 THEN '{png}'
+                  WHEN i % 3 = 1 THEN '{wav}'
+                  ELSE '{mp4}' END
+               || upper(sha256('media' || i::VARCHAR))
+               AS hx_full
+      FROM range({n}) t(i)),
+    s AS (
+      SELECT media_id, kind, substr(hx_full, 1, 24) AS hx FROM m),
+    c AS (
+      SELECT media_id, kind,
+             CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN 'image/png'
+                  WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+                  WHEN substr(hx, 1, 8) = '52494646'
+                       AND substr(hx, 17, 8) = '57415645' THEN 'audio/wav'
+                  WHEN substr(hx, 9, 8) = '66747970' THEN 'video/mp4'
+                  ELSE 'application/octet-stream' END AS sniffed_mime
+      FROM s)
+    SELECT media_id, kind, sniffed_mime,
+           string_split(sniffed_mime, '/')[1] = kind AS kind_matches
+    FROM c
+    """

@@ -667,3 +667,79 @@ def vocab_coverage_sql(table: str = "documents", text_col: str = "text",
     FROM lw LEFT JOIN vocab v USING (w)
     GROUP BY lang
     """
+
+
+ENTROPY_LOW_BITS = 3.2   # below: repeated-alphabet boilerplate / gibberish
+ENTROPY_HIGH_BITS = 5.5  # above: near-uniform noise (e.g. base64 blobs)
+
+
+def char_entropy(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-level Shannon entropy (bits/char) — the classic gibberish /
+    binary-blob gate a curation pipeline runs before any model-based filter.
+
+    Fully map-side: the char histogram is built per-document with
+    higher-order array functions (``transform`` over ``array_distinct`` +
+    ``filter``) — O(d*n) per doc with d bounded by the alphabet (<~100), no
+    explode (a char-explode would emit one ROW per character: a 100x row
+    amplification crossing the agg exchange at corpus scale), no shuffle at
+    all.  Entropy uses the shuffle-free identity
+    ``H = (ln n - sum(c*ln c)/n) / ln 2`` over exact integer counts, so the
+    only floats are ln's of integers — IEEE-identical across engines.
+    Output: (doc_id, n_chars, n_distinct_chars, entropy_bits, entropy_gate).
+    """
+    docs = fan_out(docs_in)
+    cs = F.split(F.col(text_col), "")
+    counts = F.transform(
+        F.array_distinct(cs),
+        lambda c: F.size(F.filter(cs, lambda y: y == c)),
+    )
+    s = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    n = F.length(text_col).cast("double")
+    h = (F.log(n) - s / n) / F.log(F.lit(2.0))
+    h6 = F.floor(h * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    gate = (
+        F.when(h6 < ENTROPY_LOW_BITS, F.lit("low_entropy"))
+        .when(h6 > ENTROPY_HIGH_BITS, F.lit("high_entropy"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.where(F.length(text_col) > 0).select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(cs)).cast("long").alias("n_distinct_chars"),
+        h6.alias("entropy_bits"),
+        gate.alias("entropy_gate"),
+    )
+
+
+def char_entropy_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`char_entropy`: same per-doc char histogram via
+    list lambdas, same ``(ln n - sum(c ln c)/n)/ln 2`` identity, same
+    half-away 6dp rounding and gate cuts."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split({text_col}, '') AS cs,
+             length({text_col})::BIGINT AS n_chars
+      FROM {table} WHERE length({text_col}) > 0),
+    e AS (
+      SELECT doc_id, n_chars,
+             len(list_distinct(cs))::BIGINT AS n_distinct_chars,
+             list_sum(list_transform(
+               list_transform(list_distinct(cs),
+                              c -> len(list_filter(cs, y -> y = c))),
+               c -> c::DOUBLE * ln(c::DOUBLE))) AS s
+      FROM d),
+    h AS (
+      SELECT doc_id, n_chars, n_distinct_chars,
+             FLOOR((ln(n_chars::DOUBLE) - s / n_chars::DOUBLE) / ln(2.0)
+                   * 1e6 + 0.5) / 1e6 AS entropy_bits
+      FROM e)
+    SELECT doc_id, n_chars, n_distinct_chars, entropy_bits,
+           CASE WHEN entropy_bits < {ENTROPY_LOW_BITS} THEN 'low_entropy'
+                WHEN entropy_bits > {ENTROPY_HIGH_BITS} THEN 'high_entropy'
+                ELSE 'ok' END AS entropy_gate
+    FROM h
+    """

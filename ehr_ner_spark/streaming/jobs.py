@@ -128,3 +128,122 @@ def incremental_mentions(
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+ATTRIB_WINDOW_SEC = 7200     # click -> purchase attribution lookback
+ATTRIB_WATERMARK = "4 hours"  # > window: boundary clicks stay in state
+
+
+def stream_stream_attribution(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4, timeout_sec: int = 600
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (§2.9): click -> purchase
+    attribution — each purchase joined to the same user's clicks within the
+    preceding ``ATTRIB_WINDOW_SEC`` — run as Spark's native stream-stream
+    inner join (both sides ``withWatermark`` + an event-time range
+    condition, so join state is EVICTED as the watermark advances: bounded
+    state at unbounded input, the property that matters at production
+    scale).
+
+    Deterministic schedule: both sides read the events table chunked into
+    ``n_chunks`` files in EVENT-TIME ORDER (equal-width ts ranges), so the
+    watermark advances monotonically between micro-batches and only past
+    the window boundary — making the accumulated append sink provably
+    equal to the batch interval join, which is exactly what the driver
+    hash-checks (oracle: plain SQL range join on the same table).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="rel_stream_join_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            # parquet NTZ -> TIMESTAMP (the session tz is UTC in every
+            # entry point), matching the epoch_us discipline of
+            # operators/timeseries.py; all downstream arithmetic is
+            # difference-based so it is tz-offset invariant anyway
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        lo_us, hi_us = ev.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+        width = (hi_us - lo_us) // n_chunks + 1
+        bucket = (
+            (F.unix_micros("ts") - F.lit(lo_us)) / F.lit(width)
+        ).cast("int")
+        chunked = ev.withColumn("_b", bucket)
+        for i in range(n_chunks):
+            chunk_dir = os.path.join(work, f"chunk{i}")
+            chunked.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(chunk_dir)
+            (part,) = glob.glob(os.path.join(chunk_dir, "part-*.parquet"))
+            os.replace(part, os.path.join(src, f"chunk-{i:03d}.parquet"))
+
+        schema = ev.schema
+
+        def side(event_type: str, id_alias: str, ts_alias: str):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .where(F.col("event_type") == event_type)
+                .select(
+                    F.col("event_id").alias(id_alias),
+                    F.col("user_id"),
+                    F.col("ts").alias(ts_alias),
+                )
+                .withWatermark(ts_alias, ATTRIB_WATERMARK)
+            )
+
+        clicks = side("click", "click_id", "click_ts")
+        purchases = side("purchase", "purchase_id", "purchase_ts").select(
+            F.col("user_id").alias("p_user_id"), "purchase_id", "purchase_ts"
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts")
+                - F.expr(f"INTERVAL {ATTRIB_WINDOW_SEC} SECONDS")
+            ),
+            "inner",
+        ).select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(click_ts))"
+                " DIV 1000000"
+            ).alias("gap_sec"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError("stream-stream join did not drain")
+        n_batches = len(q.recentProgress)
+        if n_batches < 2:
+            raise RuntimeError(
+                f"expected >=2 micro-batches, saw {n_batches}"
+            )
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
