@@ -4995,3 +4995,74 @@ def rel_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.jobs import stream_stream_attribution
 
     return stream_stream_attribution(spark, sf_dir)
+
+
+def _segment_dedup_oracle() -> str:
+    from .operators.dedup import segment_dedup_sql
+
+    return segment_dedup_sql()
+
+
+@_register("ds_segment_dedup", oracle=_segment_dedup_oracle)
+def ds_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level segment dedup: keep the globally-first
+    occurrence of every distinct 8-word segment and rebuild the cleaned
+    documents.  The first-occurrence winner is a combinable MIN over a
+    packed (doc_id, seg_idx) key — map-side partials, never a window over
+    the hot segment key (operators/dedup.py::segment_dedup)."""
+    from .operators.dedup import segment_dedup
+
+    return segment_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _payload_dedup_oracle() -> str:
+    from .operators.multimodal import payload_dedup_sql
+
+    return payload_dedup_sql(48)
+
+
+@_register("mm_payload_dedup", oracle=_payload_dedup_oracle)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-asset dedup: sha256 over the opaque payload (JVM-side
+    sha2(hex(payload)) built-in, no UDF), one map-side-combined aggregate
+    on the digest — catches the same asset uploaded twice under different
+    metadata (operators/multimodal.py::payload_dedup)."""
+    from .operators.multimodal import payload_dedup, synth_media_dups
+
+    return payload_dedup(synth_media_dups(spark, 48))
+
+
+def _thumbnails_oracle() -> str:
+    from .operators.multimodal import resize_thumbnails_sql
+
+    return resize_thumbnails_sql(48)
+
+
+@_register("mm_thumbnails", oracle=_thumbnails_oracle)
+def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image thumbnail stage: aspect-preserving INTEGER-exact target dims
+    + Arrow-batched mapInPandas over the binary payload (real 100-TB
+    plumbing; the pixel resample is a clearly-marked deterministic stub a
+    Pillow decoder drops into) (operators/multimodal.py::resize_thumbnails)."""
+    from .operators.multimodal import resize_thumbnails, synth_media
+
+    return resize_thumbnails(synth_media(spark, 48))
+
+
+@_register(
+    "rel_stream_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+    FROM events
+    """,
+)
+def rel_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver evidence: watermarked STREAMING DEDUPLICATION —
+    dropDuplicates on (event_id, ts) with the event-time column in the
+    subset so seen-key state is EVICTED as the watermark advances, fed a
+    file stream where every chunk arrives twice (at-least-once delivery);
+    the accumulated append sink is hash-checked against SELECT DISTINCT
+    over the same table (streaming/jobs.py::stream_dedup)."""
+    from .streaming.jobs import stream_dedup
+
+    return stream_dedup(spark, sf_dir)

@@ -30,6 +30,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from ..cache import tracked_persist
 from ..hashing import P31, md5_60, md5_60_expr, universal_coeffs
+from .parallelism import fan_out
 from .linking import candidate_pairs, connected_components, verified_edges
 from .parallelism import fan_out as _fan_out
 
@@ -646,3 +647,129 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .where(F.col("jac_raw") >= threshold)
         .select("src", "dst", F.round("jac_raw", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-level segment dedup (keep the globally-first occurrence)
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 8            # dedup unit: fixed 8-word segments
+SEG_IDX_BITS = 20        # first-key packing: doc_id * 2^20 + seg_idx
+
+
+def segment_dedup(docs_in: DataFrame, seg_words: int = SEG_WORDS,
+                  text_col: str = "text") -> DataFrame:
+    """C4-style corpus-level segment dedup: cut every document into fixed
+    ``seg_words``-word segments, keep only the GLOBALLY-FIRST occurrence of
+    each distinct segment (C4 drops every later occurrence of a repeated
+    line across the whole corpus), and rebuild the cleaned document.
+
+    Spark-first shape, 100-TB story:
+
+    * the first-occurrence winner per segment is a **combinable MIN
+      aggregate** over the packed key ``doc_id * 2^SEG_IDX_BITS + seg_idx``
+      — NOT a window over the segment key: partial mins combine map-side,
+      so a boilerplate segment repeated 10^9 times crosses the exchange as
+      one row per map partition (a window would haul every occurrence to
+      one reducer);
+    * the keep-filter join back on ``seg`` is 1:1 against the winner frame
+      (hot segments inflate one probe partition's INPUT, not its output —
+      AQE skew-split handles the imbalance);
+    * document rebuild is one doc-keyed aggregate; segment order is
+      restored by sorting the collected (seg_idx, seg) structs, so no
+      global sort is ever issued.
+
+    seg_idx fits ``SEG_IDX_BITS`` when documents stay under
+    ``2^20 * seg_words`` words (~8M words/doc at the default) — validated
+    cheaply since the packed key would collide only past that bound.
+    Output: (doc_id, n_segs, n_kept, text_dedup).
+    Reference contact: corpus curation extension (SURVEY §2.6 family); the
+    reference operates on already-clean EHR text (dataPipeline.py) and has
+    no analog.
+    """
+    docs = fan_out(docs_in).where(F.length(text_col) > 0)
+    ws = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(ws).cast("double") / F.lit(float(seg_words))).cast(
+        "long"
+    )
+    base = docs.select("doc_id", ws.alias("_ws"), n_segs.alias("n_segs"))
+    segs = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_segs") - 1)).alias("seg_idx"),
+        F.col("_ws"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.array_join(
+            F.slice(
+                "_ws",
+                (F.col("seg_idx") * seg_words + 1).cast("int"),
+                seg_words,
+            ),
+            " ",
+        ).alias("seg"),
+        (
+            F.col("doc_id") * F.lit(1 << SEG_IDX_BITS) + F.col("seg_idx")
+        ).alias("_k"),
+    )
+    segs = tracked_persist(segs)
+    firsts = segs.groupBy("seg").agg(F.min("_k").alias("_first"))
+    kept = (
+        segs.join(firsts, "seg")
+        .where(F.col("_k") == F.col("_first"))
+        .select("doc_id", "seg_idx", "seg")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return (
+        base.select("doc_id", "n_segs")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+def segment_dedup_sql(table: str = "documents", seg_words: int = SEG_WORDS,
+                      text_col: str = "text") -> str:
+    """DuckDB twin of :func:`segment_dedup` — same packed first-key MIN,
+    same slice/join segmentation, same ORDER BY seg_idx rebuild."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split({text_col}, ' ') AS ws
+      FROM {table} WHERE length({text_col}) > 0),
+    base AS (
+      SELECT doc_id, ws,
+             CEIL(len(ws)::DOUBLE / {seg_words})::BIGINT AS n_segs
+      FROM w),
+    seg AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(
+               ws[(i * {seg_words} + 1)::INT : (i * {seg_words}
+                   + {seg_words})::INT], ' ') AS seg,
+             doc_id * {1 << SEG_IDX_BITS} + i AS k
+      FROM base, LATERAL UNNEST(range(0, n_segs)) AS u(i)),
+    f AS (SELECT seg, MIN(k) AS first_k FROM seg GROUP BY seg),
+    kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg
+      FROM seg s JOIN f USING (seg) WHERE s.k = f.first_k),
+    agg AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, b.n_segs,
+           COALESCE(a.n_kept, 0)::BIGINT AS n_kept,
+           COALESCE(a.text_dedup, '') AS text_dedup
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """

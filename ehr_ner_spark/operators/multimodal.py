@@ -270,3 +270,150 @@ def sniff_mime_sql(n: int = 64) -> str:
            string_split(sniffed_mime, '/')[1] = kind AS kind_matches
     FROM c
     """
+
+
+# ---------------------------------------------------------------------------
+# Binary payload dedup (exact, sha256) + aspect-preserving thumbnail resize
+# ---------------------------------------------------------------------------
+
+DUP_GROUP = 2  # synth_media_dups: every DUP_GROUP consecutive ids share bytes
+
+
+def synth_media_dups(spark, n: int = 64) -> DataFrame:
+    """:func:`synth_media` variant with EXACT byte duplicates: ids
+    ``DUP_GROUP*j .. DUP_GROUP*j+DUP_GROUP-1`` carry identical payloads but
+    different media_id / declared mime — the 'same asset uploaded twice
+    under different metadata' ingest fault payload dedup must catch."""
+    rows = []
+    for i in range(n):
+        j = i // DUP_GROUP
+        kind = ["image", "audio", "video"][j % 3]
+        payload = hashlib.sha256(f"asset{j}".encode()).digest() * 8
+        rows.append(
+            (i, kind, f"application/x-upload-{i}", 32 + i % 64, 24 + i % 48,
+             1000 + 100 * i, bytearray(payload)),
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def payload_dedup(media: DataFrame) -> DataFrame:
+    """Exact binary dedup over the opaque payload: group by the sha256 of
+    the payload's hex form (JVM-side ``sha2(hex(payload))`` — built-in,
+    codegen, no UDF) and report copy counts per distinct byte string.
+
+    ONE map-side-combined aggregate keyed by the 64-char digest — uniform
+    by construction (a cryptographic hash key cannot skew), exchange
+    carries one row per distinct asset per map partition.  Output:
+    (payload_sha, n_copies, first_media_id, n_kinds).
+    """
+    return (
+        media.select(
+            F.sha2(F.hex("payload"), 256).alias("payload_sha"),
+            "media_id",
+            "kind",
+        )
+        .groupBy("payload_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("first_media_id"),
+            F.countDistinct("kind").cast("long").alias("n_kinds"),
+        )
+    )
+
+
+def payload_dedup_sql(n: int = 64) -> str:
+    """DuckDB twin: replays the :func:`synth_media_dups` byte rule (payload
+    hex = 8x the uppercase sha256 of ``asset{id//DUP_GROUP}``) and applies
+    the SAME sha256-of-hex grouping."""
+    return f"""
+    WITH m AS (
+      SELECT i AS media_id,
+             ['image', 'audio', 'video'][((i // {DUP_GROUP}) % 3) + 1] AS kind,
+             repeat(upper(sha256('asset' || (i // {DUP_GROUP})::VARCHAR)), 8)
+               AS hx
+      FROM range({n}) t(i))
+    SELECT sha256(hx) AS payload_sha,
+           COUNT(*)::BIGINT AS n_copies,
+           MIN(media_id) AS first_media_id,
+           COUNT(DISTINCT kind)::BIGINT AS n_kinds
+    FROM m GROUP BY 1
+    """
+
+
+THUMB_MAX_DIM = 16  # thumbnail bounding box (square)
+
+
+def _thumb_dims(width: int, height: int, max_dim: int) -> tuple[int, int]:
+    """Aspect-preserving integer target dims: longest side -> max_dim."""
+    m = max(width, height)
+    return max(1, (width * max_dim) // m), max(1, (height * max_dim) // m)
+
+
+def resize_thumbnails(media: DataFrame, max_dim: int = THUMB_MAX_DIM) -> DataFrame:
+    """Image thumbnail stage: aspect-preserving integer resize of every
+    image payload to a ``max_dim``-bounded box, via an Arrow-batched
+    ``mapInPandas`` over the binary column — the real 100-TB plumbing
+    (binary in, typed struct out, whole partitions per Arrow batch, decoder
+    constructed once per batch iterator).
+
+    STUB RESAMPLER — the container has no image codecs, so the pixel
+    resample is a deterministic fake (thumb bytes = sha256 of
+    ``thumb:{media_id}:{tw}x{th}``); a Pillow/libjpeg decode-resize drops
+    into ``_resample`` unchanged.  The target-dims arithmetic is REAL and
+    integer-exact: ``(side * max_dim) // max(width, height)``, floored at 1.
+    Output: (media_id, width, height, thumb_w, thumb_h, thumb_sha).
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("thumb_w", IntegerType()),
+            StructField("thumb_h", IntegerType()),
+            StructField("thumb_sha", StringType()),
+        ]
+    )
+
+    def _resample(media_id: int, tw: int, th: int, payload: bytes) -> str:
+        # STUB: stands in for decode(payload) -> resize(tw, th) -> encode
+        return hashlib.sha256(f"thumb:{media_id}:{tw}x{th}".encode()).hexdigest()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                tw, th = _thumb_dims(int(r.width), int(r.height), max_dim)
+                rows.append(
+                    (int(r.media_id), int(r.width), int(r.height), tw, th,
+                     _resample(int(r.media_id), tw, th, bytes(r.payload))),
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(run, out_schema)
+
+
+def resize_thumbnails_sql(n: int = 64, max_dim: int = THUMB_MAX_DIM) -> str:
+    """DuckDB twin: replays the :func:`synth_media` metadata rule (width =
+    32 + i%64, height = 24 + i%48, image kind at i%3 = 0) and the exact
+    integer dims + stub-resample sha."""
+    return f"""
+    WITH m AS (
+      SELECT i AS media_id,
+             (32 + i % 64)::INT AS width,
+             (24 + i % 48)::INT AS height
+      FROM range({n}) t(i) WHERE i % 3 = 0),
+    d AS (
+      SELECT media_id, width, height,
+             GREATEST(1, (width * {max_dim})
+                         // GREATEST(width, height))::INT AS thumb_w,
+             GREATEST(1, (height * {max_dim})
+                         // GREATEST(width, height))::INT AS thumb_h
+      FROM m)
+    SELECT media_id, width, height, thumb_w, thumb_h,
+           sha256('thumb:' || media_id::VARCHAR || ':'
+                  || thumb_w::VARCHAR || 'x' || thumb_h::VARCHAR) AS thumb_sha
+    FROM d
+    """

@@ -247,3 +247,91 @@ def stream_stream_attribution(
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+DEDUP_WATERMARK = "4 hours"   # >> one chunk's time span: dupes never re-emit
+
+
+def stream_dedup(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3, timeout_sec: int = 600
+) -> DataFrame:
+    """Watermarked STREAMING DEDUPLICATION (§2.9): ``dropDuplicates`` on
+    ``(event_id, ts)`` over a file stream where every chunk arrives TWICE
+    (the at-least-once delivery fault a streaming ingest must absorb) —
+    the event-time column in the dedup subset lets the state store EVICT
+    seen keys as the watermark advances: bounded state at unbounded input.
+
+    Deterministic schedule: the events table is cut into ``n_chunks``
+    equal-width event-time ranges and each chunk file is written twice
+    (``-a``/``-b``, adjacent in the lexicographic file order the source
+    follows), so every duplicate arrives one micro-batch after its
+    original — far inside the watermark, hence exactly-once output.  The
+    kept-row arbitrariness of dropDuplicates is immaterial: duplicate rows
+    are byte-identical.  Output matches ``SELECT DISTINCT`` over the
+    table, which is what the driver hash-checks.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="rel_stream_dedup_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        lo_us, hi_us = ev.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+        width = (hi_us - lo_us) // n_chunks + 1
+        bucket = (
+            (F.unix_micros("ts") - F.lit(lo_us)) / F.lit(width)
+        ).cast("int")
+        chunked = ev.withColumn("_b", bucket)
+        for i in range(n_chunks):
+            chunk_dir = os.path.join(work, f"chunk{i}")
+            chunked.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(chunk_dir)
+            (part,) = glob.glob(os.path.join(chunk_dir, "part-*.parquet"))
+            # the duplicated delivery: same bytes, two files
+            shutil.copy(part, os.path.join(src, f"chunk-{i:03d}-b.parquet"))
+            os.replace(part, os.path.join(src, f"chunk-{i:03d}-a.parquet"))
+
+        deduped = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", DEDUP_WATERMARK)
+            .dropDuplicates(["event_id", "ts"])
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+            )
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError("stream dedup did not drain")
+        n_batches = len(q.recentProgress)
+        if n_batches < 2:
+            raise RuntimeError(f"expected >=2 micro-batches, saw {n_batches}")
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -222,3 +222,53 @@ def test_keep_policy_longest_wins(spark, sf_dir):
         best = max(members, key=lambda m: (docs[m.doc_id], -m.doc_id))
         assert keeps[0].doc_id == best.doc_id
         assert all(m.group_size == len(members) for m in members)
+
+
+def test_segment_dedup_keeps_global_first(spark):
+    """The globally-first occurrence of a repeated segment survives; every
+    later occurrence (same doc or later doc) is dropped; doc text is
+    rebuilt in segment order."""
+    from ehr_ner_spark.operators.dedup import segment_dedup
+
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    c = " ".join(f"c{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (10, f"{a} {b}"),          # first occurrence of a and b
+            (20, f"{b} {c} {a}"),      # b and a are repeats, c is new
+            (30, f"{c}"),              # repeat of c -> fully deduped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in segment_dedup(docs).collect()}
+    assert got[10]["text_dedup"] == f"{a} {b}" and got[10]["n_kept"] == 2
+    assert got[20]["text_dedup"] == c and got[20]["n_kept"] == 1
+    assert got[30]["text_dedup"] == "" and got[30]["n_kept"] == 0
+    assert got[20]["n_segs"] == 3 and got[30]["n_segs"] == 1
+
+
+def test_segment_dedup_short_tail_segment(spark):
+    """A trailing segment shorter than SEG_WORDS is still a dedup unit."""
+    from ehr_ner_spark.operators.dedup import segment_dedup
+
+    seg = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, f"{seg} tail words"), (2, "tail words")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in segment_dedup(docs).collect()}
+    # "tail words" first occurs as doc 1's trailing segment
+    assert got[1]["text_dedup"] == f"{seg} tail words"
+    assert got[2]["n_kept"] == 0 and got[2]["text_dedup"] == ""
+
+
+def test_segment_dedup_first_key_is_partial_aggregate(spark, sf_dir):
+    """The first-occurrence winner must be a combinable min aggregate
+    (map-side partials), never a window over the segment key."""
+    from ehr_ner_spark.operators.dedup import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = segment_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "min(" in plan

@@ -59,3 +59,53 @@ def test_extract_features_tiny_media(spark):
     )
     rows = extract_features(tiny).collect()
     assert len(rows) == 1 and len(rows[0].feat) == 16
+
+
+def test_payload_dedup_groups_identical_bytes(spark):
+    from ehr_ner_spark.operators.multimodal import (
+        DUP_GROUP,
+        payload_dedup,
+        synth_media_dups,
+    )
+
+    n = 48
+    rows = payload_dedup(synth_media_dups(spark, n)).collect()
+    assert len(rows) == n // DUP_GROUP
+    for r in rows:
+        assert r["n_copies"] == DUP_GROUP
+        assert r["first_media_id"] % DUP_GROUP == 0
+        assert r["n_kinds"] == 1  # copies share the asset's kind
+        assert len(r["payload_sha"]) == 64
+
+
+def test_thumbnails_aspect_and_stub_sha(spark):
+    import hashlib
+
+    from ehr_ner_spark.operators.multimodal import (
+        THUMB_MAX_DIM,
+        _thumb_dims,
+        resize_thumbnails,
+        synth_media,
+    )
+
+    rows = resize_thumbnails(synth_media(spark, 30)).collect()
+    assert rows and all(
+        max(r["thumb_w"], r["thumb_h"]) <= THUMB_MAX_DIM for r in rows
+    )
+    for r in rows:
+        tw, th = _thumb_dims(r["width"], r["height"], THUMB_MAX_DIM)
+        assert (r["thumb_w"], r["thumb_h"]) == (tw, th)
+        # longest side hits the box exactly (integer floor on the other)
+        assert max(tw, th) == THUMB_MAX_DIM
+        want = hashlib.sha256(
+            f"thumb:{r['media_id']}:{tw}x{th}".encode()
+        ).hexdigest()
+        assert r["thumb_sha"] == want
+
+
+def test_thumb_dims_never_zero():
+    from ehr_ner_spark.operators.multimodal import _thumb_dims
+
+    assert _thumb_dims(1000, 1, 16) == (16, 1)
+    assert _thumb_dims(1, 1000, 16) == (1, 16)
+    assert _thumb_dims(5, 5, 16) == (16, 16)

@@ -69,3 +69,24 @@ def test_streaming_mentions_matches_batch(spark, sf_dir, tmp_path):
         for r in detect_mentions(corpus_like, num_partitions=4).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_dedup_absorbs_duplicate_delivery(spark, sf_dir):
+    """Every chunk delivered twice; the watermarked dropDuplicates sink
+    must equal SELECT DISTINCT over the table (exactly-once output)."""
+    from pyspark.sql import functions as F
+
+    from ehr_ner_spark.streaming.jobs import stream_dedup
+
+    got = stream_dedup(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert got.count() == ev.count()  # event rows are already distinct
+    assert got.select("event_id").distinct().count() == ev.count()
+    # spot-check one row's fields against the source
+    src = {r["event_id"]: r for r in ev.limit(50).collect()}
+    for r in got.where(
+        F.col("event_id").isin(*list(src)[:10])
+    ).collect():
+        s = src[r["event_id"]]
+        assert r["user_id"] == s["user_id"]
+        assert r["event_type"] == s["event_type"]
