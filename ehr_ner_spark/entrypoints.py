@@ -5066,3 +5066,125 @@ def rel_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.jobs import stream_dedup
 
     return stream_dedup(spark, sf_dir)
+
+
+def _type_rollup_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+    from .operators.ontology import type_rollup_sql
+
+    return type_rollup_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_type_hierarchy_closure", oracle=_type_rollup_oracle)
+def kg_type_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology rollup: mention counts aggregated up the type hierarchy
+    (leaf code -> clinical category -> kind -> root; the taxonomy implicit
+    in the reference's df2qasl.py priority bands made first-class).  The
+    transitive closure is computed DIM-SIDE in plain Python (a hierarchy is
+    a dimension — it never grows with the corpus) and broadcast; the fact
+    stream is collapsed map-side to <=31 per-type rows BEFORE the join, so
+    no iterative join ever touches the mention stream.  DuckDB twin proves
+    the closure against WITH RECURSIVE (operators/ontology.py)."""
+    from .operators.ontology import type_rollup
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return type_rollup(spark, m)
+
+
+def _assortativity_oracle() -> str:
+    from .operators.graphstats import degree_assortativity_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return degree_assortativity_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_assortativity", oracle=_assortativity_oracle)
+def kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the entity co-occurrence graph — the
+    hub-attachment statistic read next to kg_degree_distribution before
+    the graph family runs at a new scale.  Exact BIGINT degree moments
+    over the doubled adjacency, two hash equi-joins, ONE output row; the
+    only float math is the final Pearson ratio, snapped to the shared
+    half-away 1e-6 grid on both engines (operators/graphstats.py)."""
+    from .operators.communities import entity_edges
+    from .operators.graphstats import degree_assortativity
+
+    edges = entity_edges(
+        detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    )
+    return degree_assortativity(edges)
+
+
+def _readability_oracle() -> str:
+    from .operators.textops import readability_sql
+
+    return readability_sql()
+
+
+@_register("ds_readability", oracle=_readability_oracle)
+def ds_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease gate over the documents table: exact integer
+    word / sentence-mark / vowel-group counts from codegen regex built-ins,
+    one float formula snapped to the half-away 1e-3 grid, banded into
+    reading-difficulty classes — a pure per-row projection (NO shuffle)
+    composable with the other ds_* quality signals
+    (operators/textops.py::readability)."""
+    from .operators.textops import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+_UNPIVOT_MEASURES = ("quantity", "extendedprice", "discount", "tax")
+
+
+@_register(
+    "rel_unpivot",
+    oracle="""
+    WITH long AS (
+      SELECT 'quantity' AS measure,
+             ROUND(l_quantity * 100)::BIGINT AS cents FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', ROUND(l_extendedprice * 100)::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount', ROUND(l_discount * 100)::BIGINT FROM lineitem
+      UNION ALL
+      SELECT 'tax', ROUND(l_tax * 100)::BIGINT FROM lineitem)
+    SELECT measure,
+           COUNT(*)::BIGINT AS n,
+           SUM(cents)::BIGINT AS sum_cents,
+           FLOOR((SUM(cents)::DOUBLE / COUNT(*)::DOUBLE) * 1e6 + 0.5) / 1e6
+             AS avg_cents
+    FROM long GROUP BY measure
+    """,
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long UNPIVOT of the four lineitem measures via stack()
+    (codegen generator, NO join/union re-scan: Spark reads the table ONCE
+    and emits 4 rows per input row, vs the naive 4x UNION ALL re-scan the
+    oracle spells out), then a map-side-combined per-measure profile in
+    exact cents with one snapped division."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = ", ".join(
+        f"'{m}', CAST(ROUND(l_{m} * 100) AS BIGINT)"
+        for m in _UNPIVOT_MEASURES
+    )
+    long = li.selectExpr(
+        f"stack({len(_UNPIVOT_MEASURES)}, {pairs}) AS (measure, cents)"
+    )
+    avg = (
+        F.floor(
+            (F.col("sum_cents").cast("double") / F.col("n").cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select("measure", "n", "sum_cents", avg.alias("avg_cents"))
+    )

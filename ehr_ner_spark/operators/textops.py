@@ -743,3 +743,79 @@ def char_entropy_sql(table: str = "documents", text_col: str = "text") -> str:
                 ELSE 'ok' END AS entropy_gate
     FROM h
     """
+
+
+# Flesch band cuts (standard reading-ease bands).
+FLESCH_BANDS = ((90.0, "very_easy"), (60.0, "standard"), (30.0, "difficult"))
+
+
+def readability(docs_in: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease quality gate: per-doc word / sentence / syllable
+    counts (syllables approximated as ``[aeiouy]+`` vowel groups — the
+    classic deterministic proxy) and the Flesch score
+    ``206.835 - 1.015*(words/sents) - 84.6*(syll/words)`` banded into
+    reading-difficulty classes.
+
+    All counts are exact integers from codegen regex built-ins; the score
+    is one float formula over them, snapped to the shared half-away 1e-3
+    grid so the DuckDB twin is bit-identical.  One scan, no shuffle at all
+    (per-row projection), filter-gate composable with the other ds_*
+    quality signals."""
+    docs = fan_out(docs_in)
+    n_words = F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+"))
+    n_sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")),
+        F.lit(1),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    s3 = F.floor(score * F.lit(1e3) + F.lit(0.5)) / F.lit(1e3)
+    band = F.when(s3 >= FLESCH_BANDS[0][0], F.lit(FLESCH_BANDS[0][1]))
+    for cut, name in FLESCH_BANDS[1:]:
+        band = band.when(s3 >= cut, F.lit(name))
+    band = band.otherwise(F.lit("very_difficult"))
+    return docs.where(F.length(text_col) > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sents"),
+        n_syll.cast("long").alias("n_syllables"),
+        s3.alias("flesch"),
+        band.alias("band"),
+    )
+
+
+def readability_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`readability` — identical regex counts (shared
+    Java/RE2 syntax), identical formula, identical rounding and bands."""
+    cases = "\n                ".join(
+        f"WHEN flesch >= {cut} THEN '{name}'" for cut, name in FLESCH_BANDS
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim({text_col}),
+                                       '[ \\t\\n\\r\\f]+'))::BIGINT AS n_words,
+             GREATEST(len(regexp_extract_all({text_col}, '[.!?]+')),
+                      1)::BIGINT AS n_sents,
+             GREATEST(len(regexp_extract_all(lower({text_col}),
+                                             '[aeiouy]+')),
+                      1)::BIGINT AS n_syllables
+      FROM {table} WHERE length({text_col}) > 0),
+    s AS (
+      SELECT doc_id, n_words, n_sents, n_syllables,
+             FLOOR((206.835
+                    - 1.015 * (n_words::DOUBLE / n_sents::DOUBLE)
+                    - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
+                   * 1e3 + 0.5) / 1e3 AS flesch
+      FROM c)
+    SELECT doc_id, n_words, n_sents, n_syllables, flesch,
+           CASE {cases}
+                ELSE 'very_difficult' END AS band
+    FROM s
+    """
