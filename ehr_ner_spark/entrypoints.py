@@ -5188,3 +5188,64 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("measure", "n", "sum_cents", avg.alias("avg_cents"))
     )
+
+
+def _golden_record_oracle() -> str:
+    from .operators.mention_sql import minhash_dedup_oracle_sql
+    from .operators.survivorship import golden_records_sql
+
+    return golden_records_sql(minhash_dedup_oracle_sql(threshold=0.6))
+
+
+@_register("ds_golden_record", oracle=_golden_record_oracle)
+def ds_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship over the engine's OWN MinHash/LSH near-dup
+    clusters: one merged golden row per cluster with per-field rules
+    (canonical id = min, content = longest text with min-id tiebreak via
+    the combinable min-of-struct vote, metadata = majority lang) — two
+    map-side-combined groupBy passes, NO window/sort anywhere
+    (operators/survivorship.py)."""
+    from .operators.dedup import minhash_lsh_dedup
+    from .operators.survivorship import golden_records
+
+    docs = _t(spark, sf_dir, "documents")
+    return golden_records(docs, minhash_lsh_dedup(docs, threshold=0.6))
+
+
+def _concurrency_oracle() -> str:
+    from .operators.sweepline import concurrency_profile_sql
+
+    return concurrency_profile_sql()
+
+
+@_register("rel_concurrency_profile", oracle=_concurrency_oracle)
+def rel_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max-concurrency per hour (each event holds a 5-minute
+    session open) — the distributed TWO-PHASE PREFIX SUM instead of the
+    naive single-task globally-ordered running sum: marks netted per
+    (hour, t) map-side, intra-hour running sum partitioned by hour, and
+    the cross-hour carry an exclusive prefix over the one-row-per-hour
+    totals frame that does not grow with the corpus
+    (operators/sweepline.py)."""
+    from .operators.sweepline import concurrency_profile
+
+    return concurrency_profile(_t(spark, sf_dir, "events"))
+
+
+def _silhouette_oracle() -> str:
+    from .operators.silhouette import silhouette_sql
+
+    return silhouette_sql()
+
+
+@_register("ds_silhouette", oracle=_silhouette_oracle)
+def ds_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette per label — the linear-time
+    cluster-coherence gate for embedding-space curation: snapped per-dim
+    centroid means (L×D groups at any scale), an n×L broadcast nested
+    loop of deterministic JVM distance folds, and a per-label mean taken
+    as an EXACT BIGINT sum of snapped micro-units so no float
+    accumulation order reaches the output (operators/silhouette.py)."""
+    from .operators.silhouette import silhouette_by_label
+
+    return silhouette_by_label(_t(spark, sf_dir, "embeddings"))
