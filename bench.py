@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "ds_lm_buckets",
     "kg_fuzzy_aliases",
     "rel_snapshot_diff",
+    "ds_golden_record",
+    "rel_concurrency_profile",
 ]
 
 
