@@ -241,13 +241,17 @@ def _run_pipeline(spark, sf_dir: str, rep: int) -> tuple[float, int]:
     # ratio and misreport steady-state scaling (cold-start is reported
     # separately in BENCH/BASELINE.md)
     once(2)
-    # min-of-2 timed runs, same as _run_scoring: per-stage profiling shows
-    # the detect stage is stable (±1%) but the link tail's seconds-scale
-    # shuffle stages swing 3-4x with JIT/GC state and transient host load —
-    # the min is the noise-robust estimator of the plan's cost, and the
-    # warm-JVM regime it selects is the steady-state a long-lived cluster
-    # executor actually runs in
-    return min(once(rep) for _ in range(2)), n_base * rep
+    # min-of-N timed runs, same estimator as _run_scoring: per-stage
+    # profiling shows the detect stage is stable (±1%) but the link tail's
+    # seconds-scale shuffle stages swing 3-4x with JIT/GC state and
+    # transient host load — the min is the noise-robust estimator of the
+    # plan's cost, and the warm-JVM regime it selects is the steady-state a
+    # long-lived cluster executor actually runs in.  N defaults to 3: the
+    # session-13 quiet run showed min-of-2 still lands mid-swing at
+    # local[16] (tries 0.693/0.685/0.34 with one 94-150 s swing per pair),
+    # and one extra rep per level is cheaper than burning a whole try.
+    n_min = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_MIN_OF", "3"))
+    return min(once(rep) for _ in range(n_min)), n_base * rep
 
 
 def _pipeline_child_run(cores: int, rep: int) -> tuple[float, int]:
