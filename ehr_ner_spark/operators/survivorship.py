@@ -30,8 +30,15 @@ def golden_records(docs: DataFrame, clusters: DataFrame) -> DataFrame:
     * ``major_lang``    — metadata rule: majority lang, ties -> min lang
     * ``max_n_chars``, ``n_members`` — merge provenance
     """
-    j = docs.join(clusters, "doc_id").select(
-        "doc_id", "text", "lang", "n_chars", "component"
+    from ..cache import tracked_persist
+
+    # j feeds TWO aggregations (field elections + the lang majority vote);
+    # without a persist the whole upstream — including the MinHash/LSH
+    # clustering — executes twice
+    j = tracked_persist(
+        docs.join(clusters, "doc_id").select(
+            "doc_id", "text", "lang", "n_chars", "component"
+        )
     )
     base = (
         j.groupBy("component")
