@@ -7,7 +7,8 @@ SF = "/root/testdata/sf0.01"
 PICK = ["kg_mentions", "kg_canonical_triples", "ds_minhash_lsh_pairs",
         "ds_ngram_jaccard", "ds_bm25_topk", "rel_partitioned_scan",
         "ds_lm_buckets", "kg_ego_networks", "kg_adjacency_csr",
-        "kg_blocking_stats", "rel_zorder_layout", "kg_fuzzy_aliases"]
+        "kg_blocking_stats", "rel_zorder_layout", "kg_fuzzy_aliases", "kg_type_hierarchy_closure",
+        "rel_concurrency_profile", "ds_golden_record", "ds_silhouette"]
 BLURB = {
     "kg_mentions": "Flagship battery detect: ONE explicit doc-hash Exchange, ONE Arrow scorer stage, content pruned before the mention stream.",
     "kg_canonical_triples": "Whole north-rule pipeline: detect -> LSH linking -> CC -> election -> triples.",
@@ -21,6 +22,10 @@ BLURB = {
     "kg_blocking_stats": "LSH blocking audit: band explode, two key-local count aggs, output bounded by LSH_BANDS.",
     "rel_zorder_layout": "Z-order layout: the 32-term Morton interleave is a pure codegen column expression — no UDF, no window, one bucket-keyed Exchange.",
     "kg_fuzzy_aliases": "Fuzzy aliases: blocked candidate generation as a (first, len-key) equi-join — no cartesian/nested loop; levenshtein runs only on candidates.",
+    "kg_type_hierarchy_closure": "Ontology rollup: closure computed dim-side in Python and BROADCAST; the fact stream collapses to <=31 per-type rows before the join — no iterative join touches the mentions.",
+    "rel_concurrency_profile": "Sweep-line concurrency: two-phase prefix sum — the data-sized running-sum Window is partitioned by hour; the only unpartitioned Window runs over the one-row-per-hour totals frame.",
+    "ds_golden_record": "MDM survivorship: persisted join feeds TWO map-side-combined aggregate passes; every election is a combinable min/max/min-of-struct — no window, no sort.",
+    "ds_silhouette": "Centroid silhouette: L×D-bounded centroid aggregate, broadcast nested loop of JVM distance folds, exact BIGINT micro-unit mean.",
 }
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "32").getOrCreate())
