@@ -32,15 +32,22 @@ WINDOW_S = 300  # each event holds a session open for 5 minutes
 def concurrency_profile(events: DataFrame, window_s: int = WINDOW_S) -> DataFrame:
     """``events (event_id, ts, ...)`` -> per-hour
     ``(hour, n_opens, max_concurrency)``."""
-    opens = events.select(
-        F.col("ts").alias("t"), F.lit(1).alias("delta")
-    )
-    closes = events.select(
-        (F.col("ts") + F.expr(f"INTERVAL {window_s} SECONDS")).alias("t"),
-        F.lit(-1).alias("delta"),
-    )
+    # both marks from ONE scan: an inline generator (2 rows per event)
+    # instead of a UNION ALL that reads the events table twice
     marks = (
-        opens.unionByName(closes)
+        events.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                    F.struct(
+                        (F.col("ts") + F.expr(f"INTERVAL {window_s} SECONDS"))
+                        .alias("t"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("m")
+        )
+        .select(F.col("m.t").alias("t"), F.col("m.delta").alias("delta"))
         .withColumn("bucket", F.date_trunc("hour", F.col("t")))
         .groupBy("bucket", "t")
         .agg(

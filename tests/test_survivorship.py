@@ -89,6 +89,15 @@ def test_concurrency_carry_crosses_hours(spark):
     assert h11["max_concurrency"] == 2  # carry 1 + open at 11:01:59
 
 
+def test_concurrency_profile_single_scan(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_concurrency_profile"](spark, sf_dir)
+    plan = _plan(df)
+    # open+close marks come from ONE events scan via an inline generator,
+    # not a UNION ALL re-scan
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" in plan
+
+
 def test_silhouette_separated_clusters_score_high(spark):
     rows = []
     for i in range(6):
