@@ -5249,3 +5249,44 @@ def ds_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.silhouette import silhouette_by_label
 
     return silhouette_by_label(_t(spark, sf_dir, "embeddings"))
+
+
+def _incremental_dedup_oracle() -> str:
+    from .operators.mention_sql import incremental_dedup_oracle_sql
+
+    return incremental_dedup_oracle_sql(threshold=0.6)
+
+
+@_register("ds_incremental_dedup", oracle=_incremental_dedup_oracle)
+def ds_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: which batch documents (doc_id % 10 == 0) near-
+    duplicate something ALREADY in the indexed corpus.  The candidate join
+    is ASYMMETRIC — the small batch band frame is broadcast and PROBES the
+    corpus band frame in place (the 100-TB corpus is never self-joined or
+    re-shuffled, exactly like querying an LSH index); hot base buckets are
+    capped (PAIR_CAP broadcast anti-join); exact Jaccard verifies every
+    survivor; best match elected by (max jaccard, min base id)
+    (operators/dedup.py::incremental_dedup)."""
+    from .operators.dedup import incremental_dedup
+
+    return incremental_dedup(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def _entity_trend_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+    from .operators.trend import entity_trend_sql
+
+    return entity_trend_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_entity_trend", oracle=_entity_trend_oracle)
+def kg_entity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rising/falling entities across ingest batches: exact OLS slope of
+    per-surface mention counts over 8 equal-width doc-id buckets — dense
+    zero-filled grid via a broadcast cross join against the CONSTANT-size
+    bucket dim, BIGINT moments map-side combined, ONE snapped division
+    (operators/trend.py)."""
+    from .operators.trend import entity_trend
+
+    return entity_trend(detect_mentions(corpus(spark, sf_dir),
+                                        num_partitions=8))

@@ -773,3 +773,93 @@ def segment_dedup_sql(table: str = "documents", seg_words: int = SEG_WORDS,
            COALESCE(a.text_dedup, '') AS text_dedup
     FROM base b LEFT JOIN agg a USING (doc_id)
     """
+
+
+BATCH_MOD = 10  # doc_id % BATCH_MOD == 0 -> "today's ingest batch"
+
+
+def incremental_dedup(docs: DataFrame, threshold: float = 0.6,
+                      batch_mod: int = BATCH_MOD) -> DataFrame:
+    """Incremental (ingest-batch vs indexed-corpus) near-dup detection:
+    which documents of today's batch near-duplicate something ALREADY in
+    the corpus.  Output one row per duplicated batch doc:
+    ``(doc_id, n_matches, dup_of, jaccard)`` — dup_of = the best base
+    match (max Jaccard, ties -> min base doc_id).
+
+    This is the daily-ingest shape of dedup, and its scale story is the
+    point: the candidate join is ASYMMETRIC — the small batch side's band
+    frame is broadcast against the corpus band frame, so the 100-TB corpus
+    is never self-joined and never re-shuffled; it is probed in place,
+    exactly like querying an LSH index.  A hot-bucket cap (base-side band
+    buckets larger than PAIR_CAP are dropped, the ngram_jaccard DF-cap
+    discipline) bounds the worst boilerplate bucket; exact Jaccard over
+    shingle sets verifies every surviving candidate.
+    """
+    from .linking import (
+        PAIR_CAP,
+        band_frame,
+        surface_signatures,
+        verified_edges,
+    )
+
+    pseudo = docs.select(F.col("text"), F.col("doc_id"))
+    sigs = tracked_persist(surface_signatures(pseudo))
+    sdocs = tracked_persist(
+        docs.select(
+            "doc_id",
+            md5_60_expr(F.col("text")).alias("surface_id"),
+            (F.col("doc_id") % batch_mod == 0).alias("is_batch"),
+        )
+    )
+    bands = tracked_persist(band_frame(sigs))
+    batch_bands = bands.join(
+        sdocs.where(F.col("is_batch")).select("surface_id").distinct(),
+        "surface_id",
+    ).select(F.col("surface_id").alias("src"), "band", "band_hash")
+    base_bands = bands.join(
+        sdocs.where(~F.col("is_batch")).select("surface_id").distinct(),
+        "surface_id",
+    ).select(F.col("surface_id").alias("dst"), "band", "band_hash")
+    # hot-bucket cap: drop base buckets larger than PAIR_CAP (tiny frame,
+    # broadcast anti-join — the boilerplate guard)
+    hot = (
+        base_bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > PAIR_CAP)
+        .select("band", "band_hash")
+    )
+    base_bands = base_bands.join(
+        F.broadcast(hot), ["band", "band_hash"], "left_anti"
+    )
+    cand = (
+        F.broadcast(batch_bands)
+        .join(base_bands, ["band", "band_hash"])
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    edges = verified_edges(sigs, cand, threshold)
+    bdocs = sdocs.where(F.col("is_batch")).select(
+        F.col("doc_id").alias("batch_doc"), F.col("surface_id").alias("src")
+    )
+    basedocs = sdocs.where(~F.col("is_batch")).select(
+        F.col("doc_id").alias("base_doc"), F.col("surface_id").alias("dst")
+    )
+    pairs = edges.join(bdocs, "src").join(basedocs, "dst")
+    return (
+        pairs.groupBy(F.col("batch_doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min(
+                F.struct(
+                    (-F.col("jaccard")).alias("nj"),
+                    F.col("base_doc").alias("base_doc"),
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "n_matches",
+            F.col("w.base_doc").alias("dup_of"),
+            (-F.col("w.nj")).alias("jaccard"),
+        )
+    )

@@ -801,3 +801,104 @@ def lsh_ann_oracle_sql(query_ids: list, k: int = 5) -> str:
     SELECT query_id, rank, vec_id, ROUND(cos, 3) AS score
     FROM ranked WHERE rank <= {k}
     """
+
+
+def incremental_dedup_oracle_sql(threshold: float = 0.6,
+                                 batch_mod: int = 10) -> str:
+    """DuckDB twin of ``dedup.incremental_dedup``: the same shingle/MinHash
+    machinery as ``minhash_dedup_oracle_sql``, but with the asymmetric
+    batch-vs-base band join, the base-side hot-bucket cap, exact Jaccard
+    verify, and the (max jaccard, min base id) best-match election."""
+    from .linking import (
+        LSH_ROWS,
+        MINHASH_K,
+        PAIR_CAP,
+        SHINGLE_N,
+        _lh_coeffs,
+        _P31,
+    )
+
+    coef_rows = ",\n        ".join(
+        "({}, {}, {})".format(i, *_lh_coeffs(i)) for i in range(MINHASH_K)
+    )
+    return f"""
+    WITH surfaces AS MATERIALIZED (
+      SELECT text, ('0x' || substr(md5(text), 1, 15))::BIGINT AS surface_id
+      FROM (SELECT DISTINCT text FROM documents)),
+    padded AS (
+      SELECT surface_id,
+             CASE WHEN length(text) >= {SHINGLE_N} THEN text
+                  ELSE text || repeat(chr(0), {SHINGLE_N} - length(text))
+             END AS pt
+      FROM surfaces),
+    ssh AS (
+      SELECT DISTINCT surface_id,
+             ('0x' || substr(md5(substr(pt, i + 1, {SHINGLE_N})), 1, 15))::BIGINT AS h
+      FROM (SELECT surface_id, pt,
+                   unnest(range(length(pt) - {SHINGLE_N} + 1)) AS i
+            FROM padded)),
+    coef AS (SELECT * FROM (VALUES
+        {coef_rows}) v(perm, a, b)),
+    sig AS (
+      SELECT surface_id, perm,
+             MIN((a * (h % {_P31}) + b) % {_P31}) AS mh
+      FROM ssh CROSS JOIN coef
+      GROUP BY 1, 2),
+    bandrows AS (
+      SELECT surface_id, perm // {LSH_ROWS} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY perm) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    sdocs AS (
+      SELECT d.doc_id, s.surface_id, d.doc_id % {batch_mod} = 0 AS is_batch
+      FROM documents d JOIN surfaces s ON s.text = d.text),
+    batchb AS (
+      SELECT DISTINCT br.surface_id AS src, br.band, br.band_sig
+      FROM bandrows br
+      WHERE br.surface_id IN
+            (SELECT surface_id FROM sdocs WHERE is_batch)),
+    baseb AS (
+      SELECT DISTINCT br.surface_id AS dst, br.band, br.band_sig
+      FROM bandrows br
+      WHERE br.surface_id IN
+            (SELECT surface_id FROM sdocs WHERE NOT is_batch)),
+    hot AS (
+      SELECT band, band_sig FROM baseb
+      GROUP BY 1, 2 HAVING COUNT(*) > {PAIR_CAP}),
+    cand AS (
+      SELECT DISTINCT a.src, b.dst
+      FROM batchb a
+      JOIN baseb b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band = b.band
+                          AND h.band_sig = b.band_sig)),
+    sizes AS (SELECT surface_id, COUNT(*) AS n_sh FROM ssh GROUP BY 1),
+    inter AS (
+      SELECT p.src, p.dst, COUNT(*) AS n_common
+      FROM cand p
+      JOIN ssh a ON a.surface_id = p.src
+      JOIN ssh b ON b.surface_id = p.dst AND b.h = a.h
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT src, dst,
+             n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.surface_id = src
+      JOIN sizes sb ON sb.surface_id = dst
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+            >= {threshold}),
+    pairs AS (
+      SELECT bd.doc_id AS batch_doc, sd.doc_id AS base_doc, e.jaccard
+      FROM edges e
+      JOIN sdocs bd ON bd.surface_id = e.src AND bd.is_batch
+      JOIN sdocs sd ON sd.surface_id = e.dst AND NOT sd.is_batch),
+    agg AS (
+      SELECT batch_doc AS doc_id, COUNT(*)::BIGINT AS n_matches,
+             MAX(jaccard) AS mj
+      FROM pairs GROUP BY 1)
+    SELECT a.doc_id, a.n_matches,
+           MIN(p.base_doc) AS dup_of, a.mj AS jaccard
+    FROM agg a
+    JOIN pairs p ON p.batch_doc = a.doc_id AND p.jaccard = a.mj
+    GROUP BY a.doc_id, a.n_matches, a.mj
+    """
