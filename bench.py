@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "rel_snapshot_diff",
     "ds_golden_record",
     "rel_concurrency_profile",
+    "rel_interval_join",
 ]
 
 

@@ -5290,3 +5290,44 @@ def kg_entity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return entity_trend(detect_mentions(corpus(spark, sf_dir),
                                         num_partitions=8))
+
+
+def _interval_join_oracle() -> str:
+    from .operators.intervals import interval_join_sql
+
+    return interval_join_sql()
+
+
+@_register("rel_interval_join", oracle=_interval_join_oracle)
+def rel_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (sessions × incident windows) — the
+    theta join Catalyst can only nested-loop, rewritten as a banded hash
+    join: both interval sets explode to the fixed-width time bands they
+    cover, equi-join on the band, exact residual overlap predicate, and
+    each pair survives exactly once via the first-shared-band condition
+    (band == greatest(s_start, i_start) DIV W) — no distinct, no nested
+    loop, shuffle volume tuned by W (operators/intervals.py)."""
+    from .operators.intervals import interval_join
+
+    return interval_join(_t(spark, sf_dir, "events"))
+
+
+def _entity_intervals_oracle() -> str:
+    from .operators.intervals import entity_intervals_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return entity_intervals_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_entity_intervals", oracle=_entity_intervals_oracle)
+def kg_entity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-KG validity intervals: per mention surface, maximal runs
+    of consecutive attested ingest buckets (gaps-and-islands on the
+    kg_entity_trend doc-id time axis) — per-bucket counts map-side
+    combined, the island window keyed by surface over <= N_BUCKETS rows
+    per key (constant-bounded at any corpus size)
+    (operators/intervals.py)."""
+    from .operators.intervals import entity_intervals
+
+    return entity_intervals(detect_mentions(corpus(spark, sf_dir),
+                                            num_partitions=8))

@@ -1010,3 +1010,17 @@ def test_ewma_keylocal_shuffles_no_window(spark, sf_dir):
     assert "partial_sum" in plan or "partial_count" in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The banded interval-overlap join plans as a hash/sort-merge
+    equi-join on the time band — never the BroadcastNestedLoopJoin the
+    raw interval x interval theta predicate would force."""
+    df = entrypoints.QUERIES_REGISTRY["rel_interval_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
