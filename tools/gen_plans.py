@@ -8,7 +8,8 @@ PICK = ["kg_mentions", "kg_canonical_triples", "ds_minhash_lsh_pairs",
         "ds_ngram_jaccard", "ds_bm25_topk", "rel_partitioned_scan",
         "ds_lm_buckets", "kg_ego_networks", "kg_adjacency_csr",
         "kg_blocking_stats", "rel_zorder_layout", "kg_fuzzy_aliases", "kg_type_hierarchy_closure",
-        "rel_concurrency_profile", "ds_golden_record", "ds_silhouette"]
+        "rel_concurrency_profile", "ds_golden_record", "ds_silhouette",
+        "rel_interval_join"]
 BLURB = {
     "kg_mentions": "Flagship battery detect: ONE explicit doc-hash Exchange, ONE Arrow scorer stage, content pruned before the mention stream.",
     "kg_canonical_triples": "Whole north-rule pipeline: detect -> LSH linking -> CC -> election -> triples.",
@@ -26,6 +27,7 @@ BLURB = {
     "rel_concurrency_profile": "Sweep-line concurrency: two-phase prefix sum — the data-sized running-sum Window is partitioned by hour; the only unpartitioned Window runs over the one-row-per-hour totals frame.",
     "ds_golden_record": "MDM survivorship: persisted join feeds TWO map-side-combined aggregate passes; every election is a combinable min/max/min-of-struct — no window, no sort.",
     "ds_silhouette": "Centroid silhouette: L×D-bounded centroid aggregate, broadcast nested loop of JVM distance folds, exact BIGINT micro-unit mean.",
+    "rel_interval_join": "Banded interval-overlap join: both interval sets explode to fixed-width time bands, hash-join on the band (never a nested loop), exact residual overlap predicate, first-shared-band pair dedup without a distinct.",
 }
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "32").getOrCreate())
