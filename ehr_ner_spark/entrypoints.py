@@ -5331,3 +5331,40 @@ def kg_entity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return entity_intervals(detect_mentions(corpus(spark, sf_dir),
                                             num_partitions=8))
+
+
+def _jsonl_ingest_oracle() -> str:
+    from .io.formats import jsonl_ingest_audit_sql
+
+    return jsonl_ingest_audit_sql()
+
+
+@_register("ds_jsonl_ingest", oracle=_jsonl_ingest_oracle)
+def ds_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source with PERMISSIVE corrupt-record auditing: the corpus
+    serialized to JSONL with every 10th line truncated (guaranteed-invalid
+    JSON), read back with an EXPLICIT schema (no inference scan) so
+    malformed lines land in _corrupt_record instead of failing the job;
+    emits the per-language parse audit.  The oracle predicts the audit
+    straight from the documents view — the round-trip-identity claim
+    (io/formats.py::jsonl_ingest_audit)."""
+    from .io.formats import jsonl_ingest_audit
+
+    return jsonl_ingest_audit(_t(spark, sf_dir, "documents"))
+
+
+def _orc_roundtrip_oracle() -> str:
+    from .io.formats import orc_roundtrip_sql
+
+    return orc_roundtrip_sql()
+
+
+@_register("rel_orc_roundtrip", oracle=_orc_roundtrip_oracle)
+def rel_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip: a lineitem projection written as ORC,
+    read back, profiled in exact cents — Spark's second native columnar
+    format behaves identically to parquet under the engine's integer-cents
+    discipline (io/formats.py::orc_roundtrip)."""
+    from .io.formats import orc_roundtrip
+
+    return orc_roundtrip(_t(spark, sf_dir, "lineitem"))
