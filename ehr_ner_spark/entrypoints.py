@@ -5368,3 +5368,42 @@ def rel_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io.formats import orc_roundtrip
 
     return orc_roundtrip(_t(spark, sf_dir, "lineitem"))
+
+
+def _skyline_oracle() -> str:
+    from .operators.skyline import skyline_price_size_sql
+
+    return skyline_price_size_sql()
+
+
+@_register("rel_skyline", oracle=_skyline_oracle)
+def rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 2-D skyline (Pareto frontier) on part: minimize
+    price_cents, maximize p_size.  Engine = per-price max aggregate + the
+    house two-phase banded prefix-MAX (no data-sized global window);
+    oracle = the quadratic NOT-EXISTS dominance formulation, so both
+    engines reach the frontier through independent algorithms
+    (operators/skyline.py)."""
+    from .operators.skyline import skyline_price_size
+
+    return skyline_price_size(_t(spark, sf_dir, "part"))
+
+
+def _weighted_reservoir_oracle() -> str:
+    from .operators.sampling import weighted_reservoir_sql
+
+    return weighted_reservoir_sql()
+
+
+@_register("ds_weighted_reservoir", oracle=_weighted_reservoir_oracle)
+def ds_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: top-k
+    docs per language ranked by u^(1/w) with w = token count and u the
+    deterministic md5_60 hash mapped into (0,1] — length-weighted corpus
+    subsampling with no RNG state.  Two-phase top-k (per-(stratum, salt)
+    slice ranks with a WindowGroupLimit heap, then the bounded survivor
+    frame takes the stratum-wide rank) so no stratum is ever fully sorted
+    (operators/sampling.py::weighted_reservoir)."""
+    from .operators.sampling import weighted_reservoir
+
+    return weighted_reservoir(_t(spark, sf_dir, "documents"))

@@ -416,3 +416,120 @@ def temperature_mixture_sql(
     FROM ranked r JOIN quotas q USING (stratum)
     WHERE r.rnk <= q.quota
     """
+
+
+RESERVOIR_K = 12
+RESERVOIR_SALTS = 8
+ARES_SALT = "ares"
+TWO_POW_60 = float(1 << 60)
+
+
+def weighted_reservoir(
+    docs_in: DataFrame,
+    k: int = RESERVOIR_K,
+    n_salts: int = RESERVOIR_SALTS,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = ARES_SALT,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    keep the top-``k`` documents per stratum ranked by ``u^(1/w)`` — each
+    doc's inclusion probability is proportional to its weight ``w`` (here
+    the whitespace token count, the "sample long documents more" quality
+    mix every pre-training data recipe needs), yet the draw is a one-pass
+    rank, not an accept/reject loop.
+
+    Determinism discipline: the "random" ``u`` is the house md5_60 hash of
+    the doc id mapped into (0, 1] — no RNG state, so the sample is
+    identical across runs, resumes, cluster sizes and engines.  The rank
+    key ``ln(u)/w`` (monotone in u^(1/w)) is snapped to an integer
+    nano-grid with the shared half-away ROUND before ORDERING, and ties
+    break on doc_id, so a last-ulp ln() divergence between engines cannot
+    reorder the sample.
+
+    Scale shape — top-k per group WITHOUT sorting the stratum: the corpus
+    is first ranked inside (stratum, salt) slices (``n_salts`` deterministic
+    hash salts, so each window task sorts ~1/n_salts of a stratum and the
+    constant rank cap installs WindowGroupLimit map-side heaps), then only
+    the <= n_salts*k survivors per stratum take the final stratum-wide
+    rank — a frame that no longer grows with the corpus.  Two-phase top-k
+    equals global top-k because every stage-1 slice retains its own top-k,
+    a superset of its contribution to the stratum's top-k.
+
+    Output: (stratum, doc_id, weight, key_nano, rnk).
+    Reference analog: none (engine-supplied pipeline component).
+    """
+    h = md5_60_expr(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = F.size(F.split(F.col(text_col), " ")).cast("long")
+    # u = (h+1)/2^60 in (0,1]; key = ln(u)/w, snapped half-away to nanos
+    key_nano = F.round(
+        F.log((h + F.lit(1)).cast("double") / F.lit(TWO_POW_60))
+        / w.cast("double")
+        * F.lit(1e9)
+    ).cast("long")
+    base = fan_out(docs_in).select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        w.alias("weight"),
+        key_nano.alias("key_nano"),
+        F.pmod(
+            md5_60_expr(
+                F.concat(F.lit("salt:"), F.col(id_col).cast("string"))
+            ),
+            F.lit(n_salts),
+        ).alias("_slice"),
+    )
+    slice_rn = F.row_number().over(
+        Window.partitionBy("stratum", "_slice")
+        .orderBy(F.col("key_nano").desc(), "doc_id")
+    )
+    survivors = (
+        base.withColumn("_rn", slice_rn)
+        .where(F.col("_rn") <= F.lit(k))  # constant cap -> group limit
+        .drop("_rn", "_slice")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("stratum")
+        .orderBy(F.col("key_nano").desc(), "doc_id")
+    )
+    return (
+        survivors.withColumn("rnk", rnk.cast("long"))
+        .where(F.col("rnk") <= F.lit(k))
+    )
+
+
+def weighted_reservoir_sql(
+    k: int = RESERVOIR_K,
+    table: str = "documents",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = ARES_SALT,
+) -> str:
+    """DuckDB twin of :func:`weighted_reservoir` — the plain one-window
+    per-stratum top-k the two-phase plan must equal (identical hash,
+    identical snapped key, identical tiebreak)."""
+    h = (
+        f"('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT {stratum_col} AS stratum, {id_col} AS doc_id,
+             len(string_split({text_col}, ' '))::BIGINT AS weight,
+             CAST(ROUND(
+               LN((({h}) + 1)::DOUBLE / {TWO_POW_60!r})
+               / len(string_split({text_col}, ' '))::DOUBLE * 1e9
+             ) AS BIGINT) AS key_nano
+      FROM {table}),
+    ranked AS (
+      SELECT stratum, doc_id, weight, key_nano,
+             ROW_NUMBER() OVER (PARTITION BY stratum
+                                ORDER BY key_nano DESC, doc_id) AS rnk
+      FROM keyed)
+    SELECT stratum, doc_id, weight, key_nano, rnk
+    FROM ranked WHERE rnk <= {k}
+    """

@@ -167,3 +167,77 @@ def test_temperature_mixture_allocation(spark, sf_dir):
     # temperature flattens: the share of the largest stratum shrinks
     big = max(counts, key=counts.get)
     assert expect_quota[big] / 60 < counts[big] / sum(counts.values()) + 1e-9
+
+
+def test_weighted_reservoir_two_phase_equals_global_topk(spark, sf_dir):
+    """The salted two-phase rank must equal the plain per-stratum top-k
+    over the same deterministic keys (recomputed here in pandas), and the
+    ranking must be weight-aware: every kept doc beats every dropped doc
+    of its stratum on (key_nano, doc_id)."""
+    import hashlib
+    import math
+
+    from ehr_ner_spark.operators.sampling import (
+        RESERVOIR_K,
+        weighted_reservoir,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = weighted_reservoir(docs).toPandas()
+
+    pdf = docs.select("doc_id", "lang", "text").toPandas()
+
+    def key_nano(doc_id, text):
+        h = int(
+            hashlib.md5(f"ares:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        w = len(text.split(" "))
+        k = math.log((h + 1) / float(1 << 60)) / w * 1e9
+        return math.floor(k + 0.5) if k >= 0 else -math.floor(-k + 0.5)
+
+    pdf["key_nano"] = [
+        key_nano(d, t) for d, t in zip(pdf.doc_id, pdf.text)
+    ]
+    want = {}
+    for lang, grp in pdf.groupby("lang"):
+        ordered = grp.sort_values(
+            ["key_nano", "doc_id"], ascending=[False, True]
+        )
+        want[lang] = list(ordered.doc_id.head(RESERVOIR_K))
+    for lang, grp in got.groupby("stratum"):
+        ordered = grp.sort_values("rnk")
+        assert list(ordered.doc_id) == want[lang]
+
+
+def test_weighted_reservoir_small_stratum_keeps_all(spark):
+    """A stratum with fewer rows than k returns every row, ranked."""
+    from pyspark.sql import Row
+
+    from ehr_ner_spark.operators.sampling import weighted_reservoir
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, lang="xx", source="s", n_chars=9,
+                text="a few words here")
+            for i in range(3)
+        ]
+    )
+    out = weighted_reservoir(docs).toPandas()
+    assert len(out) == 3
+    assert sorted(out.rnk) == [1, 2, 3]
+
+
+def test_weighted_reservoir_stage1_uses_group_limit(spark, sf_dir):
+    """The constant rank cap must install WindowGroupLimit (map-side
+    heaps) so no (stratum, salt) slice is ever fully materialized-sorted
+    past its top-k."""
+    from ehr_ner_spark.operators.sampling import weighted_reservoir
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        weighted_reservoir(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
