@@ -5407,3 +5407,41 @@ def ds_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import weighted_reservoir
 
     return weighted_reservoir(_t(spark, sf_dir, "documents"))
+
+
+def _benford_oracle() -> str:
+    from .operators.dataquality import benford_audit_sql
+
+    return benford_audit_sql()
+
+
+@_register("rel_benford_audit", oracle=_benford_oracle)
+def rel_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order amounts — the
+    fraud / synthetic-data screen: observed vs expected digit shares in
+    integer basis points (the log10 expectations are pre-computed integer
+    literals; no engine takes a log at query time).  One map-only digit
+    projection + a 9-group aggregate + a broadcast one-row total
+    (operators/dataquality.py::benford_audit)."""
+    from .operators.dataquality import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"))
+
+
+def _split_leakage_oracle() -> str:
+    from .operators.dataquality import split_leakage_sql
+
+    return split_leakage_sql()
+
+
+@_register("ds_split_leakage", oracle=_split_leakage_oracle)
+def ds_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: MinHash/LSH near-dup pairs that straddle
+    the deterministic train/val/test split.  Because the split is a pure
+    hash of the doc id, both fold labels are map-only expressions over
+    the pairs frame — the corpus is never joined back, so the audit costs
+    nothing beyond the pair generation it audits
+    (operators/dataquality.py::split_leakage)."""
+    from .operators.dataquality import split_leakage
+
+    return split_leakage(_t(spark, sf_dir, "documents"))

@@ -88,3 +88,160 @@ def fd_violations_sql() -> str:
             FROM {t} GROUP BY 1, 2)
       GROUP BY _x)""")
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# round(10000 * log10(1 + 1/d)) for d = 1..9 — embedded as integer literals
+# so neither engine evaluates a logarithm at query time
+BENFORD_BP = (3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+
+
+def benford_audit(orders: DataFrame,
+                  amount_col: str = "o_totalprice") -> DataFrame:
+    """Benford's-law first-significant-digit audit over order amounts —
+    the classic fraud / synthetic-data screen: natural multiplicative
+    amounts follow P(d) = log10(1 + 1/d); fabricated or truncated data
+    does not.
+
+    Everything is integer-exact: amounts enter as ROUND half-away cents,
+    the first significant digit is a substring of the BIGINT's decimal
+    form (leading digit of cents == leading significant digit of the
+    amount), shares are basis points by integer DIV, and the expected
+    Benford shares are pre-computed integer literals — no engine ever
+    takes a log.  One map-only digit projection + one 9-group aggregate;
+    the total arrives by a broadcast cross join of the one-row count, so
+    the exchange carries 9 rows past the first combine.
+
+    Output: (digit, n, share_bp, expected_bp, dev_bp) for digits 1..9.
+    Reference analog: none (data-quality family, like the g3 FD audit).
+    """
+    from .parallelism import fan_out
+
+    cents = F.round(F.col(amount_col) * 100).cast("long")
+    digits = fan_out(orders).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = digits.agg(F.count(F.lit(1)).alias("_total"))
+    expected = F.create_map(
+        *[x for d, bp in enumerate(BENFORD_BP, start=1)
+          for x in (F.lit(d), F.lit(bp))]
+    )
+    share = F.expr("(10000 * n) DIV _total")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            share.alias("share_bp"),
+            expected[F.col("digit")].cast("long").alias("expected_bp"),
+            F.abs(share - expected[F.col("digit")]).cast("long")
+            .alias("dev_bp"),
+        )
+    )
+
+
+def benford_audit_sql(table: str = "orders",
+                      amount_col: str = "o_totalprice") -> str:
+    """DuckDB twin of :func:`benford_audit` (identical cents rounding,
+    identical integer shares and literal expectations)."""
+    whens = " ".join(
+        f"WHEN {d} THEN {bp}" for d, bp in enumerate(BENFORD_BP, start=1)
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND({amount_col} * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM {table}),
+    counts AS (
+      SELECT digit, COUNT(*)::BIGINT AS n FROM digits GROUP BY digit),
+    t AS (SELECT COUNT(*)::BIGINT AS total FROM digits)
+    SELECT digit, n,
+           (10000 * n) // total AS share_bp,
+           (CASE digit {whens} END)::BIGINT AS expected_bp,
+           ABS((10000 * n) // total
+               - CASE digit {whens} END)::BIGINT AS dev_bp
+    FROM counts, t
+    """
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate train/test leakage audit
+# ---------------------------------------------------------------------------
+
+
+def split_leakage(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Train/test LEAKAGE audit: which MinHash/LSH near-duplicate pairs
+    straddle the deterministic train/val/test split — the contamination
+    every held-out evaluation silently inherits when dedup runs before
+    (or never meets) the splitter.
+
+    Spark-first shape: because the split is a PURE HASH of the doc id
+    (sampling.crossval_split), each pair's two fold labels are map-only
+    expressions over the pairs frame itself — the corpus is never joined
+    back, so the audit costs nothing beyond the pair generation it
+    audits.  Folds are normalized (lexicographic lo/hi) so the src<dst
+    pair orientation cannot split groups.
+
+    Output: (split_lo, split_hi, n_pairs, leaky) — one row per fold
+    combination with any near-dup pair; ``leaky`` marks cross-fold rows.
+    """
+    from ..hashing import md5_60_expr
+    from .dedup import minhash_lsh_pairs
+    from .sampling import CV_BOUNDS, CV_SALT
+
+    def _split(col):
+        bucket = F.pmod(
+            md5_60_expr(F.concat(F.lit(CV_SALT + ":"), col.cast("string"))),
+            F.lit(100),
+        )
+        return (
+            F.when(bucket < CV_BOUNDS[0], "train")
+            .when(bucket < CV_BOUNDS[1], "val")
+            .otherwise("test")
+        )
+
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    sa, sb = _split(F.col("src")), _split(F.col("dst"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_lo"),
+            F.greatest(sa, sb).alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("leaky", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
+def split_leakage_sql(threshold: float = 0.4) -> str:
+    """DuckDB twin of :func:`split_leakage`: the minhash pairs twin CTE
+    plus the identical split expression on both endpoints."""
+    from .dedup import minhash_pairs_sql
+    from .sampling import CV_BOUNDS, CV_SALT
+
+    def _split(col):
+        key = (
+            f"('0x' || substr(md5('{CV_SALT}:' || CAST({col} AS VARCHAR)),"
+            f" 1, 15))::BIGINT % 100"
+        )
+        return (
+            f"CASE WHEN {key} < {CV_BOUNDS[0]} THEN 'train' "
+            f"WHEN {key} < {CV_BOUNDS[1]} THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+    WITH pairs AS ({minhash_pairs_sql(threshold)})
+    SELECT split_lo, split_hi, COUNT(*)::BIGINT AS n_pairs,
+           split_lo <> split_hi AS leaky
+    FROM (
+      SELECT LEAST({_split('src')}, {_split('dst')}) AS split_lo,
+             GREATEST({_split('src')}, {_split('dst')}) AS split_hi
+      FROM pairs)
+    GROUP BY split_lo, split_hi
+    """
