@@ -5445,3 +5445,68 @@ def ds_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dataquality import split_leakage
 
     return split_leakage(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_novelty_oracle() -> str:
+    from .operators.textops import ngram_novelty_sql
+
+    return ngram_novelty_sql()
+
+
+@_register("ds_ngram_novelty", oracle=_ngram_novelty_oracle)
+def ds_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per equal-width doc-id ingest bucket, the
+    basis-point share of its word-trigram vocabulary never seen in any
+    earlier bucket — the diminishing-returns monitor for a growing
+    corpus.  First-seen bucket per gram is a combinable MIN (map-side
+    partials, never a window over the hot gram key)
+    (operators/textops.py::ngram_novelty)."""
+    from .operators.textops import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+def _cusum_oracle() -> str:
+    from .operators.timeseries import cusum_changepoint_sql
+
+    return cusum_changepoint_sql()
+
+
+@_register("rel_cusum_changepoint", oracle=_cusum_oracle)
+def rel_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over the daily event-volume series, integer-exact
+    via the n-scaled statistic G_k = n*prefix_k - k*S (no float mean, no
+    summation-order hazard); one map-side-combined daily aggregate, then
+    every window runs on the one-row-per-day frame
+    (operators/timeseries.py::cusum_changepoint)."""
+    from .operators.timeseries import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+def _calibration_oracle() -> str:
+    from .operators.crf_confidence_sql import crf_confidence_oracle_sql
+    from .operators.metrics import confidence_calibration_sql
+
+    return confidence_calibration_sql(
+        crf_confidence_oracle_sql(CORPUS_SQL, max_seq_length=128),
+        _gold_prelude() + "SELECT DISTINCT pid, type FROM gold",
+    )
+
+
+@_register("kg_calibration", oracle=_calibration_oracle)
+def kg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the W4/W5 CRF path confidence: per
+    1-log-unit confidence bin, the basis-point rate at which the doc
+    really contains a gold mention of the queried type — the calibration
+    evidence behind confidence-gated triage (operators/metrics.py::
+    confidence_calibration)."""
+    from .operators.crf_confidence import crf_confidence
+    from .operators.gold import gold_mentions
+    from .operators.metrics import confidence_calibration
+
+    return confidence_calibration(
+        crf_confidence(corpus(spark, sf_dir), num_partitions=8,
+                       max_seq_length=128),
+        gold_mentions(corpus(spark, sf_dir)),
+    )

@@ -240,3 +240,64 @@ def micro_prf_by_group(gold: DataFrame, pred: DataFrame,
             digits,
         ).alias("f1"),
     )
+
+
+CALIB_BIN_FLOOR = -10
+
+
+def confidence_calibration(conf: DataFrame, gold_spans: DataFrame,
+                           bin_floor: int = CALIB_BIN_FLOOR) -> DataFrame:
+    """Reliability diagram for the CRF path confidence: bucket the
+    per-(doc, type) confidence into 1-log-unit bins and measure, per bin,
+    how often the doc REALLY contains a gold mention of that type — the
+    calibration check behind every "trust scores above X" triage rule
+    (and the ingredient of expected calibration error).
+
+    The bin edge is FLOOR of the already-6-rounded confidence (identical
+    double on both engines, so the floor cannot diverge), clamped at
+    ``bin_floor``; observed precision is integer basis points.  Shuffle
+    profile: one (doc, type) distinct over the gold spans, one equi-join
+    on (doc, type), one bounded-key bin aggregate — all map-side
+    combinable.
+
+    Output: (bin, n, n_hit, observed_bp).
+    Reference contact: consumes W4/W5's confidence (crf_confidence.py)
+    and the gold annotator; the reference never calibrates its scores.
+    """
+    flags = gold_spans.select(
+        F.col("pid").alias("doc_id"), "type"
+    ).distinct()
+    binned = (
+        conf.join(flags.withColumn("_hit", F.lit(1)),
+                  ["doc_id", "type"], "left")
+        .select(
+            F.greatest(
+                F.lit(bin_floor).cast("long"),
+                F.floor(F.col("confidence")).cast("long"),
+            ).alias("bin"),
+            F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
+        )
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("n_hit"),
+        F.expr("(10000 * SUM(hit)) DIV COUNT(*)").alias("observed_bp"),
+    )
+
+
+def confidence_calibration_sql(conf_sql: str, gold_flags_sql: str,
+                               bin_floor: int = CALIB_BIN_FLOOR) -> str:
+    """DuckDB twin of :func:`confidence_calibration`; ``conf_sql`` and
+    ``gold_flags_sql`` are complete queries (own WITHs), nested as
+    subqueries."""
+    return f"""
+    WITH conf AS ({conf_sql}),
+    g AS ({gold_flags_sql}),
+    binned AS (
+      SELECT GREATEST({bin_floor}, FLOOR(c.confidence))::BIGINT AS bin,
+             CASE WHEN g.pid IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM conf c LEFT JOIN g ON g.pid = c.doc_id AND g.type = c.type)
+    SELECT bin, COUNT(*)::BIGINT AS n, SUM(hit)::BIGINT AS n_hit,
+           ((10000 * SUM(hit)) // COUNT(*))::BIGINT AS observed_bp
+    FROM binned GROUP BY bin
+    """

@@ -819,3 +819,110 @@ def readability_sql(table: str = "documents", text_col: str = "text") -> str:
                 ELSE 'very_difficult' END AS band
     FROM s
     """
+
+
+NOVELTY_N = 3
+NOVELTY_BUCKETS = 8
+
+
+def ngram_novelty(docs_in: DataFrame, n_buckets: int = NOVELTY_BUCKETS,
+                  n: int = NOVELTY_N, text_col: str = "text") -> DataFrame:
+    """Corpus novelty curve: per ingest bucket, how much of its word
+    n-gram vocabulary is NEW — never seen in any earlier bucket.  The
+    curve every growing pre-training corpus gets asked for ("is the next
+    crawl still adding content, or re-crawling what we have?"); a bucket
+    whose novelty collapses is the diminishing-returns signal.
+
+    Ingest buckets are the equal-width doc-id slices of trend.py
+    (integer DIV on both engines).  The first-seen bucket per gram is a
+    combinable MIN — map-side partials, never a window over the gram key,
+    so a boilerplate gram in 10^9 documents crosses the exchange once per
+    map partition (the segment_dedup discipline).  Two aggregates over
+    the distinct (bucket, gram) frame, both map-side combined; novelty is
+    integer basis points.
+
+    Output: (bucket, n_distinct, n_new, novelty_bp) — bucket 0 is 10000
+    by construction.
+    Reference analog: none (curation-monitoring family).
+    """
+    from ..cache import tracked_persist
+    from .parallelism import fan_out
+
+    docs = fan_out(docs_in)
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    words = docs.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.expr(f"(doc_id * {n_buckets}) DIV (max_id + 1)"),
+            F.lit(n_buckets - 1).cast("long"),
+        ).alias("bucket"),
+        F.split(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+", " "
+            ),
+            " ",
+        ).alias("w"),
+    )
+    grams = (
+        words.select(
+            "bucket",
+            F.explode(
+                F.when(
+                    F.size("w") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                        lambda i: F.array_join(F.slice("w", i, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    # two consumers: the first-seen MIN and the per-bucket distinct count
+    grams = tracked_persist(grams)
+    per_bucket = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    news = (
+        grams.groupBy("gram")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    return (
+        per_bucket.join(news, "bucket", "left")
+        .select(
+            "bucket",
+            "n_distinct",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.expr("(10000 * COALESCE(n_new, 0)) DIV n_distinct")
+            .alias("novelty_bp"),
+        )
+    )
+
+
+def ngram_novelty_sql(table: str = "documents",
+                      n_buckets: int = NOVELTY_BUCKETS,
+                      n: int = NOVELTY_N, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`ngram_novelty` (same normalizer, same integer
+    DIV bucketing, same first-seen MIN)."""
+    return f"""
+    WITH mx AS (SELECT MAX(doc_id) AS max_id FROM {table}),
+    w AS (
+      SELECT LEAST((doc_id * {n_buckets}) // (max_id + 1),
+                   {n_buckets - 1}) AS bucket,
+             string_split(regexp_replace(lower(trim({text_col})),
+                                         '[ \t\n\r\f]+', ' ', 'g'), ' ') AS w
+      FROM {table}, mx),
+    g AS (
+      SELECT DISTINCT bucket, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)
+      WHERE len(w) >= {n}),
+    per_bucket AS (
+      SELECT bucket, COUNT(*)::BIGINT AS n_distinct FROM g GROUP BY bucket),
+    firsts AS (SELECT gram, MIN(bucket) AS bucket FROM g GROUP BY gram),
+    news AS (SELECT bucket, COUNT(*)::BIGINT AS n_new FROM firsts GROUP BY bucket)
+    SELECT p.bucket, p.n_distinct,
+           COALESCE(n.n_new, 0)::BIGINT AS n_new,
+           (10000 * COALESCE(n.n_new, 0)) // p.n_distinct AS novelty_bp
+    FROM per_bucket p LEFT JOIN news n USING (bucket)
+    """

@@ -312,3 +312,88 @@ def ewma_volume_sql() -> str:
     JOIN daily o ON o.event_type = c.event_type AND o.day = c.wday
     GROUP BY 1, 2, 3
     """
+
+
+def cusum_changepoint(events_in: DataFrame) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-volume series —
+    "when did traffic structurally shift?".  The statistic is the classic
+    cumulative sum of deviations from the series mean; the changepoint
+    estimate is the day maximizing |CUSUM| (the binary-segmentation
+    split point).
+
+    Integer-exact throughout: instead of subtracting the float mean
+    S/n per day, the engine scales by n —
+    ``G_k = n * prefix_k - k * S`` (= n * sum_{i<=k}(c_i - S/n)) with
+    prefix_k the cumulative count through day k — so both engines compare
+    exact BIGINTs and the argmax can never hinge on float summation
+    order.  Ties on |G| flag every tied day on both engines.
+
+    Shuffle profile: ONE map-side-combined daily aggregate over the raw
+    events; every window after that runs on the one-row-per-day frame,
+    which does not grow with the corpus (the sweepline/totals-frame
+    discipline), and the (n, S) scalars arrive by broadcast.
+
+    Output: (day, n_events, cusum, is_changepoint).
+    Reference analog: none (monitoring family, like z-score anomalies).
+    """
+    from .parallelism import fan_out
+
+    days = (
+        fan_out(events_in)
+        .select(F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    tot = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("s_total"),
+    )
+    ordered = Window.orderBy("day")
+    run = (
+        days.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "prefix",
+            F.sum("n_events").over(
+                ordered.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("k", F.row_number().over(ordered).cast("long"))
+        .withColumn(
+            "cusum",
+            (F.col("n_days") * F.col("prefix")
+             - F.col("k") * F.col("s_total")).cast("long"),
+        )
+    )
+    gmax = run.agg(F.max(F.abs(F.col("cusum"))).alias("g_max"))
+    return (
+        run.crossJoin(F.broadcast(gmax))
+        .select(
+            "day",
+            "n_events",
+            "cusum",
+            (F.abs(F.col("cusum")) == F.col("g_max")).alias("is_changepoint"),
+        )
+    )
+
+
+def cusum_changepoint_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`cusum_changepoint` (identical integer
+    scaling, identical tie semantics)."""
+    return f"""
+    WITH days AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*)::BIGINT AS n_events
+      FROM {table} GROUP BY 1),
+    tot AS (
+      SELECT COUNT(*)::BIGINT AS n_days, SUM(n_events)::BIGINT AS s_total
+      FROM days),
+    run AS (
+      SELECT day, n_events,
+             (SELECT n_days FROM tot)
+               * SUM(n_events) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               - ROW_NUMBER() OVER (ORDER BY day)
+               * (SELECT s_total FROM tot) AS cusum
+      FROM days)
+    SELECT day, n_events, cusum::BIGINT AS cusum,
+           ABS(cusum) = (SELECT MAX(ABS(cusum)) FROM run) AS is_changepoint
+    FROM run
+    """

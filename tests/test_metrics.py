@@ -54,3 +54,31 @@ def test_classification_report_shape(spark):
     assert round(rows["micro avg"].f1, 4) == 0.5714
     # macro = unweighted mean over the 3 types
     assert round(rows["macro avg"].precision, 4) == round((0 + 1 + 0) / 3, 4)
+
+
+def test_confidence_calibration_hand_case(spark):
+    """4 (doc, type) confidences in two bins; gold flags make bin -1
+    50% observed and bin -3 100%; clamping pulls -99 into the floor bin."""
+    from pyspark.sql import Row
+
+    from ehr_ner_spark.operators.metrics import confidence_calibration
+
+    conf = spark.createDataFrame(
+        [
+            Row(doc_id=1, type="A", n_pieces=5, confidence=-0.25),
+            Row(doc_id=2, type="A", n_pieces=5, confidence=-0.75),
+            Row(doc_id=3, type="B", n_pieces=5, confidence=-2.5),
+            Row(doc_id=4, type="B", n_pieces=5, confidence=-99.0),
+        ]
+    )
+    gold = spark.createDataFrame(
+        [
+            Row(pid=1, type="A", start_pos=0, end_pos=1, text="x"),
+            Row(pid=1, type="A", start_pos=3, end_pos=4, text="y"),  # dup flag
+            Row(pid=3, type="B", start_pos=0, end_pos=1, text="z"),
+        ]
+    )
+    got = {r.bin: r for r in confidence_calibration(conf, gold).collect()}
+    assert got[-1].n == 2 and got[-1].n_hit == 1 and got[-1].observed_bp == 5000
+    assert got[-3].n == 1 and got[-3].n_hit == 1 and got[-3].observed_bp == 10000
+    assert got[-10].n == 1 and got[-10].n_hit == 0 and got[-10].observed_bp == 0

@@ -114,3 +114,25 @@ def test_curation_funnel_is_monotone(spark, sf_dir):
     counts = [r.docs_surviving for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert len(rows) == 7
+
+
+def test_ngram_novelty_first_bucket_full_and_repeats_drop(spark):
+    """Two buckets: bucket 0 defines the vocabulary (novelty 10000);
+    bucket 1 repeats one trigram and adds one new -> 5000 bp."""
+    from pyspark.sql import Row
+
+    from ehr_ner_spark.operators.textops import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c", lang="en", source="s", n_chars=5),
+            Row(doc_id=7, text="a b c x y z", lang="en", source="s",
+                n_chars=11),
+        ]
+    )
+    out = {r.bucket: r for r in ngram_novelty(docs, n_buckets=2).collect()}
+    # doc 0 -> bucket (0*2) DIV 8 = 0; doc 7 -> (14) DIV 8 = 1
+    assert out[0].n_distinct == 1 and out[0].novelty_bp == 10000
+    # bucket 1 grams: 'a b c' (seen), 'b c x', 'c x y', 'x y z' (new)
+    assert out[1].n_distinct == 4 and out[1].n_new == 3
+    assert out[1].novelty_bp == 7500

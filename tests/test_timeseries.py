@@ -83,3 +83,34 @@ def test_anomaly_zscore_hand_case(spark):
     assert not out[day3]["is_anomaly"]          # sqrt(2) < 2
     assert out[day3]["mean_n"] == 2.0
     assert {r["is_anomaly"] for r in out.values()} == {False}
+
+
+def test_cusum_changepoint_hand_case(spark):
+    """Series 10,10,10,30,30 (shift after day 3): G_k = n*prefix_k - k*S
+    with n=5, S=90 -> G = [-40, -80, -120, -60, 0]; the changepoint is
+    day 3 (max |G| = 120), and the last day's cusum is always 0."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ehr_ner_spark.operators.timeseries import cusum_changepoint
+
+    rows = []
+    eid = 0
+    for day, cnt in enumerate([10, 10, 10, 30, 30]):
+        for _ in range(cnt):
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=dt.datetime(2024, 1, 1 + day, 12, 0, 0),
+                    user_id=1,
+                    event_type="view",
+                    value=0.0,
+                    props="{}",
+                )
+            )
+            eid += 1
+    out = sorted(cusum_changepoint(spark.createDataFrame(rows)).collect(),
+                 key=lambda r: r.day)
+    assert [r.cusum for r in out] == [-40, -80, -120, -60, 0]
+    assert [r.is_changepoint for r in out] == [False, False, True, False, False]
