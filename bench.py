@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     "ds_golden_record",
     "rel_concurrency_profile",
     "rel_interval_join",
+    "rel_skyline",
+    "ds_weighted_reservoir",
+    "rel_benford_audit",
+    "ds_ngram_novelty",
+    "rel_cusum_changepoint",
 ]
 
 

@@ -9,7 +9,8 @@ PICK = ["kg_mentions", "kg_canonical_triples", "ds_minhash_lsh_pairs",
         "ds_lm_buckets", "kg_ego_networks", "kg_adjacency_csr",
         "kg_blocking_stats", "rel_zorder_layout", "kg_fuzzy_aliases", "kg_type_hierarchy_closure",
         "rel_concurrency_profile", "ds_golden_record", "ds_silhouette",
-        "rel_interval_join"]
+        "rel_interval_join", "rel_skyline", "ds_weighted_reservoir",
+        "ds_ngram_novelty"]
 BLURB = {
     "kg_mentions": "Flagship battery detect: ONE explicit doc-hash Exchange, ONE Arrow scorer stage, content pruned before the mention stream.",
     "kg_canonical_triples": "Whole north-rule pipeline: detect -> LSH linking -> CC -> election -> triples.",
@@ -28,6 +29,9 @@ BLURB = {
     "ds_golden_record": "MDM survivorship: persisted join feeds TWO map-side-combined aggregate passes; every election is a combinable min/max/min-of-struct — no window, no sort.",
     "ds_silhouette": "Centroid silhouette: L×D-bounded centroid aggregate, broadcast nested loop of JVM distance folds, exact BIGINT micro-unit mean.",
     "rel_interval_join": "Banded interval-overlap join: both interval sets explode to fixed-width time bands, hash-join on the band (never a nested loop), exact residual overlap predicate, first-shared-band pair dedup without a distinct.",
+    "rel_skyline": "2-D skyline: per-price max aggregate + banded two-phase prefix-MAX — the data-sized Window is partitioned by price band; the only unpartitioned Window runs over the one-row-per-band totals frame; never a nested-loop dominance join.",
+    "ds_weighted_reservoir": "Weighted reservoir (A-ES): salted two-phase top-k — per-(stratum, salt) ranks compile to WindowGroupLimit map-side heaps; only the bounded survivor frame takes the stratum-wide rank.",
+    "ds_ngram_novelty": "Novelty curve: first-seen bucket per gram is a combinable MIN over the persisted distinct (bucket, gram) frame — hot grams cross the exchange once per map partition, never a window over the gram key.",
 }
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "32").getOrCreate())
