@@ -99,3 +99,22 @@ def test_decontaminate_fuzz(spark, rows):
         map(tuple, con.execute(decontaminate_sql(n=3, min_hits=1)).fetchall())
     )
     assert got == exp
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_doc_rows())
+def test_weighted_reservoir_fuzz(spark, rows):
+    """Two-phase salted top-k == the oracle's single window per stratum,
+    over adversarial ids/texts (empty texts -> weight 1, huge ids, CJK)."""
+    from ehr_ner_spark.operators.sampling import (
+        weighted_reservoir,
+        weighted_reservoir_sql,
+    )
+
+    con, df = _setup(spark, rows)
+    got = sorted(map(tuple, weighted_reservoir(df, k=3).collect()))
+    exp = sorted(
+        map(tuple, con.execute(weighted_reservoir_sql(k=3)).fetchall())
+    )
+    assert got == exp

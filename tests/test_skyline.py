@@ -73,3 +73,38 @@ def test_skyline_plan_no_nested_loop_no_global_window(spark, sf_dir):
     window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert window_lines, "expected the two prefix-max windows in the plan"
     assert all("p_partkey" not in ln for ln in window_lines)
+
+
+def test_skyline_fuzz_against_dominance(spark):
+    """Property: the banded two-phase prefix-max frontier equals the
+    quadratic dominance definition on adversarial frames — duplicate
+    (price, size) pairs, many rows per price, prices clustered on band
+    boundaries, tiny bands."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    prices = st.one_of(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=9_995, max_value=10_005),   # band edge
+        st.integers(min_value=19_998, max_value=20_002),  # band edge
+    )
+    rows_st = st.lists(
+        st.tuples(prices, st.integers(min_value=0, max_value=6)),
+        min_size=1,
+        max_size=14,
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=rows_st)
+    def run(rows):
+        want = _brute_skyline(rows)
+        got = {
+            r.p_partkey
+            for r in skyline_price_size(
+                spark.createDataFrame(_parts(rows))
+            ).collect()
+        }
+        assert got == want
+
+    run()
