@@ -1024,3 +1024,45 @@ def test_interval_join_is_hash_join_not_nested_loop(spark, sf_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_ngram_novelty_no_window_over_gram_key(spark, sf_dir):
+    """The first-seen-bucket election must be a combinable MIN aggregate,
+    never a window over the (hot) gram key — and per-bucket counts give a
+    partial_count map-side combine."""
+    df = entrypoints.QUERIES_REGISTRY["ds_ngram_novelty"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_cusum_windows_only_on_day_frame(spark, sf_dir):
+    """The daily aggregate is the only raw-data shuffle; every Window in
+    the plan runs over the one-row-per-day frame (it may be
+    single-partition — the frame is bounded), never over raw events."""
+    df = entrypoints.QUERIES_REGISTRY["rel_cusum_changepoint"](spark, sf_dir)
+    plan = _plan(df)
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines
+    # windows order by the aggregated day column, never by event columns
+    assert all("event_id" not in ln and "user_id" not in ln
+               for ln in window_lines)
+    assert "partial_count" in plan  # map-side combined daily aggregate
+
+
+def test_benford_map_only_plus_bounded_agg(spark, sf_dir):
+    """Digit extraction is pure codegen (no UDF, no window); the total
+    arrives by broadcast."""
+    df = entrypoints.QUERIES_REGISTRY["rel_benford_audit"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan and "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_split_leakage_no_corpus_rejoin(spark, sf_dir):
+    """Fold labels are map-only hash expressions over the pairs frame:
+    the documents table is scanned ONLY by the pair generation (3 scans:
+    signature + two verify sides), never a 4th time for a fold join."""
+    df = entrypoints.QUERIES_REGISTRY["ds_split_leakage"](spark, sf_dir)
+    plan = _formatted(df)
+    assert plan.count("documents.parquet") <= 3
