@@ -15,6 +15,12 @@ the same scoring job at local[4] vs local[16] on the same input
 not confounded by the shared host's all-core contention), plus a
 local[8]->local[32] saturation pair with a raw-multiprocessing hardware
 calibration of the same window.  Disable with SPARK_GRAFT_BENCH_SCALING=0.
+
+The whole harness runs under a wall-clock budget
+(``SPARK_GRAFT_BENCH_BUDGET_SEC``, default 3300; 0 disables): past the
+budget it stops quiet-window waiting and resampling — never a measurement
+in progress — so the JSON artifact always lands even under an external
+timeout, with every phase carrying at least one timed try.
 """
 
 from __future__ import annotations
@@ -344,6 +350,16 @@ def main() -> None:
     n_docs = None
     timings: dict[str, float] = {}
 
+    # wall-clock budget: the driver runs this harness under its own timeout,
+    # and a lost artifact is strictly worse than a shorter try list — the
+    # session-15 full run spent 74 min, >10 min of it sleeping in noisy-
+    # window gates.  The budget stops WAITING and RESAMPLING, never a
+    # measurement in progress, and the JSON always prints.  0 disables.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3300"))
+    if budget <= 0:
+        budget = float("inf")
+    t0_all = time.time()
+
     # min-of-N per query: single-shot timings on a shared host made r2
     # regressions unarguable-but-undiagnosable; the min is the noise-robust
     # estimator of the plan's cost.  Tracked caches are released between
@@ -360,7 +376,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = entrypoints.QUERIES_REGISTRY[name]
         best = float("inf")
-        for _ in range(reps):
+        for i in range(reps):
+            # min-of-what-fits: every query gets >=1 rep; extra reps yield
+            # once the headline phase has eaten 45% of the whole budget
+            # (the three scaling pairs behind it need the clock more)
+            if i and time.time() - t0_all > 0.45 * budget:
+                break
             t0 = time.time()
             _sink(fn(spark, SF_DIR))
             best = min(best, time.time() - t0)
@@ -386,12 +407,24 @@ def main() -> None:
         # pass.  Bounded at 4x the try budget, after which the pair runs
         # regardless, so the artifact always carries measurements.
         quiet_hw = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_HW", "0.85"))
+        # split whatever budget remains at scaling start into per-phase
+        # deadlines so the later (more expensive) pairs always get a shot:
+        # 30% north / 35% saturation / 35% whole-job pipeline
+        scal_left = max(0.0, budget - (time.time() - t0_all))
+        if scal_left == float("inf"):
+            north_deadline = sat_deadline = pipe_deadline = float("inf")
+        else:
+            t_scal = time.time()
+            north_deadline = t_scal + 0.30 * scal_left
+            sat_deadline = t_scal + 0.65 * scal_left
+            pipe_deadline = t_scal + 1.00 * scal_left
         best, all_tries, north_skipped = None, [], 0
         north_windows = 0
         while True:
             north_windows += 1
             north_hw = _hw_calibration(4, 16)
-            north_exhausted = north_windows >= 4 * tries
+            north_exhausted = (north_windows >= 4 * tries
+                               or time.time() > north_deadline)
             if north_hw["hw_efficiency"] < quiet_hw and not north_exhausted:
                 north_skipped += 1
                 time.sleep(10)
@@ -405,7 +438,7 @@ def main() -> None:
                 t16, _ = _scaling_child_run(16, rep)
             except Exception as e:  # noqa: BLE001 — artifact > crash
                 all_tries.append({"error": repr(e)[:200]})
-                if len(all_tries) >= tries:
+                if len(all_tries) >= tries or time.time() > north_deadline:
                     break
                 continue
             eff = (t4 / t16) / 4.0
@@ -421,7 +454,8 @@ def main() -> None:
             # gate exhaustion stops the WAITING, never the SAMPLING: on a
             # host that never offers a quiet window, the artifact still
             # records best-of-`tries` timed pairs, not one contended shot
-            if eff >= 0.8 or len(all_tries) >= tries:
+            if (eff >= 0.8 or len(all_tries) >= tries
+                    or time.time() > north_deadline):
                 break
         # SATURATION pair: 8 -> 32 fills the whole box; reported with a raw
         # multiprocessing calibration of the SAME window so engine overhead
@@ -440,7 +474,8 @@ def main() -> None:
             # (the engine already tracks ~1.5x the raw-mp calibration, so a
             # green try is a function of the window, not the engine) — wait
             # longer for quiet windows than the half-box north pair does
-            exhausted = windows >= 8 * sat_tries
+            exhausted = (windows >= 8 * sat_tries
+                         or time.time() > sat_deadline)
             if hw["hw_efficiency"] < quiet_hw and not exhausted:
                 sat_skipped += 1
                 time.sleep(10)
@@ -452,7 +487,7 @@ def main() -> None:
                 t32, _ = _scaling_child_run(32, rep32)
             except Exception as e:  # noqa: BLE001 — artifact > crash
                 sat_all.append({"error": repr(e)[:200]})
-                if len(sat_all) >= sat_tries:
+                if len(sat_all) >= sat_tries or time.time() > sat_deadline:
                     break
                 continue
             eff32 = (t8 / t32) / 4.0
@@ -467,7 +502,8 @@ def main() -> None:
                             "n32": n32, "hw": hw}
             # as with the north pair: exhaustion ends the waiting, not the
             # sampling — always leave with best-of-`sat_tries` timed pairs
-            if eff32 >= 0.8 or len(sat_all) >= sat_tries:
+            if (eff32 >= 0.8 or len(sat_all) >= sat_tries
+                    or time.time() > sat_deadline):
                 break
 
         # WHOLE-JOB pair: the north rule says "the same job at N and 4N
@@ -485,7 +521,8 @@ def main() -> None:
         while True:
             pipe_windows += 1
             pipe_hw = _hw_calibration(4, 16)
-            pipe_exhausted = pipe_windows >= 4 * pipe_tries
+            pipe_exhausted = (pipe_windows >= 4 * pipe_tries
+                              or time.time() > pipe_deadline)
             if pipe_hw["hw_efficiency"] < quiet_hw and not pipe_exhausted:
                 pipe_skipped += 1
                 time.sleep(10)
@@ -498,7 +535,7 @@ def main() -> None:
                 p16, _ = _pipeline_child_run(16, pipe_rep)
             except Exception as e:  # noqa: BLE001 — artifact > crash
                 pipe_all.append({"error": repr(e)[:200]})
-                if len(pipe_all) >= pipe_tries:
+                if len(pipe_all) >= pipe_tries or time.time() > pipe_deadline:
                     break
                 continue
             peff = (p4 / p16) / 4.0
@@ -511,7 +548,8 @@ def main() -> None:
             if pipe_best is None or peff > pipe_best["eff"]:
                 pipe_best = {"t4": p4, "t16": p16, "eff": peff,
                              "n_docs": pipe_docs, "hw": pipe_hw}
-            if peff >= 0.8 or len(pipe_all) >= pipe_tries:
+            if (peff >= 0.8 or len(pipe_all) >= pipe_tries
+                    or time.time() > pipe_deadline):
                 break
 
         def _median(xs):
@@ -608,6 +646,8 @@ def main() -> None:
         "sf": SF_DIR,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / flagship_sec, 2),
+        "bench_elapsed_sec": round(time.time() - t0_all, 1),
+        "bench_budget_sec": None if budget == float("inf") else budget,
     }
     if scaling:
         out["scaling"] = scaling

@@ -5510,3 +5510,42 @@ def kg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                        max_seq_length=128),
         gold_mentions(corpus(spark, sf_dir)),
     )
+
+
+def _gram_oracle() -> str:
+    from .operators.gram import embedding_gram_sql
+
+    return embedding_gram_sql()
+
+
+@_register("ds_embedding_gram", oracle=_gram_oracle)
+def ds_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding corpus — the
+    second-moment primitive behind covariance/PCA/whitening.  All work is
+    map-side (one exact BLAS rank-k update per Arrow chunk on the shared
+    micro-grid); the only exchange carries D(D+1)/2 = 2,080 rows per
+    partition regardless of corpus size, and the result is driver-sized
+    by construction (operators/gram.py::embedding_gram)."""
+    from .operators.gram import embedding_gram
+
+    return embedding_gram(_t(spark, sf_dir, "embeddings"))
+
+
+def _chi2_oracle() -> str:
+    from .operators.chisq import chi2_keywords_sql
+
+    return chi2_keywords_sql()
+
+
+@_register("ds_chi2_keywords", oracle=_chi2_oracle)
+def ds_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term-language association: top-20 terms per language by
+    document-presence dependence (supervised keyword / feature selection).
+    One presence-dedup shuffle feeds everything; the per-term total is a
+    window over the aggregated (lang, term) frame — <= n_langs rows per
+    key; chi2 is rational in exact integer counts (no logs), evaluated as
+    the identical double expression tree on both engines
+    (operators/chisq.py::chi2_keywords)."""
+    from .operators.chisq import chi2_keywords
+
+    return chi2_keywords(_t(spark, sf_dir, "documents"))

@@ -340,7 +340,13 @@ def cusum_changepoint(events_in: DataFrame) -> DataFrame:
 
     days = (
         fan_out(events_in)
-        .select(F.date_trunc("day", F.col("ts")).alias("day"))
+        # integer epoch-day like the zscore/EWMA siblings: Spark and
+        # DuckDB date/timestamp values canonicalize differently
+        # (date_trunc returns TIMESTAMP vs DATE), BIGINTs never do
+        .select(
+            F.expr("datediff(to_date(ts), DATE '1970-01-01')")
+            .cast("long").alias("day")
+        )
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
@@ -381,7 +387,9 @@ def cusum_changepoint_sql(table: str = "events") -> str:
     scaling, identical tie semantics)."""
     return f"""
     WITH days AS (
-      SELECT date_trunc('day', ts) AS day, COUNT(*)::BIGINT AS n_events
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT
+               AS day,
+             COUNT(*)::BIGINT AS n_events
       FROM {table} GROUP BY 1),
     tot AS (
       SELECT COUNT(*)::BIGINT AS n_days, SUM(n_events)::BIGINT AS s_total

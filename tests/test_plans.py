@@ -1066,3 +1066,36 @@ def test_split_leakage_no_corpus_rejoin(spark, sf_dir):
     df = entrypoints.QUERIES_REGISTRY["ds_split_leakage"](spark, sf_dir)
     plan = _formatted(df)
     assert plan.count("documents.parquet") <= 3
+
+
+def test_embedding_gram_mapside_only_tiny_exchange(spark, sf_dir):
+    """All Gram work happens inside ONE Arrow stage: the plan has exactly
+    one Python/Arrow eval node, the post-UDF aggregate is map-side
+    combined (partial_sum over the 2,080-cell frames), and nothing ever
+    windows or joins — the exchange carries cells, not vectors."""
+    df = entrypoints.QUERIES_REGISTRY["ds_embedding_gram"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "partial_sum" in plan
+    assert "Window" not in plan and "Join" not in plan
+    # column pruning: only the embedding column feeds the UDF
+    fmt = _formatted(df)
+    read_schema = fmt.split("ReadSchema", 1)[1][:200]
+    assert "embedding" in read_schema and "label" not in read_schema
+
+
+def test_chi2_keywords_bounded_windows_no_python(spark, sf_dir):
+    """Pure built-ins end to end (no Python round-trip); the per-term
+    total windows over the AGGREGATED (lang, term) frame — partitioned by
+    term, never unpartitioned; language totals and the corpus total
+    arrive by broadcast."""
+    df = entrypoints.QUERIES_REGISTRY["ds_chi2_keywords"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "BroadcastExchange" in plan
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines
+    # no data-sized unpartitioned window: every Window line carries a
+    # partition key (the rank window keys on lang, the df window on term)
+    assert all(("term#" in ln) or ("lang#" in ln) for ln in window_lines)
+    assert "partial_count" in plan
