@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "rel_benford_audit",
     "ds_ngram_novelty",
     "rel_cusum_changepoint",
+    "ds_embedding_gram",
+    "ds_chi2_keywords",
 ]
 
 
