@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "rel_cusum_changepoint",
     "ds_embedding_gram",
     "ds_chi2_keywords",
+    "rel_k_anonymity",
+    "ds_distribution_drift",
 ]
 
 

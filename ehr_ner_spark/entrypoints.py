@@ -5549,3 +5549,43 @@ def ds_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.chisq import chi2_keywords
 
     return chi2_keywords(_t(spark, sf_dir, "documents"))
+
+
+def _k_anon_oracle() -> str:
+    from .operators.privacy import k_anonymity_sql
+
+    return k_anonymity_sql()
+
+
+@_register("rel_k_anonymity", oracle=_k_anon_oracle)
+def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification audit: k-anonymity + l-diversity over the
+    (nation, segment, balance-bucket) quasi-identifier classes, with the
+    sensitive attribute drawn cross-table from order priorities.  Orders
+    dedup to (custkey, priority) BEFORE any join; every post-dedup frame
+    is bounded by |classes| x n_priorities and the class <- sensitive
+    join broadcasts (operators/privacy.py::k_anonymity)."""
+    from .operators.privacy import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def _drift_oracle() -> str:
+    from .operators.dataquality import distribution_drift_sql
+
+    return distribution_drift_sql()
+
+
+@_register("ds_distribution_drift", oracle=_drift_oracle)
+def ds_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two hash folds of the corpus:
+    doc-length histogram total-variation distance in integer basis points
+    (the log-free PSI stand-in — exact on both engines).  Fold and bucket
+    are map-only expressions; one map-side-combined aggregate; everything
+    after runs on the <= 20-row bucket frame with totals broadcast
+    (operators/dataquality.py::distribution_drift)."""
+    from .operators.dataquality import distribution_drift
+
+    return distribution_drift(_t(spark, sf_dir, "documents"))

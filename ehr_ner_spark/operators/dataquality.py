@@ -245,3 +245,127 @@ def split_leakage_sql(threshold: float = 0.4) -> str:
       FROM pairs)
     GROUP BY split_lo, split_hi
     """
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (total-variation distance between corpus folds)
+# ---------------------------------------------------------------------------
+
+DRIFT_SALT = "drift"
+DRIFT_BUCKET_CHARS = 32
+DRIFT_N_BUCKETS = 20
+DRIFT_FLAG_BP = 100  # flag a bucket when its share moved > 1 pp
+
+
+def distribution_drift(docs: DataFrame) -> DataFrame:
+    """Distribution-drift audit between two deterministic corpus folds —
+    the monitor that catches "the incoming batch is not like the training
+    corpus" (the log-free stand-in for PSI: total-variation distance in
+    integer basis points, so both engines agree exactly).
+
+    Folds are a pure hash of the doc id (the crossval discipline, its own
+    salt); the compared statistic is the doc-length histogram over
+    DRIFT_N_BUCKETS fixed-width buckets.  Shares are truncated to integer
+    bp by spec — the metric is DEFINED on the truncated shares, which
+    keeps every comparison integer.
+
+    Scale shape: fold + bucket are map-only expressions; ONE map-side-
+    combined (bucket, fold) aggregate; everything after runs on the
+    <= DRIFT_N_BUCKETS-row frame, with the fold totals and the one-row
+    TVD arriving by broadcast.
+
+    Output: (bucket, n_a, n_b, share_a_bp, share_b_bp, abs_diff_bp,
+    drifted, tvd_bp).
+    """
+    from ..hashing import md5_60_expr
+
+    b = docs.select(
+        F.least(
+            (F.col("n_chars") / DRIFT_BUCKET_CHARS).cast("long"),
+            F.lit(DRIFT_N_BUCKETS - 1),
+        ).alias("bucket"),
+        (
+            md5_60_expr(
+                F.concat(
+                    F.lit(DRIFT_SALT + ":"), F.col("doc_id").cast("string")
+                )
+            )
+            % 2
+        ).alias("fold"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("fold") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("fold") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+    )
+    shares = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_a_bp",
+            F.floor(F.lit(10000) * F.col("n_a") / F.col("tot_a"))
+            .cast("long"),
+        )
+        .withColumn(
+            "share_b_bp",
+            F.floor(F.lit(10000) * F.col("n_b") / F.col("tot_b"))
+            .cast("long"),
+        )
+        .withColumn(
+            "abs_diff_bp",
+            F.abs(F.col("share_a_bp") - F.col("share_b_bp")),
+        )
+    )
+    tvd = shares.agg(
+        (F.sum("abs_diff_bp") / 2).cast("long").alias("tvd_bp")
+    )
+    return shares.crossJoin(F.broadcast(tvd)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "share_a_bp",
+        "share_b_bp",
+        "abs_diff_bp",
+        (F.col("abs_diff_bp") > DRIFT_FLAG_BP).alias("drifted"),
+        "tvd_bp",
+    )
+
+
+def distribution_drift_sql(table: str = "documents") -> str:
+    """DuckDB twin — identical fold hash, buckets, truncation and TVD."""
+    fold = (
+        f"('0x' || substr(md5('{DRIFT_SALT}:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15))::BIGINT % 2"
+    )
+    return f"""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(n_chars / {DRIFT_BUCKET_CHARS}) AS BIGINT),
+                   {DRIFT_N_BUCKETS - 1}) AS bucket,
+             {fold} AS fold
+      FROM {table}),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN fold = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             SUM(CASE WHEN fold = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+      FROM b GROUP BY 1),
+    tot AS (SELECT SUM(n_a)::BIGINT AS tot_a, SUM(n_b)::BIGINT AS tot_b
+            FROM counts),
+    shares AS (
+      SELECT bucket, n_a, n_b,
+             CAST(FLOOR(10000 * n_a / tot_a) AS BIGINT) AS share_a_bp,
+             CAST(FLOOR(10000 * n_b / tot_b) AS BIGINT) AS share_b_bp
+      FROM counts CROSS JOIN tot),
+    tvd AS (
+      SELECT CAST(FLOOR(SUM(ABS(share_a_bp - share_b_bp)) / 2) AS BIGINT)
+               AS tvd_bp
+      FROM shares)
+    SELECT bucket, n_a, n_b, share_a_bp, share_b_bp,
+           ABS(share_a_bp - share_b_bp) AS abs_diff_bp,
+           ABS(share_a_bp - share_b_bp) > {DRIFT_FLAG_BP} AS drifted,
+           tvd_bp
+    FROM shares CROSS JOIN tvd
+    """

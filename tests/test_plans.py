@@ -1099,3 +1099,26 @@ def test_chi2_keywords_bounded_windows_no_python(spark, sf_dir):
     # partition key (the rank window keys on lang, the df window on term)
     assert all(("term#" in ln) or ("lang#" in ln) for ln in window_lines)
     assert "partial_count" in plan
+
+
+def test_k_anonymity_no_cartesian_bounded_broadcast(spark, sf_dir):
+    """Orders dedup to (custkey, priority) BEFORE the QI join (no
+    order-level rows cross it); everything is built-ins; the final
+    class <- sensitive join is broadcast; no nested-loop anywhere."""
+    df = entrypoints.QUERIES_REGISTRY["rel_k_anonymity"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan
+
+
+def test_distribution_drift_one_shuffle_then_bounded(spark, sf_dir):
+    """Fold + bucket are map-only expressions; ONE map-side-combined
+    (bucket) aggregate over the raw scan; totals and the TVD arrive by
+    broadcast over the <= 20-row bucket frame — no window, no Python."""
+    df = entrypoints.QUERIES_REGISTRY["ds_distribution_drift"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Python" not in plan and "Window" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "partial_sum" in plan or "partial_count" in plan

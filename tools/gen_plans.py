@@ -10,7 +10,8 @@ PICK = ["kg_mentions", "kg_canonical_triples", "ds_minhash_lsh_pairs",
         "kg_blocking_stats", "rel_zorder_layout", "kg_fuzzy_aliases", "kg_type_hierarchy_closure",
         "rel_concurrency_profile", "ds_golden_record", "ds_silhouette",
         "rel_interval_join", "rel_skyline", "ds_weighted_reservoir",
-        "ds_ngram_novelty", "ds_embedding_gram", "ds_chi2_keywords"]
+        "ds_ngram_novelty", "ds_embedding_gram", "ds_chi2_keywords",
+        "rel_k_anonymity", "ds_distribution_drift"]
 BLURB = {
     "kg_mentions": "Flagship battery detect: ONE explicit doc-hash Exchange, ONE Arrow scorer stage, content pruned before the mention stream.",
     "kg_canonical_triples": "Whole north-rule pipeline: detect -> LSH linking -> CC -> election -> triples.",
@@ -31,6 +32,8 @@ BLURB = {
     "rel_interval_join": "Banded interval-overlap join: both interval sets explode to fixed-width time bands, hash-join on the band (never a nested loop), exact residual overlap predicate, first-shared-band pair dedup without a distinct.",
     "rel_skyline": "2-D skyline: per-price max aggregate + banded two-phase prefix-MAX — the data-sized Window is partitioned by price band; the only unpartitioned Window runs over the one-row-per-band totals frame; never a nested-loop dominance join.",
     "ds_weighted_reservoir": "Weighted reservoir (A-ES): salted two-phase top-k — per-(stratum, salt) ranks compile to WindowGroupLimit map-side heaps; only the bounded survivor frame takes the stratum-wide rank.",
+    "rel_k_anonymity": "k-anonymity/l-diversity: orders dedup to (custkey, priority) BEFORE the QI join; every post-dedup frame bounded by |classes| x n_priorities; class <- sensitive join broadcast.",
+    "ds_distribution_drift": "Drift audit: fold+bucket map-only, ONE map-side-combined (bucket) agg; totals and the TVD broadcast over the <=20-row bucket frame.",
     "ds_embedding_gram": "Gram matrix X^T X: one exact BLAS rank-k update per Arrow chunk, one 2,080-cell upper-triangle frame per partition, partial/final SUM — the exchange carries cells, never vectors.",
     "ds_chi2_keywords": "Chi-square keywords: one presence-dedup shuffle; per-term df windows over the AGGREGATED (lang, term) frame (<= n_langs rows/key); totals broadcast; rank-filtered per-language winner windows.",
     "ds_ngram_novelty": "Novelty curve: first-seen bucket per gram is a combinable MIN over the persisted distinct (bucket, gram) frame — hot grams cross the exchange once per map partition, never a window over the gram key.",
