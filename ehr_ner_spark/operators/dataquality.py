@@ -305,14 +305,19 @@ def distribution_drift(docs: DataFrame) -> DataFrame:
     )
     shares = (
         counts.crossJoin(F.broadcast(tot))
+        # an EMPTY fold has zero mass in every bucket by definition (the
+        # lazy CASE keeps ANSI division-by-zero out of both engines);
+        # anything vs an empty fold then reads tvd_bp = 5000
         .withColumn(
             "share_a_bp",
-            F.floor(F.lit(10000) * F.col("n_a") / F.col("tot_a"))
+            F.when(F.col("tot_a") == 0, F.lit(0))
+            .otherwise(F.floor(F.lit(10000) * F.col("n_a") / F.col("tot_a")))
             .cast("long"),
         )
         .withColumn(
             "share_b_bp",
-            F.floor(F.lit(10000) * F.col("n_b") / F.col("tot_b"))
+            F.when(F.col("tot_b") == 0, F.lit(0))
+            .otherwise(F.floor(F.lit(10000) * F.col("n_b") / F.col("tot_b")))
             .cast("long"),
         )
         .withColumn(
@@ -356,8 +361,12 @@ def distribution_drift_sql(table: str = "documents") -> str:
             FROM counts),
     shares AS (
       SELECT bucket, n_a, n_b,
-             CAST(FLOOR(10000 * n_a / tot_a) AS BIGINT) AS share_a_bp,
-             CAST(FLOOR(10000 * n_b / tot_b) AS BIGINT) AS share_b_bp
+             CASE WHEN tot_a = 0 THEN 0
+                  ELSE CAST(FLOOR(10000 * n_a / tot_a) AS BIGINT)
+             END AS share_a_bp,
+             CASE WHEN tot_b = 0 THEN 0
+                  ELSE CAST(FLOOR(10000 * n_b / tot_b) AS BIGINT)
+             END AS share_b_bp
       FROM counts CROSS JOIN tot),
     tvd AS (
       SELECT CAST(FLOOR(SUM(ABS(share_a_bp - share_b_bp)) / 2) AS BIGINT)
