@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "ds_chi2_keywords",
     "rel_k_anonymity",
     "ds_distribution_drift",
+    "ds_ks_drift",
+    "ds_dsir_select",
 ]
 
 

@@ -5589,3 +5589,44 @@ def ds_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dataquality import distribution_drift
 
     return distribution_drift(_t(spark, sf_dir, "documents"))
+
+
+def _ks_drift_oracle() -> str:
+    from .operators.dataquality import ks_drift_sql
+
+    return ks_drift_sql()
+
+
+@_register("ds_ks_drift", oracle=_ks_drift_oracle)
+def ds_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift between the doc-length
+    distributions of two pure-hash corpus folds — the binless companion
+    to ds_distribution_drift (a shift hiding inside one TVD bucket cannot
+    hide from the sup-CDF gap).  One map-side-combined aggregate reduces
+    the corpus to <= |length domain| rows; the cumulative window, argmax
+    and totals all run on that aggregated frame
+    (operators/dataquality.py::ks_drift)."""
+    from .operators.dataquality import ks_drift
+
+    return ks_drift(_t(spark, sf_dir, "documents"))
+
+
+def _dsir_oracle() -> str:
+    from .operators.dsir import dsir_select_sql
+
+    return dsir_select_sql()
+
+
+@_register("ds_dsir_select", oracle=_dsir_oracle)
+def ds_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-targeted data selection via hashed-ngram importance weights
+    (the DSIR recipe, log-free): per-bucket add-one likelihood-ratio
+    scores between the target-language slice and the raw corpus, snapped
+    to the 1e-6 grid BEFORE the per-doc sum so document weights are
+    order-free integer sums; ranking by weight-per-token is a distributed
+    top-K.  Bucket counts are one map-side-combined aggregate to <= 512
+    rows; the score table broadcasts back onto the token stream
+    (operators/dsir.py::dsir_select)."""
+    from .operators.dsir import dsir_select
+
+    return dsir_select(_t(spark, sf_dir, "documents"))

@@ -378,3 +378,141 @@ def distribution_drift_sql(table: str = "documents") -> str:
            tvd_bp
     FROM shares CROSS JOIN tvd
     """
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift (binless companion to the TVD audit)
+
+KS_SALT = "ksdrift"
+
+
+def ks_drift(docs: DataFrame) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the doc-length
+    distributions of two pure-hash corpus folds — the binless companion to
+    :func:`distribution_drift`: TVD over fixed buckets can hide a shift
+    that stays inside one bucket; the KS sup-CDF gap cannot.
+
+    The statistic is DEFINED on bp-truncated integer CDFs (``floor(10000 *
+    cum / tot)``, the drift-family discipline), so both engines agree
+    exactly; an empty fold has an all-zero CDF by definition, so
+    anything-vs-empty reads ``ks_bp = 10000``.
+
+    Scale shape: fold is a map-only hash; ONE map-side-combined aggregate
+    reduces the corpus to <= |distinct n_chars| rows — bounded by the
+    length domain (the content cap), NOT the corpus size — and the
+    cumulative window + argmax ranking run on that aggregated frame with
+    the fold totals broadcast.
+
+    Output: one row ``(ks_bp, ks_at_chars, n_lengths, tot_a, tot_b)`` —
+    the sup gap in basis points, the smallest length attaining it, and the
+    support/fold sizes.
+    """
+    from pyspark.sql import Window
+
+    from ..hashing import md5_60_expr
+
+    b = docs.select(
+        F.col("n_chars").alias("x"),
+        (
+            md5_60_expr(
+                F.concat(F.lit(KS_SALT + ":"), F.col("doc_id").cast("string"))
+            )
+            % 2
+        ).alias("fold"),
+    )
+    counts = b.groupBy("x").agg(
+        F.sum(F.when(F.col("fold") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("fold") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = (
+        counts.withColumn("cum_a", F.sum("n_a").over(w).cast("long"))
+        .withColumn("cum_b", F.sum("n_b").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cdf_a_bp",
+            F.when(F.col("tot_a") == 0, F.lit(0))
+            .otherwise(
+                F.floor(F.lit(10000) * F.col("cum_a") / F.col("tot_a"))
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "cdf_b_bp",
+            F.when(F.col("tot_b") == 0, F.lit(0))
+            .otherwise(
+                F.floor(F.lit(10000) * F.col("cum_b") / F.col("tot_b"))
+            )
+            .cast("long"),
+        )
+        .withColumn("diff", F.abs(F.col("cdf_a_bp") - F.col("cdf_b_bp")))
+    )
+    ranked = cdf.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("diff").desc(), F.col("x").asc())
+        ),
+    )
+    stats = cdf.agg(F.count(F.lit(1)).cast("long").alias("n_lengths"))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("diff").alias("ks_bp"),
+            F.col("x").alias("ks_at_chars"),
+            "n_lengths",
+            "tot_a",
+            "tot_b",
+        )
+    )
+
+
+def ks_drift_sql(table: str = "documents") -> str:
+    """DuckDB twin — identical fold hash, truncated CDFs and tie-break."""
+    fold = (
+        f"('0x' || substr(md5('{KS_SALT}:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15))::BIGINT % 2"
+    )
+    return f"""
+    WITH b AS (
+      SELECT n_chars AS x, {fold} AS fold FROM {table}),
+    counts AS (
+      SELECT x,
+             SUM(CASE WHEN fold = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             SUM(CASE WHEN fold = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+      FROM b GROUP BY 1),
+    tot AS (SELECT SUM(n_a)::BIGINT AS tot_a, SUM(n_b)::BIGINT AS tot_b
+            FROM counts),
+    cdf AS (
+      SELECT x,
+             SUM(n_a) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum_a,
+             SUM(n_b) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum_b
+      FROM counts),
+    d AS (
+      SELECT x,
+             ABS(CASE WHEN tot_a = 0 THEN 0
+                      ELSE CAST(FLOOR(10000 * cum_a / tot_a) AS BIGINT) END
+               - CASE WHEN tot_b = 0 THEN 0
+                      ELSE CAST(FLOOR(10000 * cum_b / tot_b) AS BIGINT) END)
+               AS diff,
+             tot_a, tot_b
+      FROM cdf CROSS JOIN tot),
+    ranked AS (
+      SELECT diff, x, tot_a, tot_b,
+             ROW_NUMBER() OVER (ORDER BY diff DESC, x ASC) AS rn
+      FROM d),
+    stats AS (SELECT COUNT(*)::BIGINT AS n_lengths FROM d)
+    SELECT diff AS ks_bp, x AS ks_at_chars, n_lengths, tot_a, tot_b
+    FROM ranked CROSS JOIN stats
+    WHERE rn = 1
+    """

@@ -131,6 +131,9 @@ EXACT_QUERIES = {
     "kg_entity_sources", "ds_ivf_recall_eval", "rel_rolling_distinct",
     # blocking audit (all integer) / normalization (strings + ints)
     "kg_blocking_stats", "ds_normalize_text",
+    # KS drift (bp-truncated integer CDFs) / DSIR selection (grid-snapped
+    # integer bucket scores summed as BIGINTs): all integer + string
+    "ds_ks_drift", "ds_dsir_select",
 }
 
 

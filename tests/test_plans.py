@@ -1122,3 +1122,33 @@ def test_distribution_drift_one_shuffle_then_bounded(spark, sf_dir):
     assert "Python" not in plan and "Window" not in plan
     assert plan.count("BroadcastExchange") >= 2
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_dsir_broadcast_scores_topk_no_python(spark, sf_dir):
+    """DSIR selection: the B-row score table reaches the token stream by
+    broadcast hash join (never a shuffle of the exploded tokens), both
+    aggregates combine map-side, the final ranking is a distributed
+    TakeOrdered (no global sort exchange), and no Python anywhere."""
+    df = entrypoints.QUERIES_REGISTRY["ds_dsir_select"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Python" not in plan
+    assert "TakeOrdered" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    # the only nested-loop is the broadcast of the one-row totals frame
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_ks_drift_windows_only_on_length_frame(spark, sf_dir):
+    """KS drift: ONE map-side-combined aggregate reduces the corpus to the
+    length-domain frame; the cumulative/argmax windows and broadcast totals
+    run on that aggregated frame only — no Python, no join strategy at all
+    beyond broadcasts."""
+    df = entrypoints.QUERIES_REGISTRY["ds_ks_drift"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Python" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    # the only nested-loops broadcast the one-row totals/stats frames
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") == 2

@@ -4,6 +4,8 @@ plan shape is asserted in tests/test_plans.py)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Row
 
 from ehr_ner_spark.hashing import md5_60
@@ -93,3 +95,76 @@ def test_distribution_drift_disjoint_folds_max_tvd(spark):
     out = distribution_drift(spark.createDataFrame(rows)).collect()
     assert all(r["tvd_bp"] == 10000 for r in out)
     assert all(r["drifted"] for r in out)
+
+
+def test_ks_drift_disjoint_folds_max_gap(spark):
+    """Fold-0 docs all shorter than fold-1 docs: the truncated CDF gap
+    peaks at 10000 bp at the fold-0 length."""
+    from ehr_ner_spark.operators.dataquality import KS_SALT, ks_drift
+
+    rows = []
+    for i in range(60):
+        fold = md5_60(f"{KS_SALT}:{i}") % 2
+        rows.append(Row(doc_id=i, n_chars=10 if fold == 0 else 200))
+    out = ks_drift(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ks_bp"] == 10000 and r["ks_at_chars"] == 10
+    assert r["n_lengths"] == 2
+    assert r["tot_a"] + r["tot_b"] == 60
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    """Both folds all the same length: CDFs coincide (10000 vs 10000 at
+    the single support point), KS = 0."""
+    from ehr_ner_spark.operators.dataquality import ks_drift
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_chars=100) for i in range(40)]
+    )
+    r = ks_drift(docs).collect()[0]
+    assert r["ks_bp"] == 0 and r["ks_at_chars"] == 100
+    assert r["n_lengths"] == 1
+
+
+def test_ks_drift_empty_fold_reads_10000(spark):
+    """Anything vs an empty fold: the empty fold's CDF is all-zero by
+    definition, so KS = 10000."""
+    from ehr_ner_spark.operators.dataquality import KS_SALT, ks_drift
+
+    ids = [i for i in range(200) if md5_60(f"{KS_SALT}:{i}") % 2 == 0][:20]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_chars=50 + i) for i in ids]
+    )
+    r = ks_drift(docs).collect()[0]
+    assert r["ks_bp"] == 10000
+    assert r["tot_b"] == 0 and r["tot_a"] == 20
+
+
+def test_ks_drift_matches_python_replication(spark):
+    """KS recomputed in pure Python from the fold hash and bp-truncated
+    CDFs on a ragged length mix."""
+    from ehr_ner_spark.operators.dataquality import KS_SALT, ks_drift
+
+    lengths = [10, 10, 25, 40, 40, 40, 77, 90, 90, 123, 123, 200, 350, 350]
+    rows = [Row(doc_id=i, n_chars=n) for i, n in enumerate(lengths)]
+    folds = {i: md5_60(f"{KS_SALT}:{i}") % 2 for i in range(len(lengths))}
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for i, n in enumerate(lengths):
+        (ca if folds[i] == 0 else cb)[n] += 1
+    tot_a, tot_b = sum(ca.values()), sum(cb.values())
+    cum_a = cum_b = 0
+    best = (-1, None)
+    for x in sorted(set(lengths)):
+        cum_a += ca[x]
+        cum_b += cb[x]
+        da = 0 if tot_a == 0 else math.floor(10000 * cum_a / tot_a)
+        db = 0 if tot_b == 0 else math.floor(10000 * cum_b / tot_b)
+        diff = abs(da - db)
+        if diff > best[0]:
+            best = (diff, x)
+    r = ks_drift(spark.createDataFrame(rows)).collect()[0]
+    assert (r["ks_bp"], r["ks_at_chars"]) == best
+    assert r["n_lengths"] == len(set(lengths))
