@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "ds_distribution_drift",
     "ds_ks_drift",
     "ds_dsir_select",
+    "ds_pca_outliers",
 ]
 
 

@@ -5630,3 +5630,41 @@ def ds_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dsir import dsir_select
 
     return dsir_select(_t(spark, sf_dir, "documents"))
+
+
+def _pca_power_oracle() -> str:
+    from .operators.pca import pca_power_sql
+
+    return pca_power_sql()
+
+
+@_register("ds_pca_power", oracle=_pca_power_oracle)
+def ds_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding Gram matrix by max-norm
+    power iteration: the corpus reduces to the D x D Gram map-side
+    (ds_embedding_gram), then every round is one equi-join + map-side
+    SUM on frames bounded by D^2 rows at any corpus scale, re-snapped to
+    the 1e-9 grid each round (the kmeans/pagerank discipline) so the
+    unrolled-CTE twin agrees (operators/pca.py::pca_power)."""
+    from .operators.pca import pca_power
+
+    return pca_power(_t(spark, sf_dir, "embeddings"))
+
+
+def _pca_outliers_oracle() -> str:
+    from .operators.pca import pca_outliers_sql
+
+    return pca_outliers_sql()
+
+
+@_register("ds_pca_outliers", oracle=_pca_outliers_oracle)
+def ds_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most extreme vectors along the corpus's dominant principal axis:
+    the snapped eigenvector broadcasts onto the exploded embedding
+    stream, the per-vector dot product is an order-free BIGINT sum of
+    bounded micro-grid products (exact on both engines — no float
+    discipline), and the ranking is a distributed TakeOrdered
+    (operators/pca.py::pca_outliers)."""
+    from .operators.pca import pca_outliers
+
+    return pca_outliers(_t(spark, sf_dir, "embeddings"))

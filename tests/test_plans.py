@@ -1152,3 +1152,39 @@ def test_ks_drift_windows_only_on_length_frame(spark, sf_dir):
     # the only nested-loops broadcast the one-row totals/stats frames
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Window") == 2
+
+
+def test_pca_power_one_python_stage_bounded_rounds(spark, sf_dir):
+    """PCA power iteration (checkpoint=False exposes the declarative round
+    body): the ONLY Python is the Gram's mapInPandas — cached, so however
+    many times the lineage references it, the corpus is read once — every
+    round is equi-join + map-side SUM on D-row frames, normalizers arrive
+    by broadcast, and no sort-merge or cartesian anywhere."""
+    from ehr_ner_spark.operators.pca import pca_power
+
+    df = pca_power(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), checkpoint=False
+    )
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan  # the persisted Gram behind rounds
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_pca_outliers_broadcast_axis_takeordered(spark, sf_dir):
+    """The snapped axis reaches the exploded embedding stream by broadcast
+    hash join (the token-stream side never shuffles before its per-vector
+    aggregate), the ranking is a distributed TakeOrdered, and the dot
+    product is integer arithmetic (no Python beyond the cached Gram)."""
+    from ehr_ner_spark.operators.pca import pca_outliers
+
+    df = pca_outliers(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), checkpoint=False
+    )
+    plan = _plan(df)
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
