@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "ds_ks_drift",
     "ds_dsir_select",
     "ds_pca_outliers",
+    "rel_column_stats",
+    "ds_bootstrap_ci",
 ]
 
 

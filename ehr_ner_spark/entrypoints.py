@@ -5668,3 +5668,63 @@ def ds_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pca import pca_outliers
 
     return pca_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+def _closeness_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+    from .operators.paths import harmonic_closeness_sql
+
+    return harmonic_closeness_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_harmonic_closeness", oracle=_closeness_oracle)
+def kg_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality of the landmark hubs — the
+    disconnected-graph-safe closeness variant, with the reciprocal
+    DEFINED in integer micro units (1000000 DIV dist) so the sum is an
+    order-free BIGINT fold over the bounded landmark-distance frame
+    (operators/paths.py::harmonic_closeness)."""
+    from .operators.communities import entity_edges
+    from .operators.paths import harmonic_closeness
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return harmonic_closeness(entity_edges(m))
+
+
+def _colstats_oracle() -> str:
+    from .operators.colstats import column_stats_sql
+
+    return column_stats_sql()
+
+
+@_register("rel_column_stats", oracle=_colstats_oracle)
+def rel_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-grade column statistics (exact NDV, nulls, native
+    min/max, average rendered width) for the CBO / table-maintenance
+    path: ONE single-pass aggregate computes every statistic for every
+    audited column (count-distincts expand via Catalyst's standard
+    two-phase plan), then the one-row result unpivots driver-sized; the
+    average width is an exact overflow-safe integer micro division
+    (operators/colstats.py::column_stats)."""
+    from .operators.colstats import column_stats
+
+    return column_stats(_t(spark, sf_dir, "lineitem"))
+
+
+def _bootstrap_oracle() -> str:
+    from .operators.bootstrap import bootstrap_ci_sql
+
+    return bootstrap_ci_sql()
+
+
+@_register("ds_bootstrap_ci", oracle=_bootstrap_oracle)
+def ds_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer-weight bootstrap: a 95% confidence band for
+    the corpus mean doc length from 32 hash-weighted replicas computed
+    as 64 conditional-sum columns of ONE map-side-combined aggregate —
+    no row amplification, one corpus scan, BIGINT end to end; the band
+    is order statistics of the replica means
+    (operators/bootstrap.py::bootstrap_ci)."""
+    from .operators.bootstrap import bootstrap_ci
+
+    return bootstrap_ci(_t(spark, sf_dir, "documents"))

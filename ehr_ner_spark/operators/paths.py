@@ -110,3 +110,52 @@ def landmark_paths_sql(mentions_sql: str, min_pair: int = 2,
     parts.append(f"""
     SELECT landmark, node AS entity, dist::BIGINT AS dist FROM d{hops}""")
     return "".join(parts)
+
+
+def harmonic_closeness(edges: DataFrame,
+                       n_landmarks: int = PATHS_LANDMARKS,
+                       hops: int = PATHS_HOPS,
+                       checkpoint: bool = True) -> DataFrame:
+    """Harmonic closeness centrality of the landmark hubs — the bounded-
+    radius form of Marchiori-Latora harmonic centrality (the closeness
+    variant that stays well-defined on disconnected graphs): for each
+    landmark, ``sum over reached v != l of 1/dist(l, v)`` with the
+    unreachable tail contributing zero.
+
+    Integer-exact by definition: the reciprocal is DEFINED in micro units
+    as ``1000000 DIV dist`` (dist is a small positive integer), so the sum
+    is an order-free BIGINT fold and the twin needs no float discipline.
+    The aggregate runs on the nodes x L distance frame landmark_paths
+    already bounds; one map-side-combined groupBy(landmark).
+
+    Output: (landmark, n_reached, sum_dist, harmonic_micro) ordered by
+    the registry's canonical column sort downstream; rank by
+    harmonic_micro DESC for the hub league table.
+    """
+    d = landmark_paths(edges, n_landmarks, hops, checkpoint=checkpoint)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("landmark")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.sum(F.expr("1000000 DIV dist")).cast("long")
+            .alias("harmonic_micro"),
+        )
+    )
+
+
+def harmonic_closeness_sql(mentions_sql: str, min_pair: int = 2,
+                           n_landmarks: int = PATHS_LANDMARKS,
+                           hops: int = PATHS_HOPS) -> str:
+    """DuckDB twin: the landmark-paths CTE chain + the same integer fold."""
+    inner = landmark_paths_sql(mentions_sql, min_pair, n_landmarks, hops)
+    return f"""
+    SELECT landmark,
+           COUNT(*)::BIGINT AS n_reached,
+           SUM(dist)::BIGINT AS sum_dist,
+           SUM(1000000 // dist)::BIGINT AS harmonic_micro
+    FROM ({inner}) p
+    WHERE dist > 0
+    GROUP BY landmark
+    """

@@ -134,6 +134,9 @@ EXACT_QUERIES = {
     # KS drift (bp-truncated integer CDFs) / DSIR selection (grid-snapped
     # integer bucket scores summed as BIGINTs): all integer + string
     "ds_ks_drift", "ds_dsir_select",
+    # ANALYZE stats / bootstrap CI / harmonic closeness: BIGINT + string
+    # end to end (native min/max rendered to varchar identically)
+    "rel_column_stats", "ds_bootstrap_ci", "kg_harmonic_closeness",
 }
 
 

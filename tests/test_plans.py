@@ -1188,3 +1188,38 @@ def test_pca_outliers_broadcast_axis_takeordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_column_stats_single_pass_expand(spark, sf_dir):
+    """ANALYZE stats: every statistic for every audited column comes from
+    ONE scan — the exact-NDV set expands via Catalyst's standard Expand +
+    two-phase aggregate — and there is no join at all."""
+    df = entrypoints.QUERIES_REGISTRY["rel_column_stats"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Python" not in plan
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") + plan.count("Scan parquet") >= 1
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_bootstrap_ci_one_scan_no_shuffle_keys(spark, sf_dir):
+    """Bootstrap CI: 2B conditional sums fold map-side in ONE aggregate
+    over one corpus scan — NO hash-partitioned exchange anywhere (the
+    only post-scan structures are the 32-row stack/window frames)."""
+    df = entrypoints.QUERIES_REGISTRY["ds_bootstrap_ci"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_harmonic_closeness_no_cartesian_partial_fold(spark, sf_dir):
+    """Harmonic closeness: the reciprocal fold is a map-side-combined
+    BIGINT aggregate over the bounded landmark-distance frame; the BFS
+    below it stays broadcast/equi-join only."""
+    df = entrypoints.QUERIES_REGISTRY["kg_harmonic_closeness"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
