@@ -5728,3 +5728,32 @@ def ds_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bootstrap import bootstrap_ci
 
     return bootstrap_ci(_t(spark, sf_dir, "documents"))
+
+
+def _sessionize_closed_oracle() -> str:
+    from .streaming.sessionize import SESSIONIZE_SQL
+
+    return f"""
+    WITH sess AS ({SESSIONIZE_SQL}),
+    marked AS (
+      SELECT *, MAX(session_start) OVER (PARTITION BY user_id) AS mx
+      FROM sess)
+    SELECT user_id, session_start, session_end,
+           n_events::BIGINT AS n_events, sum_value
+    FROM marked WHERE session_start < mx
+    """
+
+
+@_register("rel_sessionize_stream", oracle=_sessionize_closed_oracle)
+def rel_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 STATEFUL streaming driver evidence: the
+    applyInPandasWithState sessionizer run over a deterministic
+    time-ordered micro-batch schedule (file source, maxFilesPerTrigger=1,
+    availableNow); the closed sessions the state store emits are
+    hash-checked against the batch sessionization SQL minus each user's
+    final (still-open) session — proving the keyed-state operator itself,
+    not a batch re-derivation, matches SQL semantics
+    (streaming/jobs.py::sessionize_stream_closed)."""
+    from .streaming.jobs import sessionize_stream_closed
+
+    return sessionize_stream_closed(spark, sf_dir)

@@ -335,3 +335,93 @@ def stream_dedup(
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def sessionize_stream_closed(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4,
+    timeout_sec: int = 600
+) -> DataFrame:
+    """Driver-checkable STATEFUL streaming evidence: the
+    applyInPandasWithState sessionizer (streaming/sessionize.py) run over
+    a deterministic time-ordered micro-batch schedule, returning the
+    closed sessions the state store emitted.
+
+    The events table splits into ``n_chunks`` single-file chunks at exact
+    time quantile boundaries — time-ordered arrival, so the keyed state
+    sees each user's events in the same (ts, event_id) order the batch
+    window does, and the closed-session stream equals the batch
+    sessionization minus each user's final (still-open) session.  That
+    difference is expressed in the ORACLE (drop the max-session_start row
+    per user), so a green driver row proves the stateful operator's
+    output — not a batch re-derivation — matches SQL semantics.
+
+    Ties at a chunk boundary are safe by construction: equal timestamps
+    can never exceed the session gap, so splitting them across
+    micro-batches cannot move a session boundary.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .sessionize import sessionize_stream
+
+    work = tempfile.mkdtemp(prefix="rel_sessionize_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        qs = [i / n_chunks for i in range(1, n_chunks)]
+        bounds = ev.select(
+            F.expr(
+                "percentile(unix_micros(cast(ts as timestamp)), array("
+                + ", ".join(str(q) for q in qs)
+                + "))"
+            ).alias("b")
+        ).collect()[0]["b"]
+        lo = None
+        for i, hi in enumerate(list(bounds) + [None]):
+            chunk = ev
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+            if lo is not None:
+                chunk = chunk.where(us > F.lit(lo))
+            if hi is not None:
+                chunk = chunk.where(us <= F.lit(hi))
+            chunk_dir = os.path.join(work, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+            (part,) = glob.glob(os.path.join(chunk_dir, "part-*.parquet"))
+            os.replace(part, os.path.join(src, f"chunk-{i:03d}.parquet"))
+            lo = hi
+
+        global _SESS_STREAM_SEQ
+        _SESS_STREAM_SEQ += 1
+        name = f"sess_closed_{os.getpid()}_{_SESS_STREAM_SEQ}"
+        q = (
+            sessionize_stream(spark, src, ev.schema, max_files_per_trigger=1)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError("sessionize stream did not drain")
+        n_batches = len(q.recentProgress)
+        if n_batches < 2:
+            raise RuntimeError(
+                f"expected >=2 micro-batches, saw {n_batches}"
+            )
+        return (
+            spark.table(name)
+            .withColumn("n_events", F.col("n_events").cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SESS_STREAM_SEQ = 0

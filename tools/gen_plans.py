@@ -11,7 +11,9 @@ PICK = ["kg_mentions", "kg_canonical_triples", "ds_minhash_lsh_pairs",
         "rel_concurrency_profile", "ds_golden_record", "ds_silhouette",
         "rel_interval_join", "rel_skyline", "ds_weighted_reservoir",
         "ds_ngram_novelty", "ds_embedding_gram", "ds_chi2_keywords",
-        "rel_k_anonymity", "ds_distribution_drift"]
+        "rel_k_anonymity", "ds_distribution_drift",
+        "ds_dsir_select", "ds_ks_drift", "ds_pca_outliers",
+        "rel_column_stats", "ds_bootstrap_ci"]
 BLURB = {
     "kg_mentions": "Flagship battery detect: ONE explicit doc-hash Exchange, ONE Arrow scorer stage, content pruned before the mention stream.",
     "kg_canonical_triples": "Whole north-rule pipeline: detect -> LSH linking -> CC -> election -> triples.",
@@ -37,6 +39,11 @@ BLURB = {
     "ds_embedding_gram": "Gram matrix X^T X: one exact BLAS rank-k update per Arrow chunk, one 2,080-cell upper-triangle frame per partition, partial/final SUM — the exchange carries cells, never vectors.",
     "ds_chi2_keywords": "Chi-square keywords: one presence-dedup shuffle; per-term df windows over the AGGREGATED (lang, term) frame (<= n_langs rows/key); totals broadcast; rank-filtered per-language winner windows.",
     "ds_ngram_novelty": "Novelty curve: first-seen bucket per gram is a combinable MIN over the persisted distinct (bucket, gram) frame — hot grams cross the exchange once per map partition, never a window over the gram key.",
+    "ds_dsir_select": "DSIR selection: bucket counts aggregate map-side to <=512 rows, the score table broadcasts back onto the token stream (the exploded tokens never shuffle), ranking is a distributed TakeOrdered.",
+    "ds_ks_drift": "KS drift: ONE map-side (n_chars) agg reduces the corpus to the length-domain frame; cumulative/argmax windows and totals run on that aggregated frame only.",
+    "ds_pca_outliers": "PCA projections: Gram map-side + checkpointed D-row power rounds; the snapped axis broadcasts onto the exploded embeddings; exact BIGINT dot products; distributed TakeOrdered.",
+    "rel_column_stats": "ANALYZE stats: every statistic for every column from ONE scan — exact NDVs via Catalyst's Expand two-phase agg; no join.",
+    "ds_bootstrap_ci": "Bootstrap CI: 64 conditional sums fold map-side in one aggregate over one scan — zero hash-partitioned exchanges; the stack/window frames are 32 rows.",
 }
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "32").getOrCreate())
