@@ -30,7 +30,10 @@ combined aggregate keyed by doc_id; the final ranking is a distributed
 top-K (TakeOrdered — no global sort shuffle).  The only frames that ever
 cross an exchange are the B-row score table and the n_docs-row weight
 frame.  Zipf-head terms only fatten individual bucket counters, which
-partial aggregation absorbs map-side.
+partial aggregation absorbs map-side.  The token stream is produced
+twice (counts pass, weights pass) BY DESIGN: both are map-side-only
+explosions of the scan, and recomputing beats materializing an exploded
+token column at corpus scale.
 
 Reference contact: none (training-data curation family; complements
 ds_quality / ds_lm_buckets which score documents standalone — DSIR
