@@ -474,16 +474,20 @@ def main() -> None:
         # self-sufficient — no prose needed to find the green window.
         rep32 = 2 * rep
         sat_tries = int(os.environ.get("SPARK_GRAFT_BENCH_SAT_TRIES", "8"))
+        # the all-core hw probe is a WEAK predictor for this pair: the
+        # session-15 record (0.831 raw) and the session-20 run (0.785 raw,
+        # vs-hw 1.368) both landed in windows whose probe read 0.54-0.57 —
+        # the engine routinely tracks well ABOVE the raw-mp calibration.
+        # So cap the time spent sleeping on the probe (default 12 x 10 s)
+        # and spend the rest of the phase on timed tries: more samples
+        # beat more waiting when the gate signal is weak.
+        sat_sleeps = int(os.environ.get("SPARK_GRAFT_BENCH_SAT_SLEEPS", "12"))
         sat_best, sat_all, sat_skipped = None, [], 0
         windows = 0
         while True:
             windows += 1
             hw = _hw_calibration()
-            # the 8->32 pair needs the box's OWN all-core ceiling near 1.0
-            # (the engine already tracks ~1.5x the raw-mp calibration, so a
-            # green try is a function of the window, not the engine) — wait
-            # longer for quiet windows than the half-box north pair does
-            exhausted = (windows >= 8 * sat_tries
+            exhausted = (sat_skipped >= sat_sleeps
                          or time.time() > sat_deadline)
             if hw["hw_efficiency"] < quiet_hw and not exhausted:
                 sat_skipped += 1
