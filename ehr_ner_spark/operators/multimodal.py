@@ -417,3 +417,128 @@ def resize_thumbnails_sql(n: int = 64, max_dim: int = THUMB_MAX_DIM) -> str:
                   || thumb_w::VARCHAR || 'x' || thumb_h::VARCHAR) AS thumb_sha
     FROM d
     """
+
+
+# ---------------------------------------------------------------------------
+# Audio window framing (the ASR/audio-LM front end of a multimodal pipeline)
+# ---------------------------------------------------------------------------
+
+SAMPLES_PER_MS = 8       # stub decode rate: 8 one-byte samples per ms (8 kHz)
+WINDOW_MS = 400          # analysis window length
+HOP_MS = 200             # 50% overlap hop
+
+
+def _decode_pcm(payload: bytes, duration_ms: int) -> np.ndarray:
+    """STUB PCM DECODER — deterministic fake samples derived from the
+    payload, same md5-byte-stream discipline as :func:`_decode_rgb` (with a
+    ``|pcm|`` domain separator so audio and image streams never collide):
+    sample j is byte ``j % 16`` of ``md5(hex(payload) + '|pcm|' + j // 16)``.
+    The DuckDB oracle twin replays it with substr arithmetic.  A real
+    ffmpeg/soundfile decode drops in unchanged; the Spark plumbing (Arrow
+    batches, UDTF-shaped explode, schema) is identical either way."""
+    hexp = payload.hex()
+    n = duration_ms * SAMPLES_PER_MS
+    out = np.empty(n, dtype=np.uint8)
+    for blk in range((n + 15) // 16):
+        digest = hashlib.md5(f"{hexp}|pcm|{blk}".encode()).digest()
+        lo = blk * 16
+        chunk = min(16, n - lo)
+        out[lo : lo + chunk] = np.frombuffer(digest[:chunk], dtype=np.uint8)
+    return out
+
+
+_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("start_ms", IntegerType()),
+        StructField("mean_amp", DoubleType()),
+        StructField("peak_amp", IntegerType()),
+    ]
+)
+
+
+def audio_windows(
+    media: DataFrame, window_ms: int = WINDOW_MS, hop_ms: int = HOP_MS
+) -> DataFrame:
+    """Audio analysis-window framing over opaque binary audio columns: each
+    clip decodes (stub) to a fixed-rate sample stream and explodes into
+    overlapping ``window_ms``/``hop_ms`` frames — the framing every audio
+    feature extractor (fbank, wav2vec chunking) runs first.
+
+    Every emitted value is exact: ``mean_amp`` is an exact integer sample
+    sum over an exact count (bit-identical float64 across engines and
+    summation orders — the mm_features discipline) and ``peak_amp`` is an
+    integer max.  Window sums are computed from ONE cumulative sum per clip
+    (O(samples), not O(windows x window)).  Arrow-batched ``mapInPandas``;
+    per-clip work is independent so the operator scales with the number of
+    clips, not their total duration skew (a pathological long clip is one
+    task, bounded by the duration cap upstream ingest enforces).
+    """
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+    wlen = window_ms * SAMPLES_PER_MS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "win_idx": [], "start_ms": [],
+                "mean_amp": [], "peak_amp": [],
+            }
+            for mid, kind, dur, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["duration_ms"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                dur = int(dur)
+                pcm = _decode_pcm(bytes(payload), dur)
+                cs = np.concatenate(
+                    [[0], np.cumsum(pcm, dtype=np.int64)]
+                )
+                for i, start in enumerate(range(0, dur - window_ms + 1, hop_ms)):
+                    lo = start * SAMPLES_PER_MS
+                    seg_sum = int(cs[lo + wlen] - cs[lo])
+                    rows["media_id"].append(int(mid))
+                    rows["win_idx"].append(i)
+                    rows["start_ms"].append(start)
+                    rows["mean_amp"].append(seg_sum / wlen)
+                    rows["peak_amp"].append(int(pcm[lo : lo + wlen].max()))
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(run, _WINDOW_SCHEMA)
+
+
+def audio_windows_sql(
+    n: int = 48, window_ms: int = WINDOW_MS, hop_ms: int = HOP_MS
+) -> str:
+    """DuckDB twin: replays the :func:`synth_media` audio rows (kind at
+    i%3 = 1, duration 1000+100i) and the ``|pcm|`` md5 byte stream with
+    substr arithmetic, then aggregates the SAME sample spans."""
+    spm = SAMPLES_PER_MS
+    max_dur = 1000 + 100 * (n - 1)
+    return f"""
+    WITH m AS (
+      SELECT i AS media_id, 1000 + 100 * i AS dur,
+             repeat(sha256('media' || i::VARCHAR), 8) AS hexp
+      FROM range({n}) t(i) WHERE i % 3 = 1),
+    px AS (
+      SELECT media_id, dur, j.range AS j,
+             ('0x' || substr(md5(hexp || '|pcm|' || (j.range // 16)::VARCHAR),
+                             (j.range % 16)::INT * 2 + 1, 2))::INT AS v
+      FROM m CROSS JOIN range({max_dur * spm}) j
+      WHERE j.range < dur * {spm}),
+    w AS (
+      SELECT media_id, dur, wi.range AS win_idx,
+             wi.range * {hop_ms} AS start_ms
+      FROM m CROSS JOIN range({(max_dur - window_ms) // hop_ms + 1}) wi
+      WHERE wi.range * {hop_ms} + {window_ms} <= dur)
+    SELECT w.media_id, w.win_idx::INT AS win_idx, w.start_ms::INT AS start_ms,
+           SUM(p.v) / COUNT(*)::DOUBLE AS mean_amp,
+           MAX(p.v)::INT AS peak_amp
+    FROM w JOIN px p
+      ON p.media_id = w.media_id
+     AND p.j >= w.start_ms * {spm}
+     AND p.j < (w.start_ms + {window_ms}) * {spm}
+    GROUP BY 1, 2, 3
+    """

@@ -109,3 +109,66 @@ def test_thumb_dims_never_zero():
     assert _thumb_dims(1000, 1, 16) == (16, 1)
     assert _thumb_dims(1, 1000, 16) == (1, 16)
     assert _thumb_dims(5, 5, 16) == (16, 16)
+
+
+def test_audio_windows_framing(spark):
+    import numpy as np
+
+    from ehr_ner_spark.operators.multimodal import (
+        HOP_MS,
+        SAMPLES_PER_MS,
+        WINDOW_MS,
+        _decode_pcm,
+        audio_windows,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    rows = audio_windows(media).collect()
+    assert rows
+    # only audio clips produce frames; window count matches the formula
+    clips = {
+        r["media_id"]: 1000 + 100 * r["media_id"]
+        for r in media.collect()
+        if r["kind"] == "audio"
+    }
+    by_clip = {}
+    for r in rows:
+        assert r["media_id"] in clips
+        by_clip.setdefault(r["media_id"], []).append(r)
+    for mid, dur in clips.items():
+        want_n = (dur - WINDOW_MS) // HOP_MS + 1
+        got = sorted(by_clip[mid], key=lambda r: r["win_idx"])
+        assert len(got) == want_n
+        assert [r["start_ms"] for r in got] == [
+            i * HOP_MS for i in range(want_n)
+        ]
+    # mean/peak re-derived sample-exactly from the stub PCM stream
+    import hashlib
+
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.collect()
+        if r["kind"] == "audio"
+    }
+    for mid, dur in clips.items():
+        pcm = _decode_pcm(payloads[mid], dur)
+        for r in by_clip[mid]:
+            lo = r["start_ms"] * SAMPLES_PER_MS
+            seg = pcm[lo : lo + WINDOW_MS * SAMPLES_PER_MS]
+            assert r["peak_amp"] == int(seg.max())
+            assert r["mean_amp"] == int(seg.sum(dtype=np.int64)) / seg.size
+
+
+def test_audio_windows_short_clip_yields_none(spark):
+    from ehr_ner_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_windows,
+    )
+
+    short = spark.createDataFrame(
+        [(0, "audio", "application/x-fake-audio", 8, 8, 399,
+          bytearray(b"\x01" * 32))],
+        MEDIA_SCHEMA,
+    )
+    assert audio_windows(short).count() == 0
