@@ -5049,6 +5049,25 @@ def mm_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_thumbnails(synth_media(spark, 48))
 
 
+def _audio_windows_oracle() -> str:
+    from .operators.multimodal import audio_windows_sql
+
+    return audio_windows_sql(n=48)
+
+
+@_register("mm_audio_windows", oracle=_audio_windows_oracle)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis-window framing: each binary audio clip decodes (stub
+    md5 PCM stream) and explodes into overlapping 400 ms / 200 ms-hop
+    frames with exact integer-sum mean amplitude and integer peak — the
+    front end of every audio feature extractor.  Window sums come from ONE
+    cumulative sum per clip; Arrow-batched mapInPandas
+    (operators/multimodal.py::audio_windows)."""
+    from .operators.multimodal import audio_windows, synth_media
+
+    return audio_windows(synth_media(spark, 48))
+
+
 @_register(
     "rel_stream_dedup",
     oracle="""
@@ -5066,6 +5085,40 @@ def rel_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.jobs import stream_dedup
 
     return stream_dedup(spark, sf_dir)
+
+
+@_register(
+    "rel_watermark_late",
+    # the watermark's late-data DROP, expressed in SQL: per-window counts
+    # over the non-straggler rows only (the stragglers arrive after the
+    # watermark passed their windows), restricted to windows closed by the
+    # final watermark (max event time in FLOORED MILLISECONDS minus the
+    # 12.5 h delay — Spark's event-time stats are ms-resolution)
+    oracle="""
+    WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+    b AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+    p AS (SELECT lo + ((hi - lo) * 3) // 5 AS strag_cut,
+                 (hi // 1000 - 45000000) * 1000 AS wm FROM b)
+    SELECT (us // 21600000000) * 21600000000 AS window_start_us,
+           (us // 21600000000) * 21600000000 + 21600000000 AS window_end_us,
+           COUNT(*) AS n_events
+    FROM ev, p
+    WHERE NOT (event_id % 17 = 0 AND us < p.strag_cut)
+      AND (us // 21600000000) * 21600000000 + 21600000000 <= p.wm
+    GROUP BY 1, 2
+    """,
+)
+def rel_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver evidence that the watermark DROPS late data: 6 h
+    tumbling counts in append mode over a deterministic out-of-order
+    schedule — early stragglers (event_id % 17 == 0 below the 60%-range
+    cut) delivered after the global max timestamp.  The run itself asserts
+    numRowsDroppedByWatermark == the distinct straggler-window count; the
+    oracle replays the drop + append finalization + ms-floored watermark
+    arithmetic in SQL (streaming/jobs.py::watermark_late_audit)."""
+    from .streaming.jobs import watermark_late_audit
+
+    return watermark_late_audit(spark, sf_dir)
 
 
 def _type_rollup_oracle() -> str:

@@ -425,3 +425,139 @@ def sessionize_stream_closed(
 
 
 _SESS_STREAM_SEQ = 0
+
+
+LATE_WINDOW_SEC = 21600        # 6 h tumbling windows
+LATE_DELAY_SEC = 45000         # 12.5 h watermark delay (> window: no
+                               # boundary window closes before its
+                               # neighbours' chunk arrives)
+LATE_STRAGGLER_MOD = 17        # event_id % MOD == 0 in the early range
+                               # arrives LAST (out-of-order delivery)
+
+
+def watermark_late_audit(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 600
+) -> DataFrame:
+    """Driver-checkable evidence that the WATERMARK actually DROPS late
+    data: a tumbling-window count in append mode, fed a deterministic
+    out-of-order schedule where a straggler subset of the EARLY events
+    (``event_id % 17 == 0`` and ts below the 60%-range cut, integer
+    arithmetic both engines replay) is delivered AFTER the stream has seen
+    the global max timestamp.  By then even the late-data FILTERING
+    watermark (one batch behind the eviction watermark) sits ~12.5 h
+    behind the 80% cut — days past every straggler's 6 h window — so all
+    stragglers are dropped by the late-data filter and NONE re-opens a
+    window that an earlier batch finalized.
+
+    The ORACLE expresses exactly that: per-window counts over the
+    NON-straggler rows only, restricted to windows whose end is at or
+    before the final watermark ``(max_us // 1000 - delay_ms) * 1000``
+    (Spark tracks event-time stats in floored milliseconds) — windows
+    still open when the stream drains are never emitted in append mode.
+    A green row therefore proves three behaviors at once: late-row drop,
+    append-mode finalization, and the ms-floored watermark arithmetic.
+
+    The run also asserts the state store REPORTED dropping every
+    straggler (``numRowsDroppedByWatermark``), so a silently-absorbed
+    late row fails loudly rather than surfacing as a hash mismatch.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="rel_watermark_late_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        lo_us, hi_us = ev.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+        # Spark state operators hold TWO watermarks per batch: late-data
+        # filtering uses the PREVIOUS batch's value, eviction the current
+        # one.  The straggler cut therefore sits at the 60% point while the
+        # chunk boundary sits at 80%: every straggler window ends >= 0.2 x
+        # range - window (days) below even the FILTERING watermark of the
+        # straggler batch (max(chunk0) - delay ~= cut80 - 12.5 h), so no
+        # straggler can slip between the two watermarks and contaminate a
+        # window emitted later.
+        cut_us = lo_us + ((hi_us - lo_us) * 4) // 5
+        strag_cut_us = lo_us + ((hi_us - lo_us) * 3) // 5
+        us = F.unix_micros("ts")
+        straggler = (F.col("event_id") % LATE_STRAGGLER_MOD == 0) & (
+            us < F.lit(strag_cut_us)
+        )
+        chunks = [
+            ev.where(~straggler & (us < F.lit(cut_us))),   # early, on time
+            ev.where(us >= F.lit(cut_us)),                 # tail (has max)
+            ev.where(straggler),                           # stragglers LAST
+        ]
+        # numRowsDroppedByWatermark counts rows AFTER the map-side partial
+        # aggregation — one row per distinct straggler window (the chunk is
+        # a single small file, hence a single map partition) — so the exact
+        # expectation is the distinct-window count, not the raw row count.
+        wlen_us = LATE_WINDOW_SEC * 1_000_000
+        n_late = (
+            chunks[2]
+            .select((us - us % F.lit(wlen_us)).alias("w"))
+            .distinct()
+            .count()
+        )
+        for i, chunk in enumerate(chunks):
+            chunk_dir = os.path.join(work, f"chunk{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+            (part,) = glob.glob(os.path.join(chunk_dir, "part-*.parquet"))
+            os.replace(part, os.path.join(src, f"chunk-{i:03d}.parquet"))
+
+        counts = (
+            spark.readStream.schema(chunks[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", f"{LATE_DELAY_SEC} seconds")
+            .groupBy(F.window("ts", f"{LATE_WINDOW_SEC} seconds"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.unix_micros("window.start").alias("window_start_us"),
+                F.unix_micros("window.end").alias("window_end_us"),
+                "n_events",
+            )
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError("watermark-late stream did not drain")
+        progress = q.recentProgress
+        if len(progress) < 3:
+            raise RuntimeError(
+                f"expected >=3 micro-batches, saw {len(progress)}"
+            )
+        import json as _json
+
+        dropped = sum(
+            int(s["numRowsDroppedByWatermark"])
+            for p in progress
+            for s in (
+                p if isinstance(p, dict) else _json.loads(p.json)
+            )["stateOperators"]
+        )
+        if dropped != n_late:
+            raise RuntimeError(
+                f"watermark dropped {dropped} partial rows, expected "
+                f"exactly the {n_late} distinct straggler windows behind "
+                f"the final watermark"
+            )
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -90,3 +90,52 @@ def test_stream_dedup_absorbs_duplicate_delivery(spark, sf_dir):
         s = src[r["event_id"]]
         assert r["user_id"] == s["user_id"]
         assert r["event_type"] == s["event_type"]
+
+
+def test_watermark_late_audit_drops_stragglers(spark, sf_dir):
+    """The late-data audit: stragglers delivered after the watermark passed
+    their windows contribute NOTHING — per-window counts equal the batch
+    counts over non-straggler rows, restricted to watermark-closed windows
+    (the job itself asserts numRowsDroppedByWatermark == the distinct
+    straggler-window count, so a silently absorbed late row cannot pass)."""
+    from pyspark.sql import functions as F
+
+    from ehr_ner_spark.streaming.jobs import (
+        LATE_DELAY_SEC,
+        LATE_STRAGGLER_MOD,
+        LATE_WINDOW_SEC,
+        watermark_late_audit,
+    )
+
+    got = {
+        (r["window_start_us"], r["window_end_us"]): r["n_events"]
+        for r in watermark_late_audit(spark, sf_dir).collect()
+    }
+    assert got
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    lo, hi = ev.agg(F.min("us"), F.max("us")).first()
+    strag_cut = lo + ((hi - lo) * 3) // 5
+    wm = (hi // 1000 - LATE_DELAY_SEC * 1000) * 1000
+    wlen = LATE_WINDOW_SEC * 1_000_000
+    want = {
+        (r["w"], r["w"] + wlen): r["n"]
+        for r in (
+            ev.where(
+                ~(
+                    (F.col("event_id") % LATE_STRAGGLER_MOD == 0)
+                    & (F.col("us") < strag_cut)
+                )
+            )
+            .select((F.col("us") - F.col("us") % wlen).alias("w"))
+            .where(F.col("w") + wlen <= wm)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert got == want
+    # every emitted window is closed by the final watermark
+    assert all(we <= wm for (_, we) in got)
