@@ -5068,6 +5068,46 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_windows(synth_media(spark, 48))
 
 
+def _image_ahash_oracle() -> str:
+    from .operators.multimodal import image_ahash_pairs_sql
+
+    return image_ahash_pairs_sql(n=288)
+
+
+@_register("mm_image_ahash", oracle=_image_ahash_oracle)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup via average-hash: stub decode -> 16 pooled
+    band means -> mean-threshold bits packed JVM-side (higher-order
+    ``transform``/``aggregate``, codegen) -> 4-band Hamming blocking ->
+    exact ``bit_count(xor)`` verify.  Blocking is LOSSLESS at Hamming <= 3
+    by pigeonhole, and the oracle checks ALL image pairs — so a blocking
+    bug that loses a pair fails the hash, not just a verify bug
+    (operators/multimodal.py::image_ahash_pairs)."""
+    from .operators.multimodal import image_ahash_pairs, synth_media
+
+    return image_ahash_pairs(synth_media(spark, 288))
+
+
+def _zone_maps_oracle() -> str:
+    from .operators.lakehouse import zone_maps_sql
+
+    return zone_maps_sql()
+
+
+@_register("rel_zone_maps", oracle=_zone_maps_oracle)
+def rel_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) audit: orderkey-range zones carry
+    footer min/max ``l_shipdate`` stats; a date-range predicate classifies
+    every zone skip / full / partial, with exact ``n_match`` quantifying
+    false-scan cost — the read-side primitive whose write-side companion
+    is ``rel_zorder_layout``.  ONE map-side-combined aggregate keyed by
+    zone; output bounded by zone count
+    (operators/lakehouse.py::zone_maps)."""
+    from .operators.lakehouse import zone_maps
+
+    return zone_maps(_t(spark, sf_dir, "lineitem"))
+
+
 @_register(
     "rel_stream_dedup",
     oracle="""

@@ -190,3 +190,106 @@ def compaction_plan_sql(target: int = BIN_TARGET_BYTES) -> str:
            COUNT(*) OVER (PARTITION BY part_month, bin)::BIGINT AS bin_files
     FROM binned
     """
+
+
+# ---------------------------------------------------------------------------
+# zone maps (min/max data skipping)
+# ---------------------------------------------------------------------------
+
+ZONE_ORDERKEYS = 512    # orderkeys per zone (file granule in a real layout)
+ZONE_PRED_LO = "1995-01-01"
+ZONE_PRED_HI = "1995-06-15"   # mid-month so the clustered June zone is partial
+
+
+def zone_maps(lineitem: DataFrame,
+              lo: str = ZONE_PRED_LO, hi: str = ZONE_PRED_HI) -> DataFrame:
+    """Zone-map (min/max data-skipping) audit — the footer-stats primitive
+    every 100-TB scan lives or dies by — evaluated over TWO physical
+    layouts of the same rows:
+
+    - ``write_order``: zones are orderkey-range granules (the file layout
+      ingestion order produces).  Shipdates are uncorrelated with
+      orderkey, so every zone's min/max straddles the predicate — all
+      ``partial``, 0% skipped: the false-scan pathology.
+    - ``date_clustered``: zones are shipdate months (the layout a
+      partitioned/Z-ordered write produces; ``rel_zorder_layout`` is the
+      write-side companion).  Months disjoint from the predicate are
+      ``skip``, contained months ``full``, the mid-month boundary zone
+      ``partial`` — the audit shows exactly what clustering buys.
+
+    Per zone: min/max footer stats, exact ``n_match`` (matching rows —
+    a ``partial`` zone with ``n_match = 0`` is pure false-scan cost), and
+    the skip/full/partial class for predicate ``lo <= l_shipdate <= hi``.
+    Two map-side-combined aggregates (one per layout) unioned; output is
+    bounded by zone counts, never row count.  Output: (layout, zone_id,
+    n_rows, min_ship, max_ship, scan_class, n_match)."""
+    d_lo = F.lit(lo).cast("timestamp")
+    d_hi = F.lit(hi + " 23:59:59").cast("timestamp")
+    in_pred = F.col("l_shipdate").between(d_lo, d_hi)
+
+    def stats(zoned, layout):
+        z = zoned.groupBy("zone_id").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+            F.sum(in_pred.cast("long")).alias("n_match"),
+        )
+        cls = (
+            F.when(
+                (F.col("max_ship") < F.lit(lo)) | (F.col("min_ship") > F.lit(hi)),
+                F.lit("skip"),
+            )
+            .when(
+                (F.col("min_ship") >= F.lit(lo)) & (F.col("max_ship") <= F.lit(hi)),
+                F.lit("full"),
+            )
+            .otherwise(F.lit("partial"))
+        )
+        return z.select(
+            F.lit(layout).alias("layout"), "zone_id", "n_rows",
+            "min_ship", "max_ship", cls.alias("scan_class"), "n_match",
+        )
+
+    by_write = lineitem.withColumn(
+        "zone_id", F.expr(f"l_orderkey DIV {ZONE_ORDERKEYS}")
+    )
+    by_date = lineitem.withColumn(
+        "zone_id",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).cast("long"),
+    )
+    return stats(by_write, "write_order").unionByName(
+        stats(by_date, "date_clustered")
+    )
+
+
+def zone_maps_sql(lo: str = ZONE_PRED_LO, hi: str = ZONE_PRED_HI) -> str:
+    """DuckDB twin: same zone assignments, footer stats, and classifier.
+    min/max travel as 'yyyy-MM-dd' strings so the class comparison is the
+    SAME lexicographic test on both engines."""
+    return f"""
+    WITH zoned AS (
+      SELECT 'write_order' AS layout,
+             l_orderkey // {ZONE_ORDERKEYS} AS zone_id, l_shipdate
+      FROM lineitem
+      UNION ALL
+      SELECT 'date_clustered' AS layout,
+             (EXTRACT(year FROM l_shipdate) * 12
+              + EXTRACT(month FROM l_shipdate) - 1)::BIGINT AS zone_id,
+             l_shipdate
+      FROM lineitem),
+    z AS (
+      SELECT layout, zone_id,
+             COUNT(*)::BIGINT AS n_rows,
+             strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+             strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '{lo} 00:00:00'
+                       AND l_shipdate <= TIMESTAMP '{hi} 23:59:59'
+                      THEN 1 ELSE 0 END)::BIGINT AS n_match
+      FROM zoned GROUP BY 1, 2)
+    SELECT layout, zone_id, n_rows, min_ship, max_ship,
+           CASE WHEN max_ship < '{lo}' OR min_ship > '{hi}' THEN 'skip'
+                WHEN min_ship >= '{lo}' AND max_ship <= '{hi}' THEN 'full'
+                ELSE 'partial' END AS scan_class,
+           n_match
+    FROM z
+    """

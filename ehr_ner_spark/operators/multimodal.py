@@ -509,6 +509,142 @@ def audio_windows(
     return media.where(F.col("kind") == "audio").mapInPandas(run, _WINDOW_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup: average-hash over the pooled band features
+# ---------------------------------------------------------------------------
+
+AHASH_BITS = 16          # one bit per pooled band feature (8 col + 8 row)
+AHASH_BANDS = 4          # LSH bands over the hash (4 bits each)
+AHASH_MAX_HAMMING = 3    # <= bands - 1 keeps band blocking LOSSLESS
+
+
+def image_ahash_pairs(
+    media: DataFrame, max_hamming: int = AHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs via average-hash (aHash): decode
+    (stub) -> 16 pooled band means (:func:`extract_features`) -> one bit per
+    band (``band_mean > mean_luma``) packed JVM-side into a 16-bit hash ->
+    banded Hamming blocking -> exact ``bit_count(xor)`` verify.
+
+    Scale shape (the whole point at 100 TB): candidate generation is a
+    4-bit-band equi-join — NEVER all-pairs.  With ``max_hamming <=
+    AHASH_BANDS - 1`` the blocking is lossless by pigeonhole (a pair within
+    Hamming 3 differs in at most 3 of the 4 bands, so at least one band
+    matches exactly), which the all-pairs DuckDB oracle verifies.  The bit
+    packing itself is a built-in higher-order function (``transform`` +
+    ``aggregate``) inside whole-stage codegen — the only Python is the
+    Arrow-batched stub decode.  Real-image parity: swap ``_decode_rgb`` for
+    libjpeg and the same plan computes classic aHash (mean-threshold bits
+    over pooled luma), per Krawetz's average-hash construction.
+
+    Output: (media_id_a, media_id_b, hamming) for pairs within
+    ``max_hamming``.
+    """
+    assert max_hamming <= AHASH_BANDS - 1, "blocking only lossless there"
+    feats = extract_features(media).where(F.col("kind") == "image")
+    hashed = feats.select(
+        "media_id",
+        F.expr(
+            "aggregate(transform(feat, (v, i) -> IF(v > mean_luma,"
+            " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("ahash"),
+    )
+    bands = hashed.select(
+        "media_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("ahash", 4 * b).bitwiseAND(F.lit(15))
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.col("a.ahash").alias("h_a"),
+            F.col("b.ahash").alias("h_b"),
+        )
+        # a pair sharing k bands appears k times — one verify per pair
+        .dropDuplicates(["media_id_a", "media_id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("media_id_a", "media_id_b", "hamming")
+    )
+
+
+def image_ahash_pairs_sql(
+    n: int = 288, max_hamming: int = AHASH_MAX_HAMMING
+) -> str:
+    """DuckDB twin: replays the md5 pixel stream (the :func:`mm_features`
+    oracle discipline), derives the same 16 threshold bits, and checks ALL
+    image pairs by per-dim bit disagreement — so a blocking bug that LOSES a
+    within-Hamming pair fails the hash check, not just a verify bug."""
+    max_px = (24 + 47) * (32 + 63) * 3 + 16
+    return f"""
+    WITH m AS (
+      SELECT i AS media_id, 32 + i % 64 AS w, 24 + i % 48 AS h,
+             repeat(sha256('media' || i::VARCHAR), 8) AS hexp
+      FROM range({n}) t(i) WHERE i % 3 = 0),
+    px AS (
+      SELECT media_id, w, h, j.range AS j,
+             ('0x' || substr(md5(hexp || '|' || (j.range // 16)::VARCHAR),
+                             (j.range % 16)::INT * 2 + 1, 2))::INT AS v
+      FROM m CROSS JOIN range({max_px}) j
+      WHERE j.range < h * w * 3),
+    coords AS (
+      SELECT media_id, w, h, v,
+             j // (w * 3) AS y, (j % (w * 3)) // 3 AS x
+      FROM px),
+    bx AS (
+      SELECT media_id, r.range AS bj,
+             (r.range * w) // 8 AS x0, ((r.range + 1) * w) // 8 AS x1
+      FROM m CROSS JOIN range(8) r),
+    by_ AS (
+      SELECT media_id, r.range AS bi,
+             (r.range * h) // 8 AS y0, ((r.range + 1) * h) // 8 AS y1
+      FROM m CROSS JOIN range(8) r),
+    colm AS (
+      SELECT c.media_id, x.bj AS dim, SUM(c.v) / COUNT(*)::DOUBLE AS fv
+      FROM coords c
+      JOIN bx x ON x.media_id = c.media_id AND c.x >= x.x0 AND c.x < x.x1
+      GROUP BY 1, 2),
+    rowm AS (
+      SELECT c.media_id, 8 + y.bi AS dim, SUM(c.v) / COUNT(*)::DOUBLE AS fv
+      FROM coords c
+      JOIN by_ y ON y.media_id = c.media_id AND c.y >= y.y0 AND c.y < y.y1
+      GROUP BY 1, 2),
+    luma AS (
+      SELECT media_id, SUM(v) / COUNT(*)::DOUBLE AS mean_luma
+      FROM coords GROUP BY 1),
+    bits AS (
+      SELECT f.media_id, f.dim,
+             CASE WHEN f.fv > l.mean_luma THEN 1 ELSE 0 END AS bit
+      FROM (SELECT * FROM colm UNION ALL SELECT * FROM rowm) f
+      JOIN luma l USING (media_id))
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::INT AS hamming
+    FROM bits a JOIN bits b
+      ON a.dim = b.dim AND a.media_id < b.media_id
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= {max_hamming}
+    """
+
+
 def audio_windows_sql(
     n: int = 48, window_ms: int = WINDOW_MS, hop_ms: int = HOP_MS
 ) -> str:

@@ -140,3 +140,45 @@ def test_ewma_truncates_at_span(spark):
     late = max(out)
     # only the day's own count remains in the window
     assert out[late]["ewma"] == 0.5
+
+
+def test_zone_maps_layout_contrast(spark):
+    """write_order zones (shipdate uncorrelated with orderkey) are all
+    partial; date_clustered zones split into skip / full / partial and
+    both layouts account for the same matching rows."""
+    from ehr_ner_spark.operators.lakehouse import zone_maps
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    rows = zone_maps(li).collect()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+
+    wo = by_layout["write_order"]
+    assert all(r.scan_class == "partial" for r in wo)
+
+    dc = by_layout["date_clustered"]
+    classes = {r.scan_class for r in dc}
+    assert "skip" in classes and "full" in classes
+    # class semantics: skip zones match nothing, full zones match all rows
+    for r in dc:
+        if r.scan_class == "skip":
+            assert r.n_match == 0
+        elif r.scan_class == "full":
+            assert r.n_match == r.n_rows
+    # both layouts partition the same rows -> same match total
+    assert sum(r.n_match for r in wo) == sum(r.n_match for r in dc)
+    assert sum(r.n_rows for r in wo) == sum(r.n_rows for r in dc)
+
+
+def test_zone_maps_monthly_zone_bounds(spark):
+    """Every date_clustered zone's min/max stay inside its month."""
+    from ehr_ner_spark.operators.lakehouse import zone_maps
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    for r in zone_maps(li).collect():
+        if r.layout != "date_clustered":
+            continue
+        y, m = divmod(int(r.zone_id), 12)
+        prefix = f"{y}-{m + 1:02d}-"
+        assert r.min_ship.startswith(prefix) and r.max_ship.startswith(prefix)

@@ -172,3 +172,68 @@ def test_audio_windows_short_clip_yields_none(spark):
         MEDIA_SCHEMA,
     )
     assert audio_windows(short).count() == 0
+
+
+def test_image_ahash_blocking_is_lossless(spark):
+    """Band blocking must find EXACTLY the pairs brute-force all-pairs
+    Hamming finds at the <= 3 threshold (pigeonhole: 4 bands, <= 3
+    differing bits leaves one band equal)."""
+    from ehr_ner_spark.operators.multimodal import (
+        extract_features,
+        image_ahash_pairs,
+        synth_media,
+    )
+
+    media = synth_media(spark, 288)
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in image_ahash_pairs(media).collect()
+    }
+
+    feats = (
+        extract_features(media)
+        .where("kind = 'image'")
+        .select("media_id", "mean_luma", "feat")
+        .collect()
+    )
+    hashes = {
+        r.media_id: sum(
+            1 << i for i, v in enumerate(r.feat) if v > r.mean_luma
+        )
+        for r in feats
+    }
+    ids = sorted(hashes)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(hashes[a] ^ hashes[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want and len(want) > 0
+
+
+def test_image_ahash_hash_packing_matches_numpy(spark):
+    """The JVM-side transform/aggregate bit packing equals the NumPy
+    threshold-pack for every image."""
+    import pyspark.sql.functions as F
+
+    from ehr_ner_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    feats = extract_features(synth_media(spark, 48)).where("kind = 'image'")
+    packed = feats.select(
+        "media_id",
+        "mean_luma",
+        "feat",
+        F.expr(
+            "aggregate(transform(feat, (v, i) -> IF(v > mean_luma,"
+            " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("ahash"),
+    ).collect()
+    for r in packed:
+        assert r.ahash == sum(
+            1 << i for i, v in enumerate(r.feat) if v > r.mean_luma
+        )

@@ -1223,3 +1223,24 @@ def test_harmonic_closeness_no_cartesian_partial_fold(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_image_ahash_banded_equijoin_no_cartesian(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["mm_image_ahash"](spark, sf_dir)
+    plan = _plan(df)
+    # candidate generation is a (band, bval) equi-join — never all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bit packing stays JVM-side: the only Python stage is the stub decode
+    assert plan.count("mapInPandas") <= 1 or plan.count("MapInPandas") <= 1
+    assert "bit_count" in plan  # exact Hamming verify post-blocking
+
+
+def test_zone_maps_two_mapside_aggs_no_python(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_zone_maps"](spark, sf_dir)
+    plan = _plan(df)
+    # one partial+final agg per layout, zone-keyed exchanges only
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "rangepartitioning" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
