@@ -2538,6 +2538,47 @@ def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def _prefix_pairs_oracle() -> str:
+    from .operators.dedup import prefix_filter_pairs_sql
+
+    return prefix_filter_pairs_sql(threshold=0.5)
+
+
+@_register("ds_prefix_pairs", oracle=_prefix_pairs_oracle)
+def ds_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtering set-similarity join: shingles
+    globally ordered by ascending document frequency; only each doc's
+    first ``|s| - ceil(t|s|) + 1`` (rarest) shingles enter the candidate
+    self-join, with a length filter in the join condition; exact Jaccard
+    verify over candidates only.  The oracle is EXACT all-pairs Jaccard
+    with no prefix/length pruning anywhere — the losslessness theorem is
+    driver-verified, not assumed
+    (operators/dedup.py::prefix_filter_pairs)."""
+    from .operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(_t(spark, sf_dir, "documents"), n=3,
+                               threshold=0.5)
+
+
+def _rrf_oracle() -> str:
+    from .operators.retrieval import rrf_fusion_sql
+
+    return rrf_fusion_sql()
+
+
+@_register("ds_rrf_fusion", oracle=_rrf_oracle)
+def ds_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 top-10 and hashed-embedding
+    inner-product top-10 (all-integer MIPS leg) fused per query with
+    reciprocal-rank fusion 1/(60+rank).  Both legs end rank-bounded, so
+    fusion joins battery_size x k rows regardless of corpus size; rank
+    reciprocals are IEEE-identical across engines and the score snaps to
+    the 1e-8 grid (operators/retrieval.py::rrf_fusion)."""
+    from .operators.retrieval import rrf_fusion
+
+    return rrf_fusion(_t(spark, sf_dir, "documents"))
+
+
 def _bigram_lm_oracle() -> str:
     from .operators.retrieval import bigram_lm_score_sql
 

@@ -863,3 +863,128 @@ def incremental_dedup(docs: DataFrame, threshold: float = 0.6,
             (-F.col("w.nj")).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (AllPairs/PPJoin candidate scheme)
+# ---------------------------------------------------------------------------
+
+def prefix_filter_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Word n-gram Jaccard >= ``threshold`` pairs via PREFIX FILTERING
+    (the AllPairs/PPJoin candidate scheme, Bayardo et al. WWW'07 / Xiao et
+    al. WWW'08) — the third candidate-generation strategy in the dedup
+    family, complementing MinHash-LSH (probabilistic) and the DF-capped
+    inverted index (lossy on boilerplate-only overlap):
+
+    1. every doc's shingle set is ordered by GLOBAL document frequency
+       ascending (rarest first; ties by shingle) — the canonical total
+       order that makes short prefixes selective;
+    2. only each doc's first ``|s| - ceil(t*|s|) + 1`` shingles (its
+       *prefix*) enter the candidate self-join — LOSSLESS for Jaccard
+       >= t: two qualifying sets must share a prefix token under any
+       total order (pigeonhole over the required overlap);
+    3. a length filter (``t*|a| <= |b| <= |a|/t``) prunes candidates in
+       the join condition before they materialize;
+    4. exact Jaccard verify runs only over surviving candidates.
+
+    100-TB shape: the join key is a PREFIX shingle — by construction the
+    rarest tokens of each set — so bucket sizes are bounded by the df of
+    rare tokens (the frequency-ordering is itself the skew guard; compare
+    the df cap the inverted-index variant needs).  The expensive
+    verify join touches candidates only.  The DuckDB oracle computes
+    EXACT all-pairs Jaccard with no prefix anywhere, so any pair lost by
+    the prefix/length scheme fails the hash check — the losslessness
+    theorem is driver-verified, not assumed.
+
+    Output: (src, dst, n_common, jaccard) with src < dst.
+    """
+    from pyspark.sql.window import Window
+
+    from ..cache import tracked_persist
+
+    t = threshold
+    sh = tracked_persist(shingle_rows(docs, text_col, id_col, n))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_sz = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select(
+            "doc_id", "shingle",
+            F.row_number().over(w_rank).alias("rnk"),
+            F.count(F.lit(1)).over(w_sz).alias("sz"),
+        )
+    )
+    pref = ranked.where(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("doc_id", "shingle", "sz")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: |b| in [t*|a|, |a|/t] (order-free: applied
+            # symmetrically since either side may be the larger set)
+            & (F.col("b.sz") >= F.ceil(F.lit(t) * F.col("a.sz")))
+            & (F.col("a.sz") >= F.ceil(F.lit(t) * F.col("b.sz"))),
+        )
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    inter = (
+        cand.join(sh.alias("sa"), F.col("src") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("dst") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("src", "dst", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac_raw = F.col("n_common") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.withColumn("jac_raw", jac_raw)
+        .where(F.col("jac_raw") >= t)
+        .select("src", "dst", "n_common",
+                F.round("jac_raw", 6).alias("jaccard"))
+    )
+
+
+def prefix_filter_pairs_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin: EXACT all-pairs word-3-gram Jaccard — no prefix, no
+    length filter, no df cap — so the engine's prefix/length pruning is
+    verified lossless, not replayed."""
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(len(string_split(text, ' ')) - 2),
+                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
+               )) AS shingle
+        FROM documents)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT src, dst, n_common::BIGINT AS n_common,
+           ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = src
+    JOIN sizes sb ON sb.doc_id = dst
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+          >= {threshold}
+    """

@@ -430,3 +430,189 @@ def lm_quality_buckets_sql(table: str = "documents",
                 ELSE 'head' END AS bucket
     FROM scored s JOIN cuts cu USING (lang)
     """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: dense (hashed-embedding inner product) + BM25, RRF-fused
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the standard reciprocal-rank-fusion constant
+RRF_TOPK = 10
+
+
+def query_hash_embeddings(
+    queries: Sequence[Tuple[str, Sequence[str]]] = BM25_QUERIES,
+    dim: int | None = None,
+) -> list[tuple[str, list[int]]]:
+    """Hash each battery query's terms into the SAME signed-bucket space
+    as :mod:`featurehash` (md5-60 bucket, (h>>4)%2 sign) — no learned
+    vocabulary, so query vectors are a pure function of the terms and both
+    engines can embed them as literals."""
+    from ..hashing import md5_60
+    from .featurehash import HASH_DIM
+
+    dim = dim or HASH_DIM
+    out = []
+    for qid, terms in queries:
+        v = [0] * dim
+        for t in terms:
+            h = md5_60(t)
+            v[h % dim] += ((h >> 4) % 2) * 2 - 1
+        out.append((qid, v))
+    return out
+
+
+def dense_topk(
+    docs_in: DataFrame,
+    queries: Sequence[Tuple[str, Sequence[str]]] = BM25_QUERIES,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Dense retrieval leg: top-``k`` docs per query by EXACT inner
+    product between the query's hashed embedding and each document's
+    feature-hash embedding (MIPS — the scoring rule of inner-product dense
+    retrievers).  All-integer arithmetic end to end (signed token counts),
+    so scores are bit-exact across engines with no float discipline.
+
+    Scale shape: the query battery is broadcast (fixed, tiny); the dot
+    product is a codegen higher-order fold over the embedding array; the
+    per-query top-k is a rank-filtered window that Catalyst rewrites with
+    a partial group-limit below the exchange (only local heaps shuffle).
+    Output: (query_id, doc_id, dot, rnk)."""
+    from pyspark.sql.window import Window
+
+    from .featurehash import feature_hash_embed
+
+    spark = docs_in.sparkSession
+    emb = feature_hash_embed(docs_in)
+    q = spark.createDataFrame(
+        query_hash_embeddings(queries),
+        "query_id string, q_emb array<bigint>",
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id", "doc_id", dot.alias("dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def rrf_fusion(
+    docs_in: DataFrame,
+    queries: Sequence[Tuple[str, Sequence[str]]] = BM25_QUERIES,
+    k: int = BM25_TOPK,
+    rrf_k: int = RRF_K,
+    topk: int = RRF_TOPK,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion
+    (Cormack et al. SIGIR'09): fuse the BM25 top-``k`` list and the
+    hashed-embedding inner-product top-``k`` list per query with
+
+        ``rrf = sum over rankers of 1 / (rrf_k + rank)``
+
+    (a ranker not returning the doc contributes 0 — standard top-k RRF),
+    then keep the fused top-``topk``.  Rank reciprocals are IEEE-exact
+    identical across engines (integer + integer division); the emitted
+    score snaps to the shared floor(x*1e8+0.5)/1e8 grid.
+
+    Scale shape: both legs end rank-bounded (<= k rows per query), so the
+    fusion join and final window run over battery_size * k rows — bounded
+    regardless of corpus size; all heavy lifting stays inside the two
+    rankers.  Output: (query_id, doc_id, bm_rnk, dense_rnk, rrf, rnk)
+    with absent-ranker ranks reported as 0."""
+    from pyspark.sql.window import Window
+
+    bm = bm25_topk(docs_in, queries=queries, k=k).select(
+        "query_id", "doc_id", F.col("rnk").alias("bm_rnk")
+    )
+    dn = dense_topk(docs_in, queries=queries, k=k).select(
+        "query_id", "doc_id", F.col("rnk").alias("dense_rnk")
+    )
+    fused = bm.join(dn, ["query_id", "doc_id"], "full_outer")
+    raw = (
+        F.when(F.col("bm_rnk").isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("bm_rnk"))
+        )
+        + F.when(F.col("dense_rnk").isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rnk"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_raw"), F.asc("doc_id"))
+    return (
+        fused.withColumn("_raw", raw)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= topk)
+        .select(
+            "query_id", "doc_id",
+            F.coalesce("bm_rnk", F.lit(0)).cast("long").alias("bm_rnk"),
+            F.coalesce("dense_rnk", F.lit(0)).cast("long").alias("dense_rnk"),
+            (F.floor(F.col("_raw") * F.lit(100000000.0) + F.lit(0.5))
+             / F.lit(100000000.0)).alias("rrf"),
+            "rnk",
+        )
+    )
+
+
+def rrf_fusion_sql(
+    table: str = "documents",
+    queries: Sequence[Tuple[str, Sequence[str]]] = BM25_QUERIES,
+    k: int = BM25_TOPK,
+    rrf_k: int = RRF_K,
+    topk: int = RRF_TOPK,
+) -> str:
+    """DuckDB twin: BM25 leg via :func:`bm25_topk_sql`, dense leg from the
+    feature-hash embedding replayed in SQL with the SAME literal query
+    vectors, identical fusion arithmetic."""
+    from .featurehash import HASH_DIM, feature_hash_embed_sql
+
+    qv_rows = ", ".join(
+        "('" + qid + "', [" + ", ".join(str(x) for x in vec) + "])"
+        for qid, vec in query_hash_embeddings(queries)
+    )
+    return f"""
+    WITH bm AS (
+      SELECT query_id, doc_id, rnk AS bm_rnk
+      FROM ({bm25_topk_sql(table)})),
+    emb AS ({feature_hash_embed_sql(table)}),
+    qv (query_id, q_emb) AS (VALUES {qv_rows}),
+    dot AS (
+      SELECT q.query_id, e.doc_id,
+             SUM(e.embedding[g.i + 1] * q.q_emb[g.i + 1])::BIGINT AS dot
+      FROM emb e CROSS JOIN qv q CROSS JOIN range({HASH_DIM}) g(i)
+      GROUP BY 1, 2),
+    dn AS (
+      SELECT query_id, doc_id, dense_rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY dot DESC, doc_id
+               ) AS dense_rnk
+        FROM dot)
+      WHERE dense_rnk <= {k}),
+    fused AS (
+      SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+             COALESCE(b.doc_id, d.doc_id) AS doc_id,
+             b.bm_rnk AS bm_rnk0, d.dense_rnk AS dense_rnk0,
+             (CASE WHEN b.bm_rnk IS NULL THEN 0.0
+                   ELSE 1.0 / ({rrf_k} + b.bm_rnk) END
+              + CASE WHEN d.dense_rnk IS NULL THEN 0.0
+                     ELSE 1.0 / ({rrf_k} + d.dense_rnk) END) AS raw
+      FROM bm b FULL OUTER JOIN dn d
+        ON b.query_id = d.query_id AND b.doc_id = d.doc_id)
+    SELECT query_id, doc_id,
+           COALESCE(bm_rnk0, 0)::BIGINT AS bm_rnk,
+           COALESCE(dense_rnk0, 0)::BIGINT AS dense_rnk,
+           floor(raw * 100000000.0 + 0.5) / 100000000.0 AS rrf,
+           rnk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY raw DESC, doc_id
+             )::BIGINT AS rnk
+      FROM fused)
+    WHERE rnk <= {topk}
+    """

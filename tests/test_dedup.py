@@ -272,3 +272,55 @@ def test_segment_dedup_first_key_is_partial_aggregate(spark, sf_dir):
     plan = segment_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_min" in plan or "min(" in plan
+
+
+def test_prefix_filter_matches_bruteforce(spark, docs):
+    """Prefix filtering + length filter must find EXACTLY the pairs exact
+    all-pairs 3-gram Jaccard >= t finds (losslessness)."""
+    from ehr_ner_spark.operators.dedup import prefix_filter_pairs
+
+    t = 0.5
+    got = {
+        (r.src, r.dst): (r.n_common, r.jaccard)
+        for r in prefix_filter_pairs(docs, n=3, threshold=t).collect()
+    }
+
+    def sh3(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {d: sh3(txt) for d, txt in DOCS if len(txt.split(" ")) >= 3}
+    want = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                want[(a, b)] = (inter, round(inter / union, 6))
+    assert got == want and len(want) > 0
+
+
+def test_prefix_filter_threshold_sweep(spark, docs):
+    """Losslessness holds across thresholds (the prefix length formula
+    |s| - ceil(t|s|) + 1 depends on t)."""
+    from ehr_ner_spark.operators.dedup import prefix_filter_pairs
+
+    def sh3(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {d: sh3(txt) for d, txt in DOCS if len(txt.split(" ")) >= 3}
+    for t in (0.3, 0.7, 0.9):
+        got = {(r.src, r.dst) for r in
+               prefix_filter_pairs(docs, n=3, threshold=t).collect()}
+        want = set()
+        for a in sorted(sets):
+            for b in sorted(sets):
+                if a >= b:
+                    continue
+                union = len(sets[a] | sets[b])
+                if union and len(sets[a] & sets[b]) / union >= t:
+                    want.add((a, b))
+        assert got == want, f"threshold {t}"

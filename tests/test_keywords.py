@@ -196,3 +196,57 @@ def test_lm_buckets_are_language_local_terciles(spark, sf_dir):
         n = sum(1 for r in rows if r.lang == lang)
         if n >= 30:
             assert buckets == {"head", "middle", "tail"}, (lang, buckets)
+
+
+def test_rrf_fusion_hand_math(spark):
+    """RRF arithmetic: a doc ranked r1/r2 by the two legs scores
+    1/(60+r1) + 1/(60+r2); a single-leg doc scores one reciprocal and
+    reports rank 0 for the absent leg."""
+    from ehr_ner_spark.operators.retrieval import (
+        bm25_topk,
+        dense_topk,
+        rrf_fusion,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"hash join stream batch window doc{i} "
+              f"{'table scan ' * (i % 3)}filler") for i in range(12)],
+        "doc_id long, text string",
+    )
+    bm = {(r.query_id, r.doc_id): r.rnk for r in bm25_topk(docs).collect()}
+    dn = {(r.query_id, r.doc_id): r.rnk for r in dense_topk(docs).collect()}
+    for r in rrf_fusion(docs).collect():
+        key = (r.query_id, r.doc_id)
+        want = 0.0
+        if key in bm:
+            want += 1.0 / (60 + bm[key])
+            assert r.bm_rnk == bm[key]
+        else:
+            assert r.bm_rnk == 0
+        if key in dn:
+            want += 1.0 / (60 + dn[key])
+            assert r.dense_rnk == dn[key]
+        else:
+            assert r.dense_rnk == 0
+        import math
+
+        assert r.rrf == math.floor(want * 1e8 + 0.5) / 1e8
+
+
+def test_rrf_output_rank_bounded(spark):
+    """Fusion emits at most topk rows per query, ranked 1..n by fused
+    score with doc_id tie-break."""
+    from ehr_ner_spark.operators.retrieval import RRF_TOPK, rrf_fusion
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = rrf_fusion(docs).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= RRF_TOPK
+        scores = [r.rrf for r in rs]
+        assert scores == sorted(scores, reverse=True)

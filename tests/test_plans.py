@@ -1244,3 +1244,23 @@ def test_zone_maps_two_mapside_aggs_no_python(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_pairs_equijoin_on_rare_tokens_no_cartesian(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["ds_prefix_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    # candidate generation is an equi-join on the prefix shingle; the
+    # length filter rides the join condition — never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rrf_fusion_rank_bounded_fusion_no_python(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["ds_rrf_fusion"](spark, sf_dir)
+    plan = _plan(df)
+    # both legs end in rank-filtered windows with the partial group-limit
+    # pushdown (only local top-k heaps cross the exchange)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
