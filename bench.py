@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "ds_pca_outliers",
     "rel_column_stats",
     "ds_bootstrap_ci",
+    "ds_prefix_pairs",
+    "ds_rrf_fusion",
+    "rel_zone_maps",
 ]
 
 

@@ -512,6 +512,24 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(spark, sf_dir).select("subj", "pred", "obj")
 
 
+def _ntriples_oracle() -> str:
+    from .io.formats import ntriples_lines_sql
+
+    return ntriples_lines_sql(_triples_oracle())
+
+
+@_register("kg_ntriples", oracle=_ntriples_oracle)
+def kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C N-Triples export of the constructed KG — the RDF interchange
+    sink: '<urn:doc:id> <urn:rel:hasEntityType:T> "escaped text" .' with
+    the grammar's escape chain (backslash first, then quote/LF/CR/TAB)
+    as shared replace() built-ins, byte-identical across engines.
+    Map-only on top of the triples plan (io/formats.py::ntriples_lines)."""
+    from .io.formats import ntriples_lines
+
+    return ntriples_lines(flagship(spark, sf_dir).select("subj", "pred", "obj"))
+
+
 def _pagerank_oracle() -> str:
     from .operators.pagerank import pagerank_oracle_sql
 

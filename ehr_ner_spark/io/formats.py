@@ -122,3 +122,54 @@ def orc_roundtrip_sql() -> str:
              AS sum_price_cents
     FROM lineitem GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# N-Triples KG export (W3C RDF line serialization)
+# ---------------------------------------------------------------------------
+
+def ntriples_lines(triples: DataFrame) -> DataFrame:
+    """Serialize a (subj, pred, obj) triples frame into W3C N-Triples
+    lines — the interchange sink that makes the constructed KG loadable
+    by any RDF store:
+
+        ``<urn:{subj}> <urn:rel:{pred}> "{escaped obj}" .``
+
+    String-literal escaping follows the N-Triples grammar (backslash
+    FIRST, then double-quote, LF, CR, TAB), entirely with the shared
+    ``replace()`` built-in so both engines produce byte-identical lines
+    inside whole-stage codegen.  Map-only: serialization adds no shuffle
+    on top of the triples plan; at 100 TB the lines stream straight to
+    the text sink with the upstream partitioning.
+    Output: (line)."""
+    esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\\\', '\\\\\\\\'),"
+        " '\"', '\\\\\"'),"
+        " chr(10), '\\\\n'),"
+        " chr(13), '\\\\r'),"
+        " chr(9), '\\\\t')"
+    )
+    return triples.select(
+        F.expr(
+            "concat('<urn:', subj, '> <urn:rel:', pred, '> \"',"
+            f" {esc}, '\" .')"
+        ).alias("line")
+    )
+
+
+def ntriples_lines_sql(triples_sql: str) -> str:
+    """DuckDB twin: the SAME replace() escape chain and concatenation
+    over the given triples subquery."""
+    return f"""
+    WITH t AS ({triples_sql})
+    SELECT '<urn:' || subj || '> <urn:rel:' || pred || '> "'
+           || replace(replace(replace(replace(replace(obj,
+                '\\', '\\\\'),
+                '"', '\\"'),
+                chr(10), '\\n'),
+                chr(13), '\\r'),
+                chr(9), '\\t')
+           || '" .' AS line
+    FROM t
+    """

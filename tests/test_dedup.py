@@ -324,3 +324,40 @@ def test_prefix_filter_threshold_sweep(spark, docs):
                 if union and len(sets[a] & sets[b]) / union >= t:
                     want.add((a, b))
         assert got == want, f"threshold {t}"
+
+
+def test_prefix_lemma_fuzz():
+    """Property fuzz of the losslessness lemma the engine's blocking
+    relies on: for ANY token universe, ANY df-consistent total order and
+    ANY threshold, two sets with Jaccard >= t share a token within their
+    |s| - ceil(t|s|) + 1 prefixes (Bayardo et al.'s prefix filtering)."""
+    import math
+    import random
+
+    rng = random.Random(20260820)
+    for trial in range(300):
+        t = rng.choice([0.3, 0.5, 0.7, 0.8, 0.9])
+        universe = list(range(rng.randint(4, 40)))
+        a = set(rng.sample(universe, rng.randint(1, len(universe))))
+        # build b as a perturbation of a so high-Jaccard pairs occur often
+        b = set(a)
+        for _ in range(rng.randint(0, 6)):
+            if b and rng.random() < 0.5:
+                b.discard(rng.choice(sorted(b)))
+            else:
+                b.add(rng.choice(universe))
+        if not b:
+            continue
+        inter = len(a & b)
+        union = len(a | b)
+        if inter / union < t:
+            continue
+        # df-consistent global order: random tie-broken frequency order
+        order = {tok: (rng.random(), tok) for tok in universe}
+        sa = sorted(a, key=lambda x: order[x])
+        sb = sorted(b, key=lambda x: order[x])
+        pa = sa[: len(sa) - math.ceil(t * len(sa)) + 1]
+        pb = sb[: len(sb) - math.ceil(t * len(sb)) + 1]
+        assert set(pa) & set(pb), (
+            f"lemma violated: t={t} a={sa} b={sb} prefixes {pa}/{pb}"
+        )

@@ -32,3 +32,42 @@ def test_jsonl_ingest_audits_corrupt_and_escapes_newlines(spark):
     # the newline survives the round trip as one char of the parsed text
     assert out["en"].sum_chars == len("plain") + len("line one\nline two")
     assert out["es"].n_rows == 1 and out["es"].sum_chars == 4
+
+
+def test_ntriples_escaping_roundtrip(spark):
+    """Every N-Triples escape class (backslash, quote, LF, CR, TAB) is
+    escaped per the grammar, and unescaping the emitted literal restores
+    the original object text."""
+    from ehr_ner_spark.io.formats import ntriples_lines
+
+    objs = [
+        'plain text',
+        'has "quotes" inside',
+        'back\\slash',
+        'line\nbreak',
+        'carriage\rreturn',
+        'tab\there',
+        '\\ all " of \n them \r at \t once \\',
+    ]
+    triples = spark.createDataFrame(
+        [(f"doc:{i}", "hasEntityType:X", o) for i, o in enumerate(objs)],
+        "subj string, pred string, obj string",
+    )
+    lines = [r.line for r in ntriples_lines(triples).collect()]
+    assert len(lines) == len(objs)
+    for line in lines:
+        # grammar shape: IRI, IRI, quoted literal, dot
+        assert line.startswith("<urn:doc:") and line.endswith('" .')
+        body = line.split('> "', 1)[1][: -len('" .')]
+        # no raw control chars survive in the serialized literal
+        assert "\n" not in body and "\r" not in body and "\t" not in body
+        # unescape (single pass, longest-match) must restore an original
+        restored = (
+            body.replace("\\\\", "\x00")
+            .replace('\\"', '"')
+            .replace("\\n", "\n")
+            .replace("\\r", "\r")
+            .replace("\\t", "\t")
+            .replace("\x00", "\\")
+        )
+        assert restored in objs

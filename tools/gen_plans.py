@@ -13,7 +13,8 @@ PICK = ["kg_mentions", "kg_canonical_triples", "ds_minhash_lsh_pairs",
         "ds_ngram_novelty", "ds_embedding_gram", "ds_chi2_keywords",
         "rel_k_anonymity", "ds_distribution_drift",
         "ds_dsir_select", "ds_ks_drift", "ds_pca_outliers",
-        "rel_column_stats", "ds_bootstrap_ci"]
+        "rel_column_stats", "ds_bootstrap_ci", "ds_prefix_pairs",
+        "ds_rrf_fusion", "rel_zone_maps"]
 BLURB = {
     "kg_mentions": "Flagship battery detect: ONE explicit doc-hash Exchange, ONE Arrow scorer stage, content pruned before the mention stream.",
     "kg_canonical_triples": "Whole north-rule pipeline: detect -> LSH linking -> CC -> election -> triples.",
@@ -44,6 +45,9 @@ BLURB = {
     "ds_pca_outliers": "PCA projections: Gram map-side + checkpointed D-row power rounds; the snapped axis broadcasts onto the exploded embeddings; exact BIGINT dot products; distributed TakeOrdered.",
     "rel_column_stats": "ANALYZE stats: every statistic for every column from ONE scan — exact NDVs via Catalyst's Expand two-phase agg; no join.",
     "ds_bootstrap_ci": "Bootstrap CI: 64 conditional sums fold map-side in one aggregate over one scan — zero hash-partitioned exchanges; the stack/window frames are 32 rows.",
+    "ds_prefix_pairs": "PPJoin prefix filtering: rarest-first global token order; only per-doc |s|-ceil(t|s|)+1 prefixes enter the candidate equi-join (length filter in the condition); exact Jaccard verify over candidates only.",
+    "ds_rrf_fusion": "Hybrid RRF: BM25 and integer-MIPS legs each end in WindowGroupLimit top-k heaps; fusion joins two rank-bounded lists — cost independent of corpus size.",
+    "rel_zone_maps": "Zone-map skipping audit: two map-side-combined zone aggregates (write-order + date-clustered layouts) unioned; output bounded by zone counts.",
 }
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "32").getOrCreate())
