@@ -2556,6 +2556,27 @@ def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def _cdc_chunks_oracle() -> str:
+    from .operators.dedup import cdc_chunks_sql
+
+    return cdc_chunks_sql()
+
+
+@_register("ds_cdc_chunks", oracle=_cdc_chunks_oracle)
+def ds_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/gear CDC at word granularity):
+    boundaries where the rolling 3-gram md5-60 hash % 8 == 0, so chunk
+    cuts are a pure function of LOCAL content — inserting words early in
+    a document shifts only the chunks up to the next surviving boundary
+    and every later chunk still dedups corpus-wide (shift-robustness
+    fixed segments lack; property-tested).  Doc-keyed lag/running-sum
+    windows only (no global sort); corpus copy counts keyed by the
+    cryptographic chunk sha (operators/dedup.py::cdc_chunks)."""
+    from .operators.dedup import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
 def _prefix_pairs_oracle() -> str:
     from .operators.dedup import prefix_filter_pairs_sql
 

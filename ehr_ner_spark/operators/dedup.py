@@ -988,3 +988,123 @@ def prefix_filter_pairs_sql(threshold: float = 0.5) -> str:
     WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
           >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries, CDC)
+# ---------------------------------------------------------------------------
+
+CDC_DIVISOR = 8     # P(boundary) = 1/D per position -> ~D-word chunks
+CDC_GRAM = 3        # rolling window width (words)
+
+
+def cdc_chunks(docs: DataFrame, divisor: int = CDC_DIVISOR,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking: cut every document where the rolling hash
+    of the trailing 3-word gram satisfies ``md5_60(gram) % divisor == 0``
+    — the CDC principle (Rabin/gear chunking, LBFS/restic lineage) applied
+    at word granularity.  Unlike fixed-width segments
+    (:func:`segment_dedup`), CDC boundaries are a pure function of LOCAL
+    content, so inserting or deleting words early in a document shifts
+    only the chunks up to the next surviving boundary — every later chunk
+    re-aligns and still dedups against the corpus (the shift-robustness
+    fixed segmentation structurally lacks; property-tested).
+
+    Spark-first shape: word positions via ``posexplode``; the rolling gram
+    is two ``lag`` windows KEYED BY doc (key-local exchange, no global
+    sort); the chunk index is a doc-local running sum of boundary flags
+    strictly BEFORE the current word; chunk assembly is one doc-keyed
+    aggregate with order restored by sorting collected (pos, word) structs
+    — the :func:`segment_dedup` discipline.  Corpus-wide copy counts are a
+    combinable count keyed by the chunk sha (cryptographic key — cannot
+    skew).  Output: (doc_id, chunk_idx, n_words, chunk_sha, n_copies).
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.lag("word", 2).over(w_doc), F.lag("word", 1).over(w_doc),
+        F.col("word"),
+    )
+    flagged = words.withColumn(
+        "boundary",
+        (F.col("pos") >= CDC_GRAM - 1)
+        & ((md5_60_expr(gram) % divisor) == 0),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = flagged.withColumn(
+        "chunk_idx",
+        F.coalesce(
+            F.sum(F.col("boundary").cast("long")).over(w_prev), F.lit(0)
+        ),
+    )
+    chunks = (
+        assigned.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "word"))
+                        ),
+                        lambda s: s["word"],
+                    ),
+                    " ",
+                ),
+                256,
+            ).alias("chunk_sha"),
+        )
+    )
+    copies = chunks.groupBy("chunk_sha").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return chunks.join(copies, "chunk_sha").select(
+        "doc_id", "chunk_idx", "n_words", "chunk_sha", "n_copies"
+    )
+
+
+def cdc_chunks_sql(divisor: int = CDC_DIVISOR) -> str:
+    """DuckDB twin: same lag-gram rolling hash, boundary rule, running-sum
+    chunk assignment and sha256 chunk fingerprint."""
+    return f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    w AS (
+      SELECT doc_id,
+             generate_subscripts(words, 1) - 1 AS pos,
+             unnest(words) AS word
+      FROM ws),
+    g AS (
+      SELECT doc_id, pos, word,
+             pos >= {CDC_GRAM - 1} AND
+             ('0x' || substr(md5(
+                lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                || ' ' ||
+                lag(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                || ' ' || word), 1, 15))::BIGINT % {divisor} = 0
+               AS boundary
+      FROM w),
+    a AS (
+      SELECT doc_id, pos, word,
+             COALESCE(SUM(CASE WHEN boundary THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS chunk_idx
+      FROM g),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             COUNT(*)::BIGINT AS n_words,
+             sha256(string_agg(word, ' ' ORDER BY pos)) AS chunk_sha
+      FROM a GROUP BY 1, 2)
+    SELECT doc_id, chunk_idx, n_words, chunk_sha,
+           COUNT(*) OVER (PARTITION BY chunk_sha)::BIGINT AS n_copies
+    FROM chunks
+    """

@@ -361,3 +361,57 @@ def test_prefix_lemma_fuzz():
         assert set(pa) & set(pb), (
             f"lemma violated: t={t} a={sa} b={sb} prefixes {pa}/{pb}"
         )
+
+
+def test_cdc_chunks_shift_robustness(spark):
+    """The CDC property: prepending words to a document changes only the
+    chunks before the first surviving boundary — later chunks re-align
+    byte-for-byte, while fixed-width segmentation of the same pair shares
+    (almost) nothing."""
+    from ehr_ner_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"tok{i * 7 % 101}word{i}" for i in range(120))
+    shifted = "inserted preamble words here " + base
+    docs2 = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs2).collect()
+    shas = {0: set(), 1: set()}
+    for r in rows:
+        shas[r.doc_id].add(r.chunk_sha)
+    common = shas[0] & shas[1]
+    # most chunks re-align despite the 4-word prepend
+    assert len(common) >= max(1, len(shas[0]) // 2), (
+        len(common), len(shas[0]), len(shas[1]))
+
+    # fixed-width 8-word segmentation shares no segment (4-word shift)
+    def fixed(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i + 8]) for i in range(0, len(w), 8)}
+
+    assert not (fixed(base) & fixed(shifted))
+
+    # corpus copy counts: every shared chunk reports n_copies == 2
+    by_sha = {}
+    for r in rows:
+        by_sha.setdefault(r.chunk_sha, []).append(r.n_copies)
+    for sha in common:
+        assert all(c == 2 for c in by_sha[sha])
+
+
+def test_cdc_chunks_partition_words_exactly(spark):
+    """Chunks partition each document: n_words sums to the word count and
+    chunk indices are dense from 0."""
+    from ehr_ner_spark.operators.dedup import cdc_chunks
+
+    docs2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = cdc_chunks(docs2).collect()
+    agg = {}
+    for r in rows:
+        agg.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_words))
+    texts = {r.doc_id: r.text for r in docs2.select("doc_id", "text").collect()}
+    assert set(agg) == set(texts)
+    for d, chunks in agg.items():
+        chunks.sort()
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        assert sum(c[1] for c in chunks) == len(texts[d].split(" "))

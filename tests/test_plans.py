@@ -1264,3 +1264,15 @@ def test_rrf_fusion_rank_bounded_fusion_no_python(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cdc_chunks_doc_keyed_windows_no_python(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["ds_cdc_chunks"](spark, sf_dir)
+    plan = _plan(df)
+    # lag/running-sum windows are all doc-keyed — never a single-partition
+    # global window; chunk copy counts are a partial+final agg on the sha
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "partial_count" in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
