@@ -2556,6 +2556,27 @@ def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def _bbit_oracle() -> str:
+    from .operators.dedup import bbit_minhash_audit_sql
+
+    return bbit_minhash_audit_sql(threshold=_MINHASH_PAIRS_THRESHOLD)
+
+
+@_register("ds_bbit_minhash", oracle=_bbit_oracle)
+def ds_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit MinHash compression audit (Li & Koenig 2010): lowest bit of
+    each of the 16 permutation minima — a 64x smaller sketch — with the
+    debiased estimator max(0, 2*agree/16 - 1) reported next to the exact
+    verified Jaccard for every LSH pair: what sketch compression costs in
+    estimator variance before shipping 2-byte signatures through a
+    100-TB exchange (operators/dedup.py::bbit_minhash_audit)."""
+    from .operators.dedup import bbit_minhash_audit
+
+    return bbit_minhash_audit(
+        _t(spark, sf_dir, "documents"), threshold=_MINHASH_PAIRS_THRESHOLD
+    )
+
+
 def _cdc_chunks_oracle() -> str:
     from .operators.dedup import cdc_chunks_sql
 

@@ -415,3 +415,19 @@ def test_cdc_chunks_partition_words_exactly(spark):
         chunks.sort()
         assert [c[0] for c in chunks] == list(range(len(chunks)))
         assert sum(c[1] for c in chunks) == len(texts[d].split(" "))
+
+
+def test_bbit_minhash_estimator_hand_math(spark, docs):
+    """agree/est relationship and the debias clamp: est = max(0,
+    2*agree/16 - 1), and exact-dup pairs (identical text) agree on all 16
+    bits with est 1.0."""
+    from ehr_ner_spark.operators.dedup import bbit_minhash_audit
+
+    rows = bbit_minhash_audit(docs, threshold=0.4).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.agree_1bit <= 16
+        assert r.est_1bit == max(0.0, 2 * r.agree_1bit / 16.0 - 1.0)
+    exact_pairs = [r for r in rows if (r.src, r.dst) == (0, 1)]
+    assert exact_pairs and exact_pairs[0].agree_1bit == 16
+    assert exact_pairs[0].est_1bit == 1.0
