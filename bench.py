@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "ds_prefix_pairs",
     "ds_rrf_fusion",
     "rel_zone_maps",
+    "ds_cdc_chunks",
 ]
 
 

@@ -1021,7 +1021,7 @@ def cdc_chunks(docs: DataFrame, divisor: int = CDC_DIVISOR,
     """
     from pyspark.sql.window import Window
 
-    words = docs.select(
+    words = _fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
     )

@@ -14,7 +14,7 @@ PICK = ["kg_mentions", "kg_canonical_triples", "ds_minhash_lsh_pairs",
         "rel_k_anonymity", "ds_distribution_drift",
         "ds_dsir_select", "ds_ks_drift", "ds_pca_outliers",
         "rel_column_stats", "ds_bootstrap_ci", "ds_prefix_pairs",
-        "ds_rrf_fusion", "rel_zone_maps"]
+        "ds_rrf_fusion", "rel_zone_maps", "ds_cdc_chunks"]
 BLURB = {
     "kg_mentions": "Flagship battery detect: ONE explicit doc-hash Exchange, ONE Arrow scorer stage, content pruned before the mention stream.",
     "kg_canonical_triples": "Whole north-rule pipeline: detect -> LSH linking -> CC -> election -> triples.",
@@ -48,6 +48,7 @@ BLURB = {
     "ds_prefix_pairs": "PPJoin prefix filtering: rarest-first global token order; only per-doc |s|-ceil(t|s|)+1 prefixes enter the candidate equi-join (length filter in the condition); exact Jaccard verify over candidates only.",
     "ds_rrf_fusion": "Hybrid RRF: BM25 and integer-MIPS legs each end in WindowGroupLimit top-k heaps; fusion joins two rank-bounded lists — cost independent of corpus size.",
     "rel_zone_maps": "Zone-map skipping audit: two map-side-combined zone aggregates (write-order + date-clustered layouts) unioned; output bounded by zone counts.",
+    "ds_cdc_chunks": "Content-defined chunking: doc-keyed lag + running-sum windows (no global sort); chunk copy counts partial+final on the cryptographic sha.",
 }
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "32").getOrCreate())
