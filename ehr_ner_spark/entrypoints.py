@@ -2556,6 +2556,47 @@ def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def _scene_cuts_oracle() -> str:
+    from .operators.multimodal import scene_cuts_sql
+
+    return scene_cuts_sql(n=48)
+
+
+@_register("mm_scene_cuts", oracle=_scene_cuts_oracle)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary detection: the Arrow UDF only decodes (stub
+    md5 per-frame luma, 2^6-sample exact means); the temporal reasoning
+    is a video-keyed lag window JVM-side — a cut wherever consecutive
+    sampled frames step by more than 12 luma units.  Exact IEEE
+    arithmetic end to end (operators/multimodal.py::scene_cuts)."""
+    from .operators.multimodal import scene_cuts, synth_media
+
+    return scene_cuts(synth_media(spark, 48))
+
+
+def _join_card_oracle() -> str:
+    from .operators.colstats import join_cardinality_sql
+
+    return join_cardinality_sql()
+
+
+@_register("rel_join_cardinality", oracle=_join_card_oracle)
+def rel_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation (the cost-based-planner statistic):
+    exact |orders JOIN lineitem| as sum(df_o * df_l) over keys — computed
+    from two map-side-combined per-key aggregates and one 1:1 key join,
+    never the joined rows — next to the 1-in-16 deterministic KEY-sample
+    estimate a planner would use (key sampling keeps the estimator
+    unbiased for keyed joins; row sampling would not be), with the
+    relative error on the 1e-6 floor grid
+    (operators/colstats.py::join_cardinality)."""
+    from .operators.colstats import join_cardinality
+
+    return join_cardinality(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 def _bbit_oracle() -> str:
     from .operators.dedup import bbit_minhash_audit_sql
 

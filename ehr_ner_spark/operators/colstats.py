@@ -110,3 +110,86 @@ def column_stats_sql(table: str = "lineitem") -> str:
            END::BIGINT AS avg_width_micro
     FROM {table}""")
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Join cardinality estimation (optimizer-statistics primitive)
+# ---------------------------------------------------------------------------
+
+CARD_SAMPLE_MOD = 16   # deterministic 1-in-16 key sample of the probe side
+
+
+def join_cardinality(orders: DataFrame, lineitem: DataFrame,
+                     sample_mod: int = CARD_SAMPLE_MOD) -> DataFrame:
+    """Join-cardinality estimation — the statistic every cost-based
+    planner needs before committing to a join strategy at 100 TB: the
+    TRUE output size of orders |><| lineitem on o_orderkey is
+
+        ``actual = sum over keys of df_orders(k) * df_lineitem(k)``
+
+    computed WITHOUT materializing the join (two map-side-combined
+    per-key count aggregates and one 1:1 key join — never the joined
+    rows), next to the sampled estimate a planner would actually use:
+    per-key counts over the deterministic 1-in-``sample_mod`` key sample
+    (``hash-mod on the key``, so both sides of a key are kept or dropped
+    together — sampling keys, not rows, is what keeps the estimator
+    unbiased for keyed joins), scaled by ``sample_mod``.
+
+    The relative error is reported on the shared 1e-6 floor grid.  At
+    warehouse scale the sample-side aggregate touches 1/16th of the key
+    space, the exact side stays one aggregate per input — both bounded by
+    key cardinality, never join output.  Output one row:
+    (actual_rows, est_rows, rel_err_micro)."""
+    ok = F.col("o_orderkey")
+    lk = F.col("l_orderkey")
+    oc = orders.groupBy(ok.alias("k")).agg(F.count(F.lit(1)).alias("c_o"))
+    lc = lineitem.groupBy(lk.alias("k")).agg(F.count(F.lit(1)).alias("c_l"))
+    exact = (
+        oc.join(lc, "k")
+        .agg(F.sum(F.col("c_o") * F.col("c_l")).alias("actual_rows"))
+    )
+    s_oc = orders.where(ok % sample_mod == 0).groupBy(ok.alias("k")).agg(
+        F.count(F.lit(1)).alias("c_o")
+    )
+    s_lc = lineitem.where(lk % sample_mod == 0).groupBy(lk.alias("k")).agg(
+        F.count(F.lit(1)).alias("c_l")
+    )
+    est = (
+        s_oc.join(s_lc, "k")
+        .agg(
+            (F.sum(F.col("c_o") * F.col("c_l")) * sample_mod)
+            .alias("est_rows")
+        )
+    )
+    rel_err = F.floor(
+        F.abs(F.col("est_rows") - F.col("actual_rows"))
+        / F.col("actual_rows") * F.lit(1000000.0)
+    ).cast("long")
+    return exact.crossJoin(est).select(
+        "actual_rows", "est_rows", rel_err.alias("rel_err_micro")
+    )
+
+
+def join_cardinality_sql(sample_mod: int = CARD_SAMPLE_MOD) -> str:
+    """DuckDB twin: same per-key count aggregates, key-sample estimate and
+    floor-grid relative error."""
+    return f"""
+    WITH oc AS (
+      SELECT o_orderkey AS k, COUNT(*) AS c_o FROM orders GROUP BY 1),
+    lc AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c_l FROM lineitem GROUP BY 1),
+    exact AS (
+      SELECT SUM(oc.c_o * lc.c_l)::BIGINT AS actual_rows
+      FROM oc JOIN lc USING (k)),
+    est AS (
+      SELECT (SUM(soc.c_o * slc.c_l) * {sample_mod})::BIGINT AS est_rows
+      FROM (SELECT o_orderkey AS k, COUNT(*) AS c_o FROM orders
+            WHERE o_orderkey % {sample_mod} = 0 GROUP BY 1) soc
+      JOIN (SELECT l_orderkey AS k, COUNT(*) AS c_l FROM lineitem
+            WHERE l_orderkey % {sample_mod} = 0 GROUP BY 1) slc
+        USING (k))
+    SELECT actual_rows, est_rows,
+           FLOOR(ABS(est_rows - actual_rows)
+                 / actual_rows * 1000000.0)::BIGINT AS rel_err_micro
+    FROM exact CROSS JOIN est
+    """

@@ -678,3 +678,127 @@ def audio_windows_sql(
      AND p.j < (w.start_ms + {window_ms}) * {spm}
     GROUP BY 1, 2, 3
     """
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (frame-difference thresholding)
+# ---------------------------------------------------------------------------
+
+FRAME_LUMA_BYTES = 64     # stub frame decode: 64 luma samples per frame
+SCENE_CUT_DELTA = 12.0    # |mean-luma step| that counts as a hard cut
+FRAME_EVERY_MS = 500
+
+
+def frame_lumas(media: DataFrame, every_ms: int = FRAME_EVERY_MS) -> DataFrame:
+    """Per-sampled-frame mean luma for every video payload.  STUB FRAME
+    DECODER — same md5-byte-stream discipline as :func:`_decode_rgb` with
+    a ``|frame|ts|`` domain separator; a real ffmpeg keyframe decode
+    drops in unchanged.  Mean luma is an exact integer sum over
+    ``FRAME_LUMA_BYTES`` = 2^6 samples, so the double is bit-exact across
+    engines.  Arrow-batched; output (media_id, frame_idx, ts_ms, luma)."""
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("ts_ms", IntegerType()),
+            StructField("luma", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "luma": []}
+            for mid, kind, dur, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["duration_ms"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                hexp = bytes(payload).hex()
+                for i, ts in enumerate(range(0, int(dur), every_ms)):
+                    total = 0
+                    for blk in range(FRAME_LUMA_BYTES // 16):
+                        dg = hashlib.md5(
+                            f"{hexp}|frame|{ts}|{blk}".encode()
+                        ).digest()
+                        total += sum(dg)
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(ts)
+                    rows["luma"].append(total / FRAME_LUMA_BYTES)
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "video").mapInPandas(run, schema)
+
+
+def scene_cuts(media: DataFrame, every_ms: int = FRAME_EVERY_MS,
+               delta: float = SCENE_CUT_DELTA) -> DataFrame:
+    """Hard scene-cut detection: a cut wherever consecutive sampled
+    frames' mean luma steps by more than ``delta`` — the classic
+    frame-difference shot-boundary detector, composed Spark-first: the
+    Arrow UDF only decodes (per-frame luma), the temporal reasoning is a
+    video-keyed ``lag`` window (key-local exchange — a pathological
+    10-hour video is one key, bounded by upstream duration caps).
+    Exact arithmetic end to end (2^6-sample means; IEEE-exact
+    differences).  Output: (media_id, frame_idx, ts_ms, luma, prev_luma,
+    step)."""
+    from pyspark.sql.window import Window
+
+    lumas = frame_lumas(media, every_ms)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    stepped = lumas.withColumn("prev_luma", F.lag("luma").over(w))
+    return (
+        stepped.where(
+            F.col("prev_luma").isNotNull()
+            & (F.abs(F.col("luma") - F.col("prev_luma")) > delta)
+        )
+        .select(
+            "media_id", "frame_idx", "ts_ms", "luma", "prev_luma",
+            (F.col("luma") - F.col("prev_luma")).alias("step"),
+        )
+    )
+
+
+def scene_cuts_sql(n: int = 48, every_ms: int = FRAME_EVERY_MS,
+                   delta: float = SCENE_CUT_DELTA) -> str:
+    """DuckDB twin: replays the synth-media video rows, the
+    ``|frame|ts|blk`` md5 luma stream with substr arithmetic, and the
+    same lag-window cut rule."""
+    max_dur = 1000 + 100 * (n - 1)
+    n_frames = (max_dur - 1) // every_ms + 1
+    blks = FRAME_LUMA_BYTES // 16
+    return f"""
+    WITH m AS (
+      SELECT i AS media_id, 1000 + 100 * i AS dur,
+             repeat(sha256('media' || i::VARCHAR), 8) AS hexp
+      FROM range({n}) t(i) WHERE i % 3 = 2),
+    fr AS (
+      SELECT media_id, dur, f.range AS frame_idx,
+             (f.range * {every_ms})::INT AS ts_ms, hexp
+      FROM m CROSS JOIN range({n_frames}) f
+      WHERE f.range * {every_ms} < dur),
+    by_ AS (
+      SELECT fr.media_id, fr.frame_idx, fr.ts_ms,
+             SUM(('0x' || substr(
+                md5(fr.hexp || '|frame|' || fr.ts_ms::VARCHAR || '|'
+                    || b.range::VARCHAR),
+                (j.range)::INT * 2 + 1, 2))::INT) AS total
+      FROM fr CROSS JOIN range({blks}) b CROSS JOIN range(16) j
+      GROUP BY 1, 2, 3),
+    lum AS (
+      SELECT media_id, frame_idx::INT AS frame_idx, ts_ms,
+             total / {FRAME_LUMA_BYTES}.0 AS luma
+      FROM by_),
+    st AS (
+      SELECT media_id, frame_idx, ts_ms, luma,
+             lag(luma) OVER (PARTITION BY media_id ORDER BY frame_idx)
+               AS prev_luma
+      FROM lum)
+    SELECT media_id, frame_idx, ts_ms, luma, prev_luma,
+           luma - prev_luma AS step
+    FROM st
+    WHERE prev_luma IS NOT NULL AND ABS(luma - prev_luma) > {delta}
+    """

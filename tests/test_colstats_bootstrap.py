@@ -119,3 +119,29 @@ def test_harmonic_closeness_counts_partial_reciprocals(spark):
     # from b: a=1, c=1, d=2
     assert r["n_reached"] == 3 and r["sum_dist"] == 4
     assert r["harmonic_micro"] == 2 * 1_000_000 + 500_000
+
+
+def test_join_cardinality_exact_and_sampled(spark):
+    """actual = sum df_o*df_l without materializing the join; the key
+    sample keeps both sides of a key together so the estimate scales the
+    sampled key mass by the modulus."""
+    from ehr_ner_spark.operators.colstats import join_cardinality
+
+    orders = spark.createDataFrame(
+        [(k, "x") for k in range(64) for _ in range(1 + k % 3)],
+        "o_orderkey long, pad string",
+    )
+    lineitem = spark.createDataFrame(
+        [(k, 1.0) for k in range(64) for _ in range(2)],
+        "l_orderkey long, v double",
+    )
+    row = join_cardinality(orders, lineitem, sample_mod=4).collect()[0]
+    actual = sum((1 + k % 3) * 2 for k in range(64))
+    est = 4 * sum((1 + k % 3) * 2 for k in range(64) if k % 4 == 0)
+    assert row.actual_rows == actual
+    assert row.est_rows == est
+    import math
+
+    assert row.rel_err_micro == math.floor(
+        abs(est - actual) / actual * 1e6
+    )

@@ -237,3 +237,41 @@ def test_image_ahash_hash_packing_matches_numpy(spark):
         assert r.ahash == sum(
             1 << i for i, v in enumerate(r.feat) if v > r.mean_luma
         )
+
+
+def test_scene_cuts_match_sequential_rederivation(spark):
+    """Cuts equal a sequential NumPy re-derivation of the same md5 luma
+    stream and threshold; every reported step exceeds the threshold."""
+    import hashlib
+
+    from ehr_ner_spark.operators.multimodal import (
+        FRAME_LUMA_BYTES,
+        SCENE_CUT_DELTA,
+        scene_cuts,
+        synth_media,
+    )
+
+    got = {
+        (r.media_id, r.frame_idx): (r.luma, r.prev_luma, r.step)
+        for r in scene_cuts(synth_media(spark, 48)).collect()
+    }
+
+    def luma(hexp, ts):
+        total = 0
+        for blk in range(FRAME_LUMA_BYTES // 16):
+            dg = hashlib.md5(f"{hexp}|frame|{ts}|{blk}".encode()).digest()
+            total += sum(dg)
+        return total / FRAME_LUMA_BYTES
+
+    want = {}
+    for i in range(48):
+        if i % 3 != 2:
+            continue
+        hexp = (hashlib.sha256(f"media{i}".encode()).digest() * 8).hex()
+        dur = 1000 + 100 * i
+        lumas = [luma(hexp, ts) for ts in range(0, dur, 500)]
+        for f in range(1, len(lumas)):
+            step = lumas[f] - lumas[f - 1]
+            if abs(step) > SCENE_CUT_DELTA:
+                want[(i, f)] = (lumas[f], lumas[f - 1], step)
+    assert got == want and len(want) > 0

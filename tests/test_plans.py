@@ -1276,3 +1276,17 @@ def test_cdc_chunks_doc_keyed_windows_no_python(spark, sf_dir):
     assert "partial_count" in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_cardinality_never_materializes_join(spark, sf_dir):
+    df = entrypoints.QUERIES_REGISTRY["rel_join_cardinality"](spark, sf_dir)
+    plan = _plan(df)
+    # per-key counts combine map-side; the only joins are over the
+    # bounded count frames (and the final 1x1 cross of two scalars)
+    assert "partial_count" in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    fmt = _formatted(df)
+    # scans prune to the join key alone — no payload column is read
+    for rs in fmt.split("ReadSchema")[1:]:
+        head = rs[:200]
+        assert "o_orderpriority" not in head and "l_extendedprice" not in head
