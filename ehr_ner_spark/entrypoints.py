@@ -2556,6 +2556,25 @@ def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def _acf_oracle() -> str:
+    from .operators.timeseries import autocorrelation_sql
+
+    return autocorrelation_sql()
+
+
+@_register("rel_autocorrelation", oracle=_acf_oracle)
+def rel_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the daily event volume at lags 1..7 (the weekly-seasonality
+    probe): centered terms are n-scaled BIGINTs so both sums are
+    order-free integer sums; the only float is the final scaled division
+    of identical integers.  ONE raw-event shuffle (daily counts,
+    map-side combined); the lag self-join runs on the days-sized frame
+    (operators/timeseries.py::autocorrelation)."""
+    from .operators.timeseries import autocorrelation
+
+    return autocorrelation(_t(spark, sf_dir, "events"))
+
+
 def _scene_cuts_oracle() -> str:
     from .operators.multimodal import scene_cuts_sql
 

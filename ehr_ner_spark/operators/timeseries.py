@@ -405,3 +405,100 @@ def cusum_changepoint_sql(table: str = "events") -> str:
            ABS(cusum) = (SELECT MAX(ABS(cusum)) FROM run) AS is_changepoint
     FROM run
     """
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def autocorrelation(events: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """ACF of the corpus-wide daily event volume at lags 1..``max_lag`` —
+    the seasonality probe (a weekly cycle shows as a lag-7 peak) every
+    ingest-monitoring stack wants.
+
+    Exactness: with integer daily counts ``x_t``, ``n`` days and
+    ``S = sum(x)``, the lag-l autocorrelation is computed in the
+    n^2-SCALED integer form
+
+        ``acf_micro(l) = floor(1e6 * sum((n*x_t - S)(n*x_{t+l} - S))
+                               / sum((n*x_t - S)^2))``
+
+    — every term is a BIGINT product of BIGINTs (bounded far below 2^63
+    at any realistic daily-count scale), both sums are order-free integer
+    sums, and the only float anywhere is the FINAL scaled division of
+    two identical integers — deterministic across engines (no float
+    summation ever).  Lag pairs are an equi-join on
+    ``day + l`` (gap days simply contribute no pair; the denominator is
+    the full-series mass — documented estimator choice, identical in the
+    twin).
+
+    Scale shape: ONE raw-event shuffle (the daily count agg, map-side
+    combined); everything after runs on the days-sized frame — the lag
+    explode and self-join touch n_days x max_lag rows regardless of event
+    volume.  Output: (lag, n_pairs, acf_micro)."""
+    daily = (
+        events.select(
+            F.expr("datediff(to_date(ts), DATE '1970-01-01')")
+            .cast("long").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("s"),
+    )
+    centered = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        (F.col("n_days") * F.col("x") - F.col("s")).alias("d"),
+    )
+    den = centered.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
+    lags = centered.select(
+        "day", "d", F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    )
+    a = lags.select("day", "d", "lag")
+    b = centered.select(F.col("day").alias("day_b"), F.col("d").alias("d_b"))
+    pairs = a.join(b, a.day + a.lag == F.col("day_b"))
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("d") * F.col("d_b")).alias("num"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            F.floor(F.lit(1000000) * F.col("num") / F.col("den"))
+            .cast("long").alias("acf_micro"),
+        )
+    )
+
+
+def autocorrelation_sql(max_lag: int = ACF_MAX_LAG) -> str:
+    """DuckDB twin: same daily counts, centered-integer products and
+    floor division."""
+    return f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT
+               AS day,
+             COUNT(*)::BIGINT AS x
+      FROM events GROUP BY 1),
+    st AS (SELECT COUNT(*)::BIGINT AS n_days, SUM(x)::BIGINT AS s FROM daily),
+    c AS (
+      SELECT day, (st.n_days * x - st.s)::BIGINT AS d
+      FROM daily CROSS JOIN st),
+    den AS (SELECT SUM(d * d)::BIGINT AS den FROM c),
+    pairs AS (
+      SELECT l.range AS lag, a.d AS d, b.d AS d_b
+      FROM c a CROSS JOIN range(1, {max_lag} + 1) l
+      JOIN c b ON b.day = a.day + l.range),
+    num AS (
+      SELECT lag, COUNT(*)::BIGINT AS n_pairs, SUM(d * d_b)::BIGINT AS num
+      FROM pairs GROUP BY 1)
+    SELECT lag::BIGINT AS lag, n_pairs,
+           FLOOR(1000000 * num / den)::BIGINT AS acf_micro
+    FROM num CROSS JOIN den
+    """

@@ -114,3 +114,40 @@ def test_cusum_changepoint_hand_case(spark):
                  key=lambda r: r.day)
     assert [r.cusum for r in out] == [-40, -80, -120, -60, 0]
     assert [r.is_changepoint for r in out] == [False, False, True, False, False]
+
+
+def test_autocorrelation_hand_series(spark):
+    """ACF arithmetic vs a NumPy re-derivation on a planted weekly
+    cycle: lag-7 is the strongest positive lag."""
+    import numpy as np
+
+    from ehr_ner_spark.operators.timeseries import autocorrelation
+
+    import datetime
+
+    # 8 weeks of a strong 7-day cycle: weekday volume alternates 10..70
+    base = datetime.datetime(2024, 1, 1)
+    data = []
+    for day in range(56):
+        for _ in range(10 + 10 * (day % 7)):
+            data.append(
+                (len(data), base + datetime.timedelta(days=day), "e")
+            )
+    events = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string"
+    )
+    got = {r.lag: (r.n_pairs, r.acf_micro) for r in
+           autocorrelation(events).collect()}
+
+    x = np.array([10 + 10 * (d % 7) for d in range(56)], dtype=np.int64)
+    n, s = len(x), int(x.sum())
+    d = n * x - s
+    den = int((d * d).sum())
+    for lag in range(1, 8):
+        num = int((d[:-lag] * d[lag:]).sum())
+        import math
+
+        assert got[lag] == (n - lag, math.floor(1e6 * num / den)), lag
+    # weekly cycle: lag 7 positive and dominant
+    assert got[7][1] > 0
+    assert got[7][1] == max(v for _, v in got.values())
