@@ -2556,6 +2556,24 @@ def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def _rank_corr_oracle() -> str:
+    from .operators.retrieval import rank_correlation_sql
+
+    return rank_correlation_sql()
+
+
+@_register("ds_rank_correlation", oracle=_rank_corr_oracle)
+def ds_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between the BM25 and dense-MIPS rankings over each
+    query's shared top-10 — the ranker-agreement statistic that says
+    whether RRF fusion is load-bearing.  Integer concordance counts; the
+    only float is the final scaled division; pair join bounded by k^2
+    per query (operators/retrieval.py::rank_correlation)."""
+    from .operators.retrieval import rank_correlation
+
+    return rank_correlation(_t(spark, sf_dir, "documents"))
+
+
 def _acf_oracle() -> str:
     from .operators.timeseries import autocorrelation_sql
 

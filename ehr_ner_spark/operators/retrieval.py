@@ -616,3 +616,129 @@ def rrf_fusion_sql(
       FROM fused)
     WHERE rnk <= {topk}
     """
+
+
+# ---------------------------------------------------------------------------
+# Sparse-vs-dense rank agreement (Kendall tau over the shared top-k)
+# ---------------------------------------------------------------------------
+
+def rank_correlation(
+    docs_in: DataFrame,
+    queries: Sequence[Tuple[str, Sequence[str]]] = BM25_QUERIES,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Kendall tau-a between the BM25 and dense-MIPS rankings over each
+    query's SHARED top-``k`` documents — the ranker-agreement statistic
+    that tells a retrieval stack whether its two legs disagree enough for
+    fusion to matter (tau near 1: the dense leg adds nothing; tau near
+    0/negative: RRF is load-bearing).
+
+    Exact end to end: concordant/discordant are integer counts over all
+    doc pairs ranked by both legs, and
+
+        ``tau_micro = floor(1e6 * (C - D) / (n*(n-1)/2))``
+
+    is one double division of identical integers (``n_pairs`` =
+    ``n_common*(n_common-1)/2``; no rank ties are possible under
+    row_number, so tau-a needs no tie correction).  Scale shape: both
+    leg outputs are rank-bounded (<= k rows/query), so the pair
+    self-join touches <= k^2 rows per query regardless of corpus size;
+    queries with fewer than 2 shared docs have no pairs and are
+    excluded.  Output: (query_id, n_common, n_pairs, concordant,
+    discordant, tau_micro)."""
+    bm = bm25_topk(docs_in, queries=queries, k=k).select(
+        "query_id", "doc_id", F.col("rnk").alias("r_bm")
+    )
+    dn = dense_topk(docs_in, queries=queries, k=k).select(
+        "query_id", "doc_id", F.col("rnk").alias("r_dn")
+    )
+    common = bm.join(dn, ["query_id", "doc_id"])
+    a, b = common.alias("a"), common.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        (
+            (F.col("a.r_bm") - F.col("b.r_bm"))
+            * (F.col("a.r_dn") - F.col("b.r_dn"))
+            > 0
+        ).cast("long").alias("conc"),
+    )
+    counts = pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("conc").alias("concordant"),
+    )
+    sizes = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    tau = F.floor(
+        F.lit(1000000)
+        * (F.col("concordant") - F.col("discordant"))
+        / F.col("n_pairs")
+    ).cast("long")
+    return (
+        counts.withColumn(
+            "discordant", F.col("n_pairs") - F.col("concordant")
+        )
+        .join(sizes, "query_id")
+        .select(
+            "query_id", "n_common", "n_pairs", "concordant", "discordant",
+            tau.alias("tau_micro"),
+        )
+    )
+
+
+def rank_correlation_sql(
+    table: str = "documents",
+    queries: Sequence[Tuple[str, Sequence[str]]] = BM25_QUERIES,
+    k: int = BM25_TOPK,
+) -> str:
+    """DuckDB twin: same two leg rankings, same integer concordance."""
+    from .featurehash import HASH_DIM, feature_hash_embed_sql
+
+    qv_rows = ", ".join(
+        "('" + qid + "', [" + ", ".join(str(x) for x in vec) + "])"
+        for qid, vec in query_hash_embeddings(queries)
+    )
+    return f"""
+    WITH bm AS (
+      SELECT query_id, doc_id, rnk AS r_bm
+      FROM ({bm25_topk_sql(table)})),
+    emb AS ({feature_hash_embed_sql(table)}),
+    qv (query_id, q_emb) AS (VALUES {qv_rows}),
+    dot AS (
+      SELECT q.query_id, e.doc_id,
+             SUM(e.embedding[g.i + 1] * q.q_emb[g.i + 1])::BIGINT AS dot
+      FROM emb e CROSS JOIN qv q CROSS JOIN range({HASH_DIM}) g(i)
+      GROUP BY 1, 2),
+    dn AS (
+      SELECT query_id, doc_id, r_dn FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY dot DESC, doc_id
+               ) AS r_dn
+        FROM dot)
+      WHERE r_dn <= {k}),
+    common AS (
+      SELECT bm.query_id, bm.doc_id, bm.r_bm, dn.r_dn
+      FROM bm JOIN dn USING (query_id, doc_id)),
+    pairs AS (
+      SELECT a.query_id,
+             CASE WHEN (a.r_bm - b.r_bm) * (a.r_dn - b.r_dn) > 0
+                  THEN 1 ELSE 0 END AS conc
+      FROM common a JOIN common b
+        ON a.query_id = b.query_id AND a.doc_id < b.doc_id),
+    counts AS (
+      SELECT query_id, COUNT(*)::BIGINT AS n_pairs,
+             SUM(conc)::BIGINT AS concordant
+      FROM pairs GROUP BY 1),
+    sizes AS (
+      SELECT query_id, COUNT(*)::BIGINT AS n_common FROM common GROUP BY 1)
+    SELECT c.query_id, s.n_common, c.n_pairs, c.concordant,
+           (c.n_pairs - c.concordant)::BIGINT AS discordant,
+           FLOOR(1000000 * (c.concordant - (c.n_pairs - c.concordant))
+                 / c.n_pairs)::BIGINT AS tau_micro
+    FROM counts c JOIN sizes s USING (query_id)
+    """

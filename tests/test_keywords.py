@@ -250,3 +250,46 @@ def test_rrf_output_rank_bounded(spark):
         assert len(rs) <= RRF_TOPK
         scores = [r.rrf for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_rank_correlation_hand_math(spark):
+    """Kendall tau counts verified against scipy-free brute force on the
+    actual leg outputs."""
+    from ehr_ner_spark.operators.retrieval import (
+        bm25_topk,
+        dense_topk,
+        rank_correlation,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bm = {}
+    for r in bm25_topk(docs).collect():
+        bm[(r.query_id, r.doc_id)] = r.rnk
+    dn = {}
+    for r in dense_topk(docs).collect():
+        dn[(r.query_id, r.doc_id)] = r.rnk
+
+    got = {r.query_id: r for r in rank_correlation(docs).collect()}
+    import math
+
+    by_q = {}
+    for (q, d), rb in bm.items():
+        if (q, d) in dn:
+            by_q.setdefault(q, []).append((d, rb, dn[(q, d)]))
+    for q, items in by_q.items():
+        n = len(items)
+        if n < 2:
+            assert q not in got
+            continue
+        conc = disc = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = (items[i][1] - items[j][1]) * (items[i][2] - items[j][2])
+                if s > 0:
+                    conc += 1
+                else:
+                    disc += 1
+        r = got[q]
+        assert (r.n_common, r.n_pairs, r.concordant, r.discordant) == (
+            n, n * (n - 1) // 2, conc, disc)
+        assert r.tau_micro == math.floor(1e6 * (conc - disc) / r.n_pairs)
