@@ -5288,6 +5288,26 @@ def rel_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rel_stream_static_join",
+    oracle="""
+    SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id, e.event_type,
+           c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def rel_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver evidence: STREAM-STATIC JOIN — the streaming event
+    feed enriched with the static customer dimension per micro-batch
+    (broadcast, no state store), fed a deterministic 3-chunk file
+    schedule under availableNow; the accumulated append sink is
+    hash-checked against the batch equi-join
+    (streaming/jobs.py::stream_static_enrich)."""
+    from .streaming.jobs import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)
+
+
+@_register(
     "rel_stream_dedup",
     oracle="""
     SELECT DISTINCT event_id, epoch_us(ts) AS ts_us, user_id, event_type

@@ -561,3 +561,87 @@ def watermark_late_audit(
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3, timeout_sec: int = 600
+) -> DataFrame:
+    """STREAM-STATIC JOIN (§2.9): enrich a streaming event feed with the
+    static customer dimension — the standard Structured Streaming
+    enrichment shape (the static side is re-planned per micro-batch and
+    broadcast under AQE; no state store is involved because the static
+    side is immutable within the query).
+
+    Deterministic schedule: events cut into ``n_chunks`` event-time
+    ranges, one file per micro-batch (maxFilesPerTrigger=1 under
+    availableNow).  Every event matches (user_id range is a subset of
+    c_custkey), so the enriched append sink equals the batch equi-join,
+    which is what the driver hash-checks.  Output: (event_id, ts_us,
+    user_id, event_type, segment)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="rel_stream_static_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    os.makedirs(src)
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        lo_us, hi_us = ev.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+        width = (hi_us - lo_us) // n_chunks + 1
+        bucket = (
+            (F.unix_micros("ts") - F.lit(lo_us)) / F.lit(width)
+        ).cast("int")
+        chunked = ev.withColumn("_b", bucket)
+        for i in range(n_chunks):
+            chunk_dir = os.path.join(work, f"chunk{i}")
+            chunked.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(chunk_dir)
+            (part,) = glob.glob(os.path.join(chunk_dir, "part-*.parquet"))
+            os.replace(part, os.path.join(src, f"chunk-{i:03d}.parquet"))
+
+        dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        enriched = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .join(dim, "user_id")
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "segment",
+            )
+        )
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError("stream-static join did not drain")
+        n_batches = len(q.recentProgress)
+        if n_batches < 2:
+            raise RuntimeError(f"expected >=2 micro-batches, saw {n_batches}")
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

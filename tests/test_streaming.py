@@ -139,3 +139,29 @@ def test_watermark_late_audit_drops_stragglers(spark, sf_dir):
     assert got == want
     # every emitted window is closed by the final watermark
     assert all(we <= wm for (_, we) in got)
+
+
+def test_stream_static_enrich_equals_batch_join(spark):
+    """The stream-static join's accumulated sink equals the batch
+    equi-join, and the run drains in >= 2 micro-batches."""
+    from ehr_ner_spark.streaming.jobs import stream_static_enrich
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.event_id, r.ts_us): (r.user_id, r.event_type, r.segment)
+        for r in stream_static_enrich(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    import pyspark.sql.functions as F
+
+    want = {
+        (r.event_id, r.ts_us): (r.user_id, r.event_type, r.segment)
+        for r in ev.join(cu, ev.user_id == cu.c_custkey)
+        .select(
+            "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id", "event_type", F.col("c_mktsegment").alias("segment"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
