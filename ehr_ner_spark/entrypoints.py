@@ -2556,6 +2556,28 @@ def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def _bloom_join_oracle() -> str:
+    from .operators.sketches import bloom_prefilter_join_sql
+
+    return bloom_prefilter_join_sql()
+
+
+@_register("rel_bloom_join", oracle=_bloom_join_oracle)
+def rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join audit: a 1024-word bit_or Bloom filter
+    over the selective build side (expensive orders) broadcasts to
+    lineitem and drops definitely-unmatched rows BEFORE the shuffle;
+    the one-row audit quantifies keys passed, false-positive keys (pure
+    wasted shuffle — no false negatives, so the join is exact) and the
+    row-level shuffle reduction
+    (operators/sketches.py::bloom_prefilter_join)."""
+    from .operators.sketches import bloom_prefilter_join
+
+    return bloom_prefilter_join(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 def _rank_corr_oracle() -> str:
     from .operators.retrieval import rank_correlation_sql
 

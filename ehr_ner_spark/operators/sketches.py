@@ -449,3 +449,144 @@ def bloom_membership_sql(build_lang: str = "en") -> str:
              / 1000000.0 AS fp_rate
     FROM graded
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join (shuffle-reduction audit)
+# ---------------------------------------------------------------------------
+
+BLOOM_JOIN_PRICE_CUT = 400000.0   # build side: expensive orders only
+
+
+def bloom_prefilter_join(orders: DataFrame, lineitem: DataFrame,
+                         price_cut: float = BLOOM_JOIN_PRICE_CUT) -> DataFrame:
+    """Bloom-prefiltered join — the shuffle-reduction pattern for a
+    selective build side: a Bloom filter over the qualifying orderkeys
+    (expensive orders) broadcasts to the lineitem side, which drops
+    definitely-unmatched rows BEFORE the shuffle join; the exact join
+    then runs over survivors only.  The audit reports what the filter
+    bought and what its false positives cost:
+
+    - ``n_pass_keys`` vs ``n_probe_keys``: probe-key space surviving the
+      filter (the shuffled fraction);
+    - ``n_fp_keys``: keys that passed but match nothing — pure wasted
+      shuffle (Bloom has no false negatives, so ``n_joined`` is exact);
+    - ``rows_shuffled`` vs ``n_lineitem``: the row-level reduction.
+
+    Scale shape: the filter is 1024 OR-aggregated BIGINTs (bit_or
+    combines map-side) BROADCAST to the probe side; probe membership is
+    graded on the DISTINCT key frame (bounded by key cardinality, not
+    row count) and rejoined to lineitem as a broadcast-able semi-join.
+    Output one row: (n_build_keys, n_probe_keys, n_pass_keys, n_fp_keys,
+    n_lineitem, rows_shuffled, n_joined)."""
+    from ..cache import tracked_persist
+
+    build_keys = tracked_persist(
+        orders.where(F.col("o_totalprice") > price_cut)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bterms = build_keys.select(F.col("k").cast("string").alias("term"))
+    bloom = (
+        _bloom_positions(bterms)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe_keys = tracked_persist(
+        lineitem.select(F.col("l_orderkey").alias("k")).distinct()
+    )
+    pterms = probe_keys.select("k", F.col("k").cast("string").alias("term"))
+    graded = (
+        _bloom_positions(pterms.select("term").distinct())
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "term",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("hit"),
+        )
+        .groupBy("term")
+        .agg((F.sum("hit") == BLOOM_K).cast("long").alias("in_bloom"))
+    )
+    pass_keys = tracked_persist(
+        pterms.join(graded, "term").where(F.col("in_bloom") == 1).select("k")
+    )
+    li_k = lineitem.select(F.col("l_orderkey").alias("k"))
+    survivors = li_k.join(F.broadcast(pass_keys), "k", "left_semi")
+    joined = li_k.join(build_keys, "k", "left_semi")
+    counts = [
+        build_keys.agg(F.count(F.lit(1)).alias("n_build_keys")),
+        probe_keys.agg(F.count(F.lit(1)).alias("n_probe_keys")),
+        pass_keys.agg(F.count(F.lit(1)).alias("n_pass_keys")),
+        pass_keys.join(build_keys, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_fp_keys")
+        ),
+        li_k.agg(F.count(F.lit(1)).alias("n_lineitem")),
+        survivors.agg(F.count(F.lit(1)).alias("rows_shuffled")),
+        joined.agg(F.count(F.lit(1)).alias("n_joined")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+def bloom_prefilter_join_sql(price_cut: float = BLOOM_JOIN_PRICE_CUT) -> str:
+    """DuckDB twin: same salted positions, 62-bit words, membership rule
+    and count battery."""
+    w = BLOOM_BITS_PER_WORD
+
+    def pos_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT term,"
+            f" (('0x' || substr(md5('{i}:' || term), 1, 15))::BIGINT"
+            f" % {BLOOM_M}) AS pos FROM {src}"
+            for i in range(BLOOM_K)
+        )
+
+    return f"""
+    WITH build_keys AS MATERIALIZED (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_totalprice > {price_cut}),
+    bterms AS (SELECT k::VARCHAR AS term FROM build_keys),
+    bpos AS ({pos_rows("bterms")}),
+    bloom AS MATERIALIZED (
+      SELECT pos // {w} AS word,
+             bit_or(1::BIGINT << CAST(pos % {w} AS INT)) AS bits
+      FROM bpos GROUP BY pos // {w}),
+    probe_keys AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    pterms AS (SELECT DISTINCT k::VARCHAR AS term FROM probe_keys),
+    ppos AS ({pos_rows("pterms")}),
+    graded AS MATERIALIZED (
+      SELECT p.term,
+             CASE WHEN SUM(CASE WHEN b.bits IS NOT NULL
+                                 AND (b.bits & (1::BIGINT
+                                      << CAST(p.pos % {w} AS INT)))
+                                     = (1::BIGINT
+                                        << CAST(p.pos % {w} AS INT))
+                                THEN 1 ELSE 0 END) = {BLOOM_K}
+                  THEN 1 ELSE 0 END AS in_bloom
+      FROM ppos p LEFT JOIN bloom b ON p.pos // {w} = b.word
+      GROUP BY p.term),
+    pass_keys AS MATERIALIZED (
+      SELECT pk.k FROM probe_keys pk
+      JOIN graded g ON g.term = pk.k::VARCHAR
+      WHERE g.in_bloom = 1)
+    SELECT
+      (SELECT COUNT(*) FROM build_keys)::BIGINT AS n_build_keys,
+      (SELECT COUNT(*) FROM probe_keys)::BIGINT AS n_probe_keys,
+      (SELECT COUNT(*) FROM pass_keys)::BIGINT AS n_pass_keys,
+      (SELECT COUNT(*) FROM pass_keys p
+        WHERE NOT EXISTS (SELECT 1 FROM build_keys b WHERE b.k = p.k)
+      )::BIGINT AS n_fp_keys,
+      (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_lineitem,
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM pass_keys p WHERE p.k = l.l_orderkey)
+      )::BIGINT AS rows_shuffled,
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM build_keys b WHERE b.k = l.l_orderkey)
+      )::BIGINT AS n_joined
+    """

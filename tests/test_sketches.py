@@ -148,3 +148,34 @@ def test_bloom_fp_rate_low_at_sf(spark, sf_dir):
     assert row["n_false_negative"] == 0
     # m/n comfortably > 10 bits/key at sf0.001 -> fp should stay tiny
     assert row["fp_rate"] <= 0.05, row
+
+
+def test_bloom_prefilter_join_invariants(spark):
+    """No false negatives (every true match survives the prefilter), FP
+    accounting is consistent, and the audit matches a direct
+    re-derivation."""
+    from ehr_ner_spark.operators.sketches import bloom_prefilter_join
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    r = bloom_prefilter_join(orders, lineitem).collect()[0]
+
+    # Bloom has no false negatives: every joined row also passed
+    assert r.rows_shuffled >= r.n_joined
+    assert r.n_pass_keys <= r.n_probe_keys
+    # passed = true-positive keys + false-positive keys
+    build = {
+        row.o_orderkey
+        for row in orders.where("o_totalprice > 400000.0")
+        .select("o_orderkey").collect()
+    }
+    probe = {
+        row.l_orderkey
+        for row in lineitem.select("l_orderkey").distinct().collect()
+    }
+    tp = len(build & probe)
+    assert r.n_pass_keys == tp + r.n_fp_keys
+    # the exact join size is untouched by the filter
+    li = [row.l_orderkey for row in lineitem.select("l_orderkey").collect()]
+    assert r.n_joined == sum(1 for k in li if k in build)
+    assert r.n_lineitem == len(li)
