@@ -595,6 +595,27 @@ def kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(entity_edges(m))
 
 
+def _modularity_oracle() -> str:
+    from .operators.communities import modularity_trajectory_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return modularity_trajectory_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_modularity", oracle=_modularity_oracle)
+def kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition after EACH round 0..4 over
+    the entity co-occurrence graph — the over-merge diagnostic (round 0
+    scores the negative null-model mass; a collapse to one community
+    drives Q back to exactly 0) — in 4m^2-scaled integer form: num_c =
+    4*m*e_c - d_c^2 per community, the only float being the final scaled
+    division (operators/communities.py::modularity_trajectory)."""
+    from .operators.communities import entity_edges, modularity_trajectory
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return modularity_trajectory(entity_edges(m))
+
+
 def _entity_components_oracle() -> str:
     from .operators.communities import entity_components_sql
     from .operators.mention_sql import mentions_oracle_sql

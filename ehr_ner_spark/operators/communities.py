@@ -116,13 +116,13 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS,
     )
 
 
-def label_propagation_sql(
+def _lpa_cte_parts(
     mentions_sql: str,
     iters: int = LPA_ITERS,
     min_pair: int = LPA_MIN_PAIR,
-) -> str:
-    """DuckDB twin: same edges, same synchronous rounds unrolled as
-    materialized CTEs, same (votes DESC, label ASC) winner rule."""
+) -> list:
+    """The unrolled LPA CTE chain (shared by the communities oracle and
+    the modularity-trajectory oracle)."""
     parts = [f"""
     WITH mentions AS ({mentions_sql}),
     ents AS (SELECT DISTINCT doc_id, text FROM mentions),
@@ -150,6 +150,17 @@ def label_propagation_sql(
           PARTITION BY node ORDER BY votes DESC, label ASC) AS rn
         FROM v{it})
       WHERE rn = 1)""")
+    return parts
+
+
+def label_propagation_sql(
+    mentions_sql: str,
+    iters: int = LPA_ITERS,
+    min_pair: int = LPA_MIN_PAIR,
+) -> str:
+    """DuckDB twin: same edges, same synchronous rounds unrolled as
+    materialized CTEs, same (votes DESC, label ASC) winner rule."""
+    parts = list(_lpa_cte_parts(mentions_sql, iters, min_pair))
     parts.append(f""",
     sizes AS (SELECT label, COUNT(*) AS n_members FROM l{iters} GROUP BY label)
     SELECT l.node AS entity, l.label AS community, s.n_members
@@ -334,4 +345,133 @@ def k_core_sql(mentions_sql: str, k: int = KCORE_K,
       SELECT ent_a AS node FROM e{rounds}
       UNION ALL SELECT ent_b AS node FROM e{rounds})
     GROUP BY node HAVING COUNT(*) >= {k}""")
+    return "".join(parts)
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over the undirected
+    entity graph — the partition-quality score that tells a KG pipeline
+    whether its communities are structure or noise:
+
+        ``Q = sum over c of (e_c/m - (d_c / 2m)^2)``
+
+    computed in 4m^2-SCALED integer form: per community the numerator
+    ``num_c = 4*m*e_c - d_c^2`` is a BIGINT (m = |edges|, e_c =
+    intra-community edges, d_c = total degree), and
+
+        ``q_micro = floor(1e6 * sum(num_c) / (4*m^2))``
+
+    is one double division of identical integers — no float summation.
+
+    Scale shape: degrees are one map-side-combined count over the doubled
+    edge list; e_c is one two-join pass over edges against the (bounded)
+    label frame; everything downstream runs on the communities-sized
+    frame.  Output: (community, n_nodes, e_in, d_tot, num, q_micro) —
+    q_micro constant across rows (the partition's score).
+    """
+    edges = edges.persist()
+    m = edges.count()
+    lab = labels.select("entity", "community")
+    deg = (
+        edges.select(F.col("ent_a").alias("entity"))
+        .unionAll(edges.select(F.col("ent_b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    la = lab.select(F.col("entity").alias("ent_a"), F.col("community").alias("c_a"))
+    lb = lab.select(F.col("entity").alias("ent_b"), F.col("community").alias("c_b"))
+    e_in = (
+        edges.join(la, "ent_a")
+        .join(lb, "ent_b")
+        .where(F.col("c_a") == F.col("c_b"))
+        .groupBy(F.col("c_a").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    per_c = (
+        lab.join(deg, "entity", "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce("deg", F.lit(0))).alias("d_tot"),
+        )
+        .join(e_in, "community", "left")
+        .select(
+            "community", "n_nodes",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "d_tot",
+        )
+        .withColumn(
+            "num",
+            F.lit(4) * F.lit(m) * F.col("e_in")
+            - F.col("d_tot") * F.col("d_tot"),
+        )
+    )
+    total = per_c.agg(
+        F.floor(
+            F.lit(1000000) * F.sum("num") / F.lit(4 * m * m)
+        ).cast("long").alias("q_micro")
+    )
+    return per_c.crossJoin(F.broadcast(total))
+
+
+def modularity_trajectory(edges: DataFrame, rounds: int = LPA_ITERS) -> DataFrame:
+    """Modularity of the LPA partition after EACH round 0..``rounds`` —
+    the over-merge diagnostic: round 0 (singleton labels) scores the
+    negative null-model mass, Q peaks where propagation has found real
+    structure, and a collapse to one community drives Q back to exactly
+    0.  Each round's score is one :func:`modularity` pass aggregated to
+    (round, n_communities, q_micro); re-running LPA per round costs
+    k^2/2 joins at this battery size — at warehouse scale the rounds
+    would checkpoint and each round's labels would be scored
+    incrementally.  Output: (round, n_communities, q_micro)."""
+    out = None
+    for r in range(rounds + 1):
+        labels = label_propagation(edges, iters=r, checkpoint=r > 0)
+        per_c = modularity(edges, labels)
+        row = per_c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("q_micro").alias("q_micro"),
+        ).select(F.lit(r).cast("long").alias("round"), "n_communities", "q_micro")
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def modularity_trajectory_sql(mentions_sql: str, rounds: int = LPA_ITERS,
+                              min_pair: int = LPA_MIN_PAIR) -> str:
+    """DuckDB twin: ONE unrolled LPA chain (shared CTE builder), then a
+    per-round scaled-integer modularity block over each l{it} frame."""
+    parts = list(_lpa_cte_parts(mentions_sql, rounds, min_pair))
+    parts.append(f""",
+    mm AS (SELECT COUNT(*)::BIGINT AS m FROM ed),
+    deg AS (
+      SELECT entity, COUNT(*)::BIGINT AS deg FROM (
+        SELECT ent_a AS entity FROM ed
+        UNION ALL SELECT ent_b AS entity FROM ed)
+      GROUP BY 1)""")
+    selects = []
+    for it in range(rounds + 1):
+        parts.append(f""",
+    ein{it} AS (
+      SELECT la.label AS community, COUNT(*)::BIGINT AS e_in
+      FROM ed e
+      JOIN l{it} la ON la.node = e.ent_a
+      JOIN l{it} lb ON lb.node = e.ent_b
+      WHERE la.label = lb.label
+      GROUP BY 1),
+    per{it} AS (
+      SELECT l.label AS community,
+             COALESCE(MAX(ei.e_in), 0)::BIGINT AS e_in,
+             SUM(COALESCE(d.deg, 0))::BIGINT AS d_tot
+      FROM l{it} l
+      LEFT JOIN deg d ON d.entity = l.node
+      LEFT JOIN ein{it} ei ON ei.community = l.label
+      GROUP BY 1),
+    q{it} AS (
+      SELECT {it}::BIGINT AS round,
+             COUNT(*)::BIGINT AS n_communities,
+             FLOOR(1000000 * SUM(4 * mm.m * e_in - d_tot * d_tot)
+                   / (4 * mm.m * mm.m))::BIGINT AS q_micro
+      FROM per{it} CROSS JOIN mm GROUP BY mm.m)""")
+        selects.append(f"SELECT round, n_communities, q_micro FROM q{it}")
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
     return "".join(parts)

@@ -251,3 +251,62 @@ def test_ego_networks_min_hop_and_seed_exclusion(spark):
     # seed never appears in its own net; every node at its minimum hop
     for seed, net in nets.items():
         assert seed not in net
+
+
+def test_modularity_planted_two_cliques(spark):
+    """Two 5-cliques joined by one bridge edge: the true 2-way partition
+    scores high positive modularity; the singleton partition scores
+    negative; the one-community partition scores exactly 0."""
+    import math
+
+    from ehr_ner_spark.operators.communities import modularity
+
+    nodes_a = [f"a{i}" for i in range(5)]
+    nodes_b = [f"b{i}" for i in range(5)]
+    edges = []
+    for grp in (nodes_a, nodes_b):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((grp[i], grp[j]))
+    edges.append(("a0", "b0"))
+    edf = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    m = len(edges)
+
+    def score(assign):
+        lab = spark.createDataFrame(
+            [(n, c) for n, c in assign.items()], "entity string, community string"
+        )
+        return modularity(edf, lab).collect()[0].q_micro
+
+    true_part = {n: "A" for n in nodes_a} | {n: "B" for n in nodes_b}
+    q_true = score(true_part)
+    # hand value: e_A = e_B = 10, d_A = d_B = 21, m = 21
+    num = 2 * (4 * m * 10 - 21 * 21)
+    assert q_true == math.floor(1e6 * num / (4 * m * m)) and q_true > 0
+
+    q_single = score({n: "ALL" for n in nodes_a + nodes_b})
+    assert q_single == 0
+
+    q_sing = score({n: n for n in nodes_a + nodes_b})
+    assert q_sing < 0
+
+
+def test_modularity_trajectory_rounds(spark):
+    """Round 0 = singleton partition (one community per node, negative
+    Q); rounds are monotone in community-count collapse."""
+    from ehr_ner_spark.operators.communities import (
+        entity_edges,
+        modularity_trajectory,
+    )
+    from ehr_ner_spark.operators.mention_detect import detect_mentions
+    from ehr_ner_spark.entrypoints import corpus
+
+    m = detect_mentions(corpus(spark, "/root/testdata/sf0.001"),
+                        num_partitions=4)
+    rows = {r.round: r for r in
+            modularity_trajectory(entity_edges(m)).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    n0 = rows[0].n_communities
+    assert rows[0].q_micro < 0 and n0 > 1
+    assert all(rows[r].n_communities <= rows[r - 1].n_communities
+               for r in range(1, 5))
