@@ -2577,6 +2577,55 @@ def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "rel_snapshot_expire",
+    # lifecycle constants are structural (16 one-file buckets written by a
+    # single-partition job, rewritten once): 3 snapshots (partial commit,
+    # resume, compaction), 2 expired, 16+16 files on disk pre-GC, 16
+    # orphans reclaimed; rows survive the whole lifecycle
+    oracle="""
+    SELECT 3::BIGINT AS n_snapshots_before,
+           2::BIGINT AS n_snapshots_expired,
+           32::BIGINT AS n_files_before_gc,
+           16::BIGINT AS n_orphans_deleted,
+           16::BIGINT AS n_files_after,
+           (SELECT COUNT(*) FROM documents)::BIGINT AS rows_after
+    """,
+)
+def rel_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's full maintenance lifecycle on the engine's snapshot
+    table format: partial commit (simulated crash after 8 buckets) ->
+    resume -> binpack compaction rewrite -> expire_snapshots(keep 1) ->
+    remove_orphan_files.  The audit proves the core invariants: old
+    files stay readable until expiry (time travel), GC reclaims EXACTLY
+    the files no surviving snapshot references, and the row count is
+    unchanged across the whole lifecycle (io/icetable.py::IceTable
+    {compact_stage, expire_snapshots, gc_orphans})."""
+    import tempfile
+
+    from .io.icetable import IceTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").coalesce(1)
+    with tempfile.TemporaryDirectory(prefix="rel_snap_expire_") as root:
+        tbl = IceTable(root)
+        tbl.write_stage(docs, "docs", fail_after_buckets=8)
+        tbl.write_stage(docs, "docs")
+        tbl.compact_stage(spark, "docs")
+        n_before = len(tbl.list_snapshots())
+        files_before = len(tbl.data_files())
+        n_expired = tbl.expire_snapshots(keep_last=1)
+        n_orphans = tbl.gc_orphans()
+        files_after = len(tbl.data_files())
+        rows_after = tbl.read_stage(spark, "docs").count()
+    return spark.createDataFrame(
+        [(n_before, n_expired, files_before, n_orphans, files_after,
+          rows_after)],
+        "n_snapshots_before long, n_snapshots_expired long,"
+        " n_files_before_gc long, n_orphans_deleted long,"
+        " n_files_after long, rows_after long",
+    )
+
+
 def _bloom_join_oracle() -> str:
     from .operators.sketches import bloom_prefilter_join_sql
 

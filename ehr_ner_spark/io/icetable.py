@@ -183,3 +183,101 @@ class IceTable:
         if not files:
             raise FileNotFoundError(f"stage {stage} committed but empty")
         return spark.read.parquet(*files).drop(BUCKET_COL)
+
+    # -- maintenance: compaction, snapshot expiry, orphan GC ----------------
+    def list_snapshots(self) -> list:
+        """Snapshot JSON names sorted by sequence number."""
+        snaps = [
+            n for n in os.listdir(os.path.join(self.root, "snapshots"))
+            if n.startswith("snap-") and n.endswith(".json")
+        ]
+        return sorted(snaps)
+
+    def compact_stage(self, spark: SparkSession, stage: str) -> dict:
+        """Rewrite every bucket of ``stage`` into ONE file (Iceberg's
+        binpack rewrite at this table's scale) and commit a new snapshot
+        whose manifest references ONLY the rewritten files — the old
+        files stay on disk, referenced by older snapshots, until
+        :meth:`expire_snapshots` + :meth:`gc_orphans` reclaim them
+        (exactly Iceberg's rewrite/expire/delete-orphans lifecycle)."""
+        snap = self.current_snapshot()
+        st = snap["stages"][stage]
+        stage_dir = os.path.join(self.root, "data", stage)
+        new_buckets: Dict[int, dict] = {}
+        for b_str, meta in sorted(st["buckets"].items(), key=lambda kv: int(kv[0])):
+            b = int(b_str)
+            dst = os.path.join(stage_dir, f"bucket={b}")
+            if not meta["files"]:
+                new_buckets[b] = dict(meta)
+                continue
+            srcs = [os.path.join(self.root, f) for f in meta["files"]]
+            tmp = os.path.join(stage_dir, f".compact-{uuid.uuid4().hex[:8]}")
+            spark.read.parquet(*srcs).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (part,) = [
+                fn for fn in sorted(os.listdir(tmp)) if fn.endswith(".parquet")
+            ]
+            out_name = f"compact-{snap['seq'] + 1:06d}-{uuid.uuid4().hex[:8]}.parquet"
+            os.replace(os.path.join(tmp, part), os.path.join(dst, out_name))
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            fp = os.path.join(dst, out_name)
+            new_buckets[b] = {
+                "files": [os.path.relpath(fp, self.root)],
+                "rows": pq.ParquetFile(fp).metadata.num_rows,
+                "wall_ms": meta.get("wall_ms", 0),
+            }
+        stages = dict(snap["stages"])
+        stages[stage] = {
+            **st, "buckets": {str(k): v for k, v in new_buckets.items()},
+        }
+        snapshot = {
+            "seq": snap["seq"] + 1,
+            "parent_seq": snap["seq"],
+            "stages": stages,
+            "lineage": (snap.get("lineage") or [])
+            + [{"stage": stage, "compacted": True,
+                "rows": sum(v["rows"] for v in new_buckets.values())}],
+        }
+        self._commit(snapshot)
+        return snapshot
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Delete all but the newest ``keep_last`` snapshot JSONs (the
+        CURRENT pointer always survives).  Returns the number expired."""
+        snaps = self.list_snapshots()
+        expired = snaps[:-keep_last] if keep_last > 0 else snaps
+        for name in expired:
+            os.remove(os.path.join(self.root, "snapshots", name))
+        return len(expired)
+
+    def referenced_files(self) -> set:
+        """Repo-relative data files referenced by ANY surviving snapshot."""
+        refs = set()
+        for name in self.list_snapshots():
+            with open(os.path.join(self.root, "snapshots", name)) as f:
+                snap = json.load(f)
+            for st in snap.get("stages", {}).values():
+                for b in st["buckets"].values():
+                    refs.update(b["files"])
+        return refs
+
+    def data_files(self) -> set:
+        """All parquet files physically present under data/."""
+        out = set()
+        data_root = os.path.join(self.root, "data")
+        for root, _dirs, files in os.walk(data_root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.add(os.path.relpath(os.path.join(root, fn), self.root))
+        return out
+
+    def gc_orphans(self) -> int:
+        """Delete data files no surviving snapshot references (Iceberg's
+        remove_orphan_files).  Returns the number deleted."""
+        orphans = self.data_files() - self.referenced_files()
+        for rel in orphans:
+            os.remove(os.path.join(self.root, rel))
+        return len(orphans)

@@ -75,3 +75,38 @@ def test_rerun_is_noop(spark, sf_dir, tmp_path):
     seq2 = IceTable(root).current_snapshot()["seq"]
     assert seq1 == seq2  # nothing recomputed, no new snapshot
     assert _triples_set(first) == _triples_set(second)
+
+
+def test_expire_and_gc_preserve_readability(spark, tmp_path):
+    """Time travel works until expiry; GC reclaims exactly the
+    unreferenced files; the compacted stage reads back byte-identical."""
+    from ehr_ner_spark.io.icetable import IceTable
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .coalesce(1)
+    )
+    want = {(r.doc_id, r.text) for r in docs.collect()}
+
+    tbl = IceTable(str(tmp_path / "tbl"))
+    tbl.write_stage(docs, "docs")
+    pre_files = tbl.data_files()
+    tbl.compact_stage(spark, "docs")
+    # before expiry: both file generations on disk, old ones referenced
+    assert pre_files < tbl.data_files()
+    assert pre_files <= tbl.referenced_files()
+    got_compacted = {
+        (r.doc_id, r.text)
+        for r in tbl.read_stage(spark, "docs").collect()
+    }
+    assert got_compacted == want
+
+    n_expired = tbl.expire_snapshots(keep_last=1)
+    assert n_expired == 1
+    n_orphans = tbl.gc_orphans()
+    assert n_orphans == len(pre_files)
+    assert tbl.data_files() == tbl.referenced_files()
+    # still readable after GC
+    got = {(r.doc_id, r.text) for r in tbl.read_stage(spark, "docs").collect()}
+    assert got == want
