@@ -281,3 +281,27 @@ class IceTable:
         for rel in orphans:
             os.remove(os.path.join(self.root, rel))
         return len(orphans)
+
+    def snapshot_at(self, seq: int) -> dict:
+        """Load the snapshot with sequence number ``seq`` (time travel —
+        works until :meth:`expire_snapshots` removes it)."""
+        for name in self.list_snapshots():
+            with open(os.path.join(self.root, "snapshots", name)) as f:
+                snap = json.load(f)
+            if snap["seq"] == seq:
+                return snap
+        raise FileNotFoundError(f"snapshot seq={seq} not found (expired?)")
+
+    def read_stage_at(self, spark: SparkSession, stage: str,
+                      seq: int) -> DataFrame:
+        """Time-travel read: the stage EXACTLY as snapshot ``seq`` saw it
+        (Iceberg's VERSION AS OF), from the files that manifest lists."""
+        snap = self.snapshot_at(seq)
+        if stage not in snap.get("stages", {}):
+            raise FileNotFoundError(f"stage {stage} absent at seq={seq}")
+        files = []
+        for b in snap["stages"][stage]["buckets"].values():
+            files.extend(os.path.join(self.root, f) for f in b["files"])
+        if not files:
+            raise FileNotFoundError(f"stage {stage} empty at seq={seq}")
+        return spark.read.parquet(*files).drop(BUCKET_COL)

@@ -110,3 +110,36 @@ def test_expire_and_gc_preserve_readability(spark, tmp_path):
     # still readable after GC
     got = {(r.doc_id, r.text) for r in tbl.read_stage(spark, "docs").collect()}
     assert got == want
+
+
+def test_time_travel_read_at_snapshot(spark, tmp_path):
+    """VERSION-AS-OF semantics: the partial-commit snapshot reads back
+    exactly the rows committed then; the complete snapshot reads all;
+    after expiry the old version raises."""
+    import pytest
+
+    from ehr_ner_spark.io.icetable import IceTable
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .coalesce(1)
+    )
+    tbl = IceTable(str(tmp_path / "tt"))
+    tbl.write_stage(docs, "docs", fail_after_buckets=8)   # seq 0: partial
+    tbl.write_stage(docs, "docs")                          # seq 1: complete
+
+    full = {r.doc_id for r in docs.select("doc_id").collect()}
+    at0 = {r.doc_id for r in
+           tbl.read_stage_at(spark, "docs", 0).collect()}
+    at1 = {r.doc_id for r in
+           tbl.read_stage_at(spark, "docs", 1).collect()}
+    assert at1 == full
+    assert at0 < full and len(at0) > 0
+    # the partial view is exactly the committed buckets' contents
+    committed = tbl.snapshot_at(0)["stages"]["docs"]["buckets"]
+    assert len(committed) == 8
+
+    tbl.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        tbl.read_stage_at(spark, "docs", 0)
