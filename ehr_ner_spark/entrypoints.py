@@ -2577,6 +2577,26 @@ def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def _fk_discovery_oracle() -> str:
+    from .operators.dataquality import fk_discovery_sql
+
+    return fk_discovery_sql()
+
+
+@_register("rel_fk_discovery", oracle=_fk_discovery_oracle)
+def rel_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (FK) discovery over a 9-candidate lattice
+    (the 7 true TPC-H FKs plus 2 deliberate negatives): each side
+    reduces to its distinct key frame before a bounded anti-join — never
+    a raw-table join — with exact orphan counts and floor-grid
+    containment (operators/dataquality.py::fk_discovery)."""
+    from .operators.dataquality import FK_CANDIDATES, fk_discovery
+
+    names = {t for c in FK_CANDIDATES for t in (c[0], c[2])}
+    tables = {t: _t(spark, sf_dir, t) for t in names}
+    return fk_discovery(tables)
+
+
 @_register(
     "rel_snapshot_expire",
     # lifecycle constants are structural (16 one-file buckets written by a

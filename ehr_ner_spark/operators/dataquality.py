@@ -516,3 +516,113 @@ def ks_drift_sql(table: str = "documents") -> str:
     FROM ranked CROSS JOIN stats
     WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Inclusion-dependency / foreign-key discovery (schema profiling)
+# ---------------------------------------------------------------------------
+
+FK_CANDIDATES = [
+    # (child_table, child_col, parent_table, parent_col) — true FKs plus
+    # deliberate negatives the discovery must reject
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),     # negative
+    ("customer", "c_custkey", "nation", "n_nationkey"),    # negative
+]
+
+
+def fk_discovery(tables: dict, candidates=None) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery — the schema-profiling
+    pass (Metanome-style IND mining over a candidate lattice) that infers
+    referential structure from DATA, not declared constraints: for each
+    candidate (child.col -> parent.col) report
+
+    - ``n_child_keys`` / ``n_parent_keys``: distinct key counts;
+    - ``n_orphans``: distinct child keys absent from the parent (an FK
+      holds iff 0);
+    - ``containment_micro``: the inclusion coefficient
+      |child ∩ parent| / |child| on the 1e-6 floor grid;
+    - ``is_fk``: the verdict.
+
+    Scale shape: each side reduces to its DISTINCT key frame FIRST
+    (map-side-combined), so the orphan check is an anti-join between two
+    key-cardinality-bounded frames — never between raw tables; the
+    candidate list is a fixed lattice, so the whole audit is |candidates|
+    independent small joins.  Output one row per candidate."""
+    from functools import reduce
+
+    candidates = candidates or FK_CANDIDATES
+    outs = []
+    for child_t, child_c, parent_t, parent_c in candidates:
+        ck = tables[child_t].select(F.col(child_c).alias("k")).where(
+            F.col("k").isNotNull()
+        ).distinct()
+        pk = tables[parent_t].select(F.col(parent_c).alias("k")).where(
+            F.col("k").isNotNull()
+        ).distinct()
+        ck = ck.persist()
+        n_child = ck.count()
+        orphans = ck.join(pk, "k", "left_anti")
+        row = (
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(pk.agg(F.count(F.lit(1)).alias("n_parent_keys")))
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent"),
+                F.lit(n_child).cast("long").alias("n_child_keys"),
+                "n_parent_keys",
+                "n_orphans",
+                F.floor(
+                    (F.lit(n_child) - F.col("n_orphans"))
+                    / F.lit(n_child) * F.lit(1000000.0)
+                ).cast("long").alias("containment_micro"),
+                (F.col("n_orphans") == 0).alias("is_fk"),
+            )
+        )
+        outs.append(row)
+    return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+def fk_discovery_sql(candidates=None) -> str:
+    """DuckDB twin: same candidate lattice, distinct-key anti-join
+    counts, floor-grid containment."""
+    candidates = candidates or FK_CANDIDATES
+    blocks = []
+    for child_t, child_c, parent_t, parent_c in candidates:
+        blocks.append(f"""
+    SELECT '{child_t}.{child_c}' AS child,
+           '{parent_t}.{parent_c}' AS parent,
+           (SELECT COUNT(DISTINCT {child_c}) FROM {child_t}
+             WHERE {child_c} IS NOT NULL)::BIGINT AS n_child_keys,
+           (SELECT COUNT(DISTINCT {parent_c}) FROM {parent_t}
+             WHERE {parent_c} IS NOT NULL)::BIGINT AS n_parent_keys,
+           (SELECT COUNT(*) FROM
+              (SELECT DISTINCT {child_c} AS k FROM {child_t}
+                WHERE {child_c} IS NOT NULL) c
+             WHERE NOT EXISTS (
+               SELECT 1 FROM {parent_t} p
+                WHERE p.{parent_c} = c.k))::BIGINT AS n_orphans,
+           FLOOR(((SELECT COUNT(DISTINCT {child_c}) FROM {child_t}
+                    WHERE {child_c} IS NOT NULL)
+                  - (SELECT COUNT(*) FROM
+                       (SELECT DISTINCT {child_c} AS k FROM {child_t}
+                         WHERE {child_c} IS NOT NULL) c
+                      WHERE NOT EXISTS (
+                        SELECT 1 FROM {parent_t} p
+                         WHERE p.{parent_c} = c.k)))
+                 / (SELECT COUNT(DISTINCT {child_c}) FROM {child_t}
+                     WHERE {child_c} IS NOT NULL)
+                 * 1000000.0)::BIGINT AS containment_micro,
+           (SELECT COUNT(*) FROM
+              (SELECT DISTINCT {child_c} AS k FROM {child_t}
+                WHERE {child_c} IS NOT NULL) c
+             WHERE NOT EXISTS (
+               SELECT 1 FROM {parent_t} p
+                WHERE p.{parent_c} = c.k)) = 0 AS is_fk""")
+    return "\n    UNION ALL".join(blocks)

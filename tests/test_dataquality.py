@@ -99,3 +99,28 @@ def test_split_leakage_matches_recomputed_folds(spark, sf_dir):
         want[(lo, hi)] += 1
     assert {k: v for k, (v, _) in got.items()} == dict(want)
     assert all(leaky == (lo != hi) for (lo, hi), (_, leaky) in got.items())
+
+
+def test_fk_discovery_verdicts(spark):
+    """All 7 true TPC-H FKs hold (0 orphans, containment 1.0); both
+    planted negatives are rejected with the orphan counts a direct
+    set-difference predicts."""
+    from ehr_ner_spark.operators.dataquality import FK_CANDIDATES, fk_discovery
+
+    sf = "/root/testdata/sf0.001"
+    names = {t for c in FK_CANDIDATES for t in (c[0], c[2])}
+    tables = {t: spark.read.parquet(f"{sf}/{t}.parquet") for t in names}
+    rows = {(r.child, r.parent): r for r in fk_discovery(tables).collect()}
+    assert len(rows) == 9
+
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        child = {x[0] for x in tables[ct].select(cc).collect()
+                 if x[0] is not None}
+        parent = {x[0] for x in tables[pt].select(pc).collect()
+                  if x[0] is not None}
+        r = rows[(f"{ct}.{cc}", f"{pt}.{pc}")]
+        assert r.n_child_keys == len(child)
+        assert r.n_orphans == len(child - parent)
+        assert r.is_fk == (len(child - parent) == 0)
+    n_true = sum(1 for r in rows.values() if r.is_fk)
+    assert n_true == 7
