@@ -5400,6 +5400,36 @@ def rel_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rel_stream_upsert",
+    oracle="""
+    WITH corr AS (
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+             value + 1000.0 AS value
+      FROM events WHERE event_id % 5 = 0),
+    u AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      UNION ALL SELECT * FROM corr),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_id ORDER BY ts DESC, value DESC) AS rn
+      FROM u)
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM r WHERE rn = 1
+    """,
+)
+def rel_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver evidence: foreachBatch IDEMPOTENT MERGE — the
+    production exactly-once keyed sink: base feed, then a correction
+    feed, then the SAME correction feed REPLAYED; the per-batch merge
+    keeps max-(ts, value) per event_id, so the replay changes nothing
+    and the final table equals the last-version-per-key SQL
+    (streaming/jobs.py::stream_upsert)."""
+    from .streaming.jobs import stream_upsert
+
+    return stream_upsert(spark, sf_dir)
+
+
+@_register(
     "rel_stream_static_join",
     oracle="""
     SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id, e.event_type,

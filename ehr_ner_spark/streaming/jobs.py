@@ -645,3 +645,108 @@ def stream_static_enrich(
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+UPSERT_UPDATE_MOD = 5       # every 5th event gets a later-ts correction
+UPSERT_VALUE_BUMP = 1000.0
+
+
+def stream_upsert(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 600
+) -> DataFrame:
+    """foreachBatch IDEMPOTENT MERGE sink (§2.9) — the production
+    exactly-once pattern for keyed sinks: each micro-batch merges into a
+    keyed table (keep the max-``ts`` version per ``event_id``, ties by
+    higher value), so replays and in-stream corrections both land
+    idempotently.
+
+    Deterministic schedule: batch 0 = the full events table; batch 1 = a
+    correction feed (every ``UPSERT_UPDATE_MOD``-th event re-emitted with
+    ts + 1 hour and value + ``UPSERT_VALUE_BUMP``); batch 2 = the SAME
+    correction feed replayed (at-least-once delivery).  The final table
+    must equal the last-version-per-key SQL — replay must change
+    nothing, which is what the driver hash-checks.  The merge itself is
+    a keyed window over (existing ∪ batch) — at warehouse scale the
+    same foreachBatch body targets a MERGE INTO on the lakehouse table.
+    Output: (event_id, ts_us, user_id, event_type, value)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="rel_stream_upsert_")
+    src = os.path.join(work, "src")
+    state = os.path.join(work, "state")
+    os.makedirs(src)
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        corrections = ev.where(
+            F.col("event_id") % UPSERT_UPDATE_MOD == 0
+        ).select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            "user_id",
+            "event_type",
+            (F.col("value") + UPSERT_VALUE_BUMP).alias("value"),
+        )
+        for i, frame in enumerate([ev, corrections, corrections]):
+            chunk_dir = os.path.join(work, f"chunk{i}")
+            frame.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+            (part,) = glob.glob(os.path.join(chunk_dir, "part-*.parquet"))
+            os.replace(part, os.path.join(src, f"chunk-{i:03d}.parquet"))
+
+        from pyspark.sql.window import Window
+
+        def merge_batch(batch_df, batch_id: int) -> None:
+            spark_b = batch_df.sparkSession
+            if os.path.exists(os.path.join(state, "_SUCCESS")):
+                current = spark_b.read.parquet(state)
+                union = current.unionByName(batch_df)
+            else:
+                union = batch_df
+            w = Window.partitionBy("event_id").orderBy(
+                F.desc("ts"), F.desc("value")
+            )
+            merged = (
+                union.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            tmp = state + f".tmp-{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(state):
+                shutil.rmtree(state)
+            os.replace(tmp, state)
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError("stream upsert did not drain")
+        if len(q.recentProgress) < 3:
+            raise RuntimeError(
+                f"expected >=3 micro-batches, saw {len(q.recentProgress)}"
+            )
+        final = spark.read.parquet(state).select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -165,3 +165,27 @@ def test_stream_static_enrich_equals_batch_join(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_upsert_idempotent_replay(spark):
+    """The final merged table equals last-version-per-key, corrections
+    override their base rows, and the duplicated correction batch
+    changes nothing (idempotency is structural: 3 batches, 2 identical)."""
+    from ehr_ner_spark.streaming.jobs import (
+        UPSERT_UPDATE_MOD,
+        UPSERT_VALUE_BUMP,
+        stream_upsert,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_id: (r.ts_us, r.value)
+           for r in stream_upsert(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet").collect()
+    assert len(got) == len(ev)
+    for r in ev:
+        ts_us = int(r.ts.timestamp() * 1_000_000)
+        if r.event_id % UPSERT_UPDATE_MOD == 0:
+            assert got[r.event_id] == (
+                ts_us + 3_600_000_000, r.value + UPSERT_VALUE_BUMP)
+        else:
+            assert got[r.event_id] == (ts_us, r.value)
