@@ -2577,6 +2577,26 @@ def ds_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def _train_langid_oracle() -> str:
+    from .operators.langtrain import train_langid_sql
+
+    return train_langid_sql()
+
+
+@_register("ds_train_langid", oracle=_train_langid_oracle)
+def ds_train_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND trained model family (the trainer generalizes beyond the
+    QASL tagger): multiclass batch perceptron over hashed char-trigram
+    counts vs the documents language labels — all-integer scores and
+    mistake-count weights, (score DESC, lang ASC) argmax, per-epoch
+    localCheckpoint.  Output = the falling mistake curve; the oracle
+    unrolls the epochs as CTEs bit-exactly
+    (operators/langtrain.py::train_langid)."""
+    from .operators.langtrain import train_langid
+
+    return train_langid(_t(spark, sf_dir, "documents"))
+
+
 def _fk_discovery_oracle() -> str:
     from .operators.dataquality import fk_discovery_sql
 

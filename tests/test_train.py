@@ -134,3 +134,22 @@ def test_train_metrics_shape(spark, small_corpus):
     assert [r.epoch for r in sorted(out, key=lambda r: r.epoch)] == [1, 2, 3]
     for r in out:
         assert r.correct == r.total - r.mistakes
+
+
+def test_train_langid_pocket_curve(spark):
+    """The pocket curve is monotone non-increasing, epoch 1 is the
+    zero-model baseline (argmax = lexicographically-first language), and
+    epoch 2 improves on it (the model learns)."""
+    from ehr_ner_spark.operators.langtrain import train_langid
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(train_langid(docs).collect(), key=lambda r: r.epoch)
+    assert [r.epoch for r in rows] == [1, 2, 3]
+    n_docs = rows[0].n_docs
+    first_lang = min(r.lang for r in docs.select("lang").distinct().collect())
+    n_first = docs.where(f"lang = '{first_lang}'").count()
+    assert rows[0].n_mistakes == n_docs - n_first   # zero model
+    assert rows[1].n_mistakes < rows[0].n_mistakes  # it learns
+    pockets = [r.pocket_mistakes for r in rows]
+    assert pockets == [min(r.n_mistakes for r in rows[: i + 1])
+                       for i in range(len(rows))]
