@@ -6211,3 +6211,21 @@ def rel_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.jobs import sessionize_stream_closed
 
     return sessionize_stream_closed(spark, sf_dir)
+
+
+def _mreg_oracle() -> str:
+    from .operators.regression import multiple_regression_sql
+
+    return multiple_regression_sql()
+
+
+@_register("rel_multiple_regression", oracle=_mreg_oracle)
+def rel_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 2-feature OLS (price ~ quantity + discount per return
+    flag) solved in closed form from ten exact BIGINT moments: one
+    map-side-combined groupBy, then the centered normal equations as
+    per-group Cramer column arithmetic — no iteration, no collect, no
+    float accumulation anywhere (operators/regression.py)."""
+    from .operators.regression import multiple_regression
+
+    return multiple_regression(_t(spark, sf_dir, "lineitem"))
