@@ -6229,3 +6229,65 @@ def rel_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.regression import multiple_regression
 
     return multiple_regression(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "rel_dynamic_pruning",
+    oracle="""
+    WITH by_day AS (
+      SELECT CAST(ts AS DATE) AS event_date, COUNT(*)::BIGINT AS n_day
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT SUM(n_day)::BIGINT AS total, COUNT(*)::BIGINT AS days
+      FROM by_day),
+    busy_days AS (
+      SELECT event_date FROM by_day, tot
+      WHERE n_day * days > total)
+    SELECT event_type,
+           COUNT(*)::BIGINT                                AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS cents
+    FROM events
+    WHERE CAST(ts AS DATE) IN (SELECT event_date FROM busy_days)
+    GROUP BY event_type
+    """,
+)
+def rel_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the other half of the pruning story
+    (rel_partitioned_scan covers static pruning): the dim side is the
+    set of busy days (volume strictly above the daily mean — exact
+    integer inequality ``n_day*days > total``, non-empty at every SF), a DATA-DEPENDENT set no
+    static filter can infer, so the only thing keeping the fact scan
+    from reading all 30 day partitions is Catalyst's DPP subquery
+    (dynamicpruningexpression in the scan's PartitionFilters,
+    plan-asserted in test_plans.py — DPP requires a selective dim-side
+    Filter, which this inequality supplies).  At 100 TB this is the
+    difference between scanning the whole event log and scanning the
+    handful of partitions a broadcast result chose at runtime."""
+    ev = _t(spark, sf_dir, "events")
+    path = f"{_PART_WAREHOUSE}/events_by_day_dpp"
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    by_day = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_day")
+    )
+    # one-row planning-time statistic (like AQE's size stats): folding the
+    # threshold to a literal is what lets PartitionPruning see a selective
+    # attribute-vs-literal Filter on the dim side (a Filter above a
+    # cross-joined scalar frame does NOT trigger DPP — probed empirically)
+    total, days = by_day.agg(F.sum("n_day"), F.count(F.lit(1))).first()
+    dim = by_day.where(
+        F.col("n_day") * F.lit(int(days)) > F.lit(int(total))
+    ).select("event_date")
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )

@@ -1290,3 +1290,21 @@ def test_join_cardinality_never_materializes_join(spark, sf_dir):
     for rs in fmt.split("ReadSchema")[1:]:
         head = rs[:200]
         assert "o_orderpriority" not in head and "l_extendedprice" not in head
+
+
+def test_dynamic_pruning_is_dpp_not_static(spark, sf_dir):
+    """rel_dynamic_pruning's fact scan must be pruned by a DPP subquery:
+    the dim set (top-4 busiest days) is data-dependent, so no static
+    PartitionFilter can exist — only dynamicpruningexpression."""
+    df = entrypoints.QUERIES_REGISTRY["rel_dynamic_pruning"](spark, sf_dir)
+    plan = _formatted(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, "fact scan lost its partition filters"
+    assert any("dynamicpruning" in ln.lower() for ln in pf)
+    # nothing statically derivable: the only predicates on event_date are
+    # null-safety and the DPP IN-subquery
+    for ln in pf:
+        assert "dayofmonth" not in ln and "%" not in ln
+    # the dim side reaches the fact scan as a broadcast reuse, not a
+    # second full job
+    assert "Subquery" in plan
