@@ -6291,3 +6291,22 @@ def rel_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
     )
+
+
+def _snm_oracle() -> str:
+    from .operators.sortedblocking import snm_pairs_sql
+
+    return snm_pairs_sql()
+
+
+@_register("ds_sorted_neighborhood", oracle=_snm_oracle)
+def ds_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood blocking (SIGMOD'95) over part-name
+    surfaces: two cheap sorted passes (surface, reversed surface) pair
+    each surface with its w=3 neighbors inside per-prefix partitioned
+    Windows — candidates linear in the surface count by construction —
+    then exact trigram-Jaccard verifies candidates only
+    (operators/sortedblocking.py)."""
+    from .operators.sortedblocking import snm_pairs
+
+    return snm_pairs(_t(spark, sf_dir, "part"))
