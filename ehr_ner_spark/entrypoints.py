@@ -6310,3 +6310,23 @@ def ds_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sortedblocking import snm_pairs
 
     return snm_pairs(_t(spark, sf_dir, "part"))
+
+
+def _hll_rollup_oracle() -> str:
+    from .operators.sketches import hll_rollup_sql
+
+    return hll_rollup_sql()
+
+
+@_register("ds_hll_rollup", oracle=_hll_rollup_oracle)
+def ds_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch hierarchy rollup: the per-language HLL registers
+    of ds_hll_distinct merged into a corpus-level sketch by register-wise
+    MAX — the rollup never re-reads the token stream, which is why sketch
+    dashboards are O(registers), not O(data), at 100 TB; exact distinct
+    counts sit beside every estimate and pytest asserts the merged
+    registers equal a direct build over the union
+    (operators/sketches.py::hll_rollup)."""
+    from .operators.sketches import hll_rollup
+
+    return hll_rollup(_t(spark, sf_dir, "documents"))

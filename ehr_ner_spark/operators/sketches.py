@@ -590,3 +590,138 @@ def bloom_prefilter_join_sql(price_cut: float = BLOOM_JOIN_PRICE_CUT) -> str:
         WHERE EXISTS (SELECT 1 FROM build_keys b WHERE b.k = l.l_orderkey)
       )::BIGINT AS n_joined
     """
+
+
+# ---------------------------------------------------------------------------
+# HLL rollup: per-language sketches merged into a corpus sketch
+# ---------------------------------------------------------------------------
+
+def hll_rollup(docs_in: DataFrame) -> DataFrame:
+    """Hierarchical distinct-count rollup built by MERGING the per-language
+    HLL sketches of :func:`hll_distinct` — the property that makes sketches
+    the scale answer for hierarchy dashboards: a 100-TB corpus keeps ONE
+    256-register sketch per leaf (language / shard / day), and every
+    rollup level is a register-wise MAX over child sketches — no second
+    scan of the data, no re-hash, and the merged estimate is IDENTICAL to
+    the estimate a direct build over the union would produce (max is
+    associative/commutative/idempotent; pytest asserts register equality).
+
+    Emits one row per language plus a ``__all__`` row whose registers come
+    from merging the per-language registers, with the exact distinct count
+    beside each estimate.  Columns: (scope, exact_distinct,
+    hll_regs_nonzero, hll_sum, hll_est).
+    """
+    from .textops import fan_out
+
+    toks = _tokens(fan_out(docs_in))
+    hashed = toks.select(
+        "lang",
+        _md5_60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("term"))
+        ).alias("h"),
+    )
+    rest = F.expr(f"h DIV {HLL_M}")
+    rho = F.least(
+        F.when(rest == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(rest))),
+        F.lit(HLL_RHO_CAP),
+    )
+    leaf_regs = (
+        hashed.select("lang", (F.col("h") % HLL_M).alias("reg"),
+                      rho.alias("rho"))
+        .groupBy("lang", "reg")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    # the rollup step: register-wise max over the CHILD SKETCHES — the
+    # raw token stream is never touched again
+    merged_regs = (
+        leaf_regs.groupBy("reg")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .select(F.lit("__all__").alias("scope"), "reg", "m_rho")
+    )
+    all_regs = (
+        leaf_regs.select(F.col("lang").alias("scope"), "reg", "m_rho")
+        .unionByName(merged_regs)
+    )
+    per_scope = all_regs.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("hll_regs_nonzero"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(HLL_RHO_CAP) - F.col("m_rho"))
+            .cast("long")
+        ).alias("s_present"),
+    )
+    exact = (
+        toks.groupBy("lang")
+        .agg(F.countDistinct("doc_id", "term").alias("exact_distinct"))
+        .select(F.col("lang").alias("scope"), "exact_distinct")
+        .unionByName(
+            toks.agg(
+                F.countDistinct("doc_id", "term").alias("exact_distinct")
+            ).select(F.lit("__all__").alias("scope"), "exact_distinct")
+        )
+    )
+    hll_sum = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("hll_regs_nonzero"))
+        * F.lit(1 << HLL_RHO_CAP)
+    )
+    est = F.lit(float(HLL_K_LIT)) / hll_sum.cast("double")
+    return (
+        exact.join(per_scope, "scope")
+        .select(
+            "scope", "exact_distinct", "hll_regs_nonzero",
+            hll_sum.alias("hll_sum"),
+            (F.floor(est * F.lit(1000000.0) + F.lit(0.5))
+             / F.lit(1000000.0)).alias("hll_est"),
+        )
+    )
+
+
+def hll_rollup_sql() -> str:
+    """DuckDB twin of :func:`hll_rollup` — identical leaf registers,
+    identical register-wise-max merge, identical estimate arithmetic."""
+    cap = HLL_RHO_CAP
+    return f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    hashed AS (
+      SELECT lang,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':' || term), 1, 15)
+             )::BIGINT AS h
+      FROM toks),
+    ranked AS (
+      SELECT lang,
+             h % {HLL_M} AS reg,
+             LEAST(CASE WHEN h // {HLL_M} = 0 THEN 53
+                        ELSE 53 - length(bin(h // {HLL_M})) END,
+                   {cap}) AS rho
+      FROM hashed),
+    leaf_regs AS (
+      SELECT lang, reg, MAX(rho) AS m_rho FROM ranked GROUP BY lang, reg),
+    all_regs AS (
+      SELECT lang AS scope, reg, m_rho FROM leaf_regs
+      UNION ALL
+      SELECT '__all__' AS scope, reg, MAX(m_rho) AS m_rho
+      FROM leaf_regs GROUP BY reg),
+    per_scope AS (
+      SELECT scope,
+             COUNT(*) AS hll_regs_nonzero,
+             SUM(CAST(pow(2, {cap} - m_rho) AS BIGINT)) AS s_present
+      FROM all_regs GROUP BY scope),
+    exact AS (
+      SELECT lang AS scope, COUNT(DISTINCT (doc_id, term)) AS exact_distinct
+      FROM toks GROUP BY lang
+      UNION ALL
+      SELECT '__all__' AS scope, COUNT(DISTINCT (doc_id, term))
+      FROM toks)
+    SELECT e.scope, e.exact_distinct, p.hll_regs_nonzero,
+           (p.s_present
+            + ({HLL_M} - p.hll_regs_nonzero) * {1 << cap}::BIGINT)::BIGINT
+             AS hll_sum,
+           FLOOR({HLL_K_LIT}
+                 / CAST(p.s_present
+                        + ({HLL_M} - p.hll_regs_nonzero)
+                          * {1 << cap}::BIGINT AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS hll_est
+    FROM exact e JOIN per_scope p ON e.scope = p.scope
+    """

@@ -179,3 +179,49 @@ def test_bloom_prefilter_join_invariants(spark):
     li = [row.l_orderkey for row in lineitem.select("l_orderkey").collect()]
     assert r.n_joined == sum(1 for k in li if k in build)
     assert r.n_lineitem == len(li)
+
+
+def test_hll_rollup_merge_is_lossless_and_estimates_track_exact(spark, sf_dir):
+    """The rollup's merged registers must equal a direct build over the
+    union (max is associative/commutative/idempotent), and every estimate
+    stays within the published raw-HLL error envelope for m=256."""
+    from pyspark.sql import functions as F
+
+    from ehr_ner_spark.operators.sketches import (
+        HLL_M,
+        HLL_RHO_CAP,
+        _md5_60,
+        _tokens,
+        hll_rollup,
+    )
+    from ehr_ner_spark.operators.textops import fan_out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {r["scope"]: r for r in hll_rollup(docs).collect()}
+    assert "__all__" in out and len(out) >= 3
+
+    # direct global build (no per-lang intermediate) for register equality
+    toks = _tokens(fan_out(docs))
+    hashed = toks.select(
+        _md5_60(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                         F.col("term"))).alias("h"))
+    rest = F.expr(f"h DIV {HLL_M}")
+    rho = F.least(
+        F.when(rest == 0, F.lit(53)).otherwise(53 - F.length(F.bin(rest))),
+        F.lit(HLL_RHO_CAP))
+    direct = (hashed.select((F.col("h") % HLL_M).alias("reg"),
+                            rho.alias("rho"))
+              .groupBy("reg").agg(F.max("rho").alias("m_rho")))
+    direct_sum = 0
+    n_direct = 0
+    for r in direct.collect():
+        direct_sum += 1 << (HLL_RHO_CAP - r["m_rho"])
+        n_direct += 1
+    direct_sum += (HLL_M - n_direct) * (1 << HLL_RHO_CAP)
+    assert out["__all__"]["hll_regs_nonzero"] == n_direct
+    assert out["__all__"]["hll_sum"] == direct_sum
+
+    # m=256 raw HLL: sigma ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    for scope, r in out.items():
+        err = abs(r["hll_est"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert err < 0.26, (scope, r)
