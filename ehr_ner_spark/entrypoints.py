@@ -6330,3 +6330,22 @@ def ds_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import hll_rollup
 
     return hll_rollup(_t(spark, sf_dir, "documents"))
+
+
+def _audio_match_oracle() -> str:
+    from .operators.multimodal import audio_match_pairs_sql
+
+    return audio_match_pairs_sql(40)
+
+
+@_register("mm_audio_match", oracle=_audio_match_oracle)
+def mm_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark audio fingerprint matching (Shazam-style): window-peak
+    landmarks hashed md5-60, inverted-index equi-join on the fingerprint
+    with a hot-fingerprint df cap, offset-consistency grouping — catches
+    the same stream re-tagged/re-truncated under different payload bytes,
+    which exact payload-hash dedup (mm_payload_dedup) structurally
+    misses (operators/multimodal.py::audio_match_pairs)."""
+    from .operators.multimodal import audio_match_pairs, synth_media_streams
+
+    return audio_match_pairs(synth_media_streams(spark, 40))

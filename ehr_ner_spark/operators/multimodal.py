@@ -802,3 +802,187 @@ def scene_cuts_sql(n: int = 48, every_ms: int = FRAME_EVERY_MS,
     FROM st
     WHERE prev_luma IS NOT NULL AND ABS(luma - prev_luma) > {delta}
     """
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint matching (landmark hashing, Shazam-style)
+# ---------------------------------------------------------------------------
+
+FP_WIN_MS = 100          # landmark window (non-overlapping)
+FP_LANDMARK_SPAN = 3     # consecutive window peaks hashed per landmark
+FP_MIN_MATCHES = 3       # offset-consistent landmarks to call a match
+FP_DF_CAP = 16           # hot-fingerprint document-frequency cap
+_TAG_MARKER = b"TAG:"
+
+
+def synth_media_streams(spark, n: int = 40) -> DataFrame:
+    """Deterministic audio table where clips 2k and 2k+1 carry the SAME
+    encoded stream under DIFFERENT trailing metadata tags and different
+    durations — the re-encode/re-tag case that byte-hash dedup
+    (payload_dedup) structurally misses and fingerprint matching exists
+    to catch."""
+    rows = []
+    for i in range(n):
+        stream = hashlib.sha256(f"stream{i // 2}".encode()).digest() * 8
+        payload = stream + _TAG_MARKER + f"tag{i}".encode()
+        rows.append(
+            (i, "audio", "application/x-fake-audio", 0, 0,
+             900 + 150 * (i % 4), bytearray(payload)),
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_stream_pcm(payload: bytes, duration_ms: int) -> np.ndarray:
+    """STUB CODEC — like :func:`_decode_pcm` but container-aware the way a
+    real codec is: trailing metadata after the last ``TAG:`` marker is NOT
+    part of the encoded stream and never reaches the sample stream (domain
+    separator ``|fp|``).  Two payloads that differ only in their tag
+    decode to identical PCM."""
+    idx = payload.rfind(_TAG_MARKER)
+    stream = payload[:idx] if idx >= 0 else payload
+    hexp = stream.hex()
+    n = duration_ms * SAMPLES_PER_MS
+    out = np.empty(n, dtype=np.uint8)
+    for blk in range((n + 15) // 16):
+        digest = hashlib.md5(f"{hexp}|fp|{blk}".encode()).digest()
+        lo = blk * 16
+        chunk = min(16, n - lo)
+        out[lo : lo + chunk] = np.frombuffer(digest[:chunk], dtype=np.uint8)
+    return out
+
+
+_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """Per-clip landmark fingerprints: the stream decodes (stub) to PCM,
+    each non-overlapping ``FP_WIN_MS`` window contributes its exact
+    integer energy (byte sum — discriminative where a byte MAX saturates),
+    and each landmark hashes ``FP_LANDMARK_SPAN`` consecutive energies
+    (md5-60) at its window position.  Landmarks are position-stamped so
+    the matcher can demand OFFSET-CONSISTENT agreement, the property that
+    separates shared content from coincidental peak collisions.
+    Arrow-batched ``mapInPandas``; per-clip cost is linear in duration."""
+    from ..pyfiles import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+    wlen = FP_WIN_MS * SAMPLES_PER_MS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "win_idx": [], "fp": []}
+            for mid, kind, dur, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["duration_ms"],
+                pdf["payload"],
+            ):
+                if kind != "audio":
+                    continue
+                pcm = _decode_stream_pcm(bytes(payload), int(dur))
+                n_win = len(pcm) // wlen
+                peaks = (pcm[: n_win * wlen].reshape(n_win, wlen)
+                         .sum(axis=1, dtype=np.int64))
+                for w in range(n_win - FP_LANDMARK_SPAN + 1):
+                    key = ":".join(
+                        str(int(p)) for p in peaks[w : w + FP_LANDMARK_SPAN]
+                    )
+                    rows["media_id"].append(int(mid))
+                    rows["win_idx"].append(w)
+                    rows["fp"].append(
+                        int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(run, _FP_SCHEMA)
+
+
+def audio_match_pairs(media: DataFrame) -> DataFrame:
+    """(media_a, media_b, delta_win, n_matches) clip pairs sharing >=
+    ``FP_MIN_MATCHES`` landmarks at ONE consistent window offset.
+
+    Scale shape: candidate generation is an equi-join on the fingerprint
+    value (the inverted-index lookup every audio-search system runs), so
+    cost is bounded by fingerprint collisions, never all-pairs; hot
+    fingerprints (df > ``FP_DF_CAP``: silence, test tones, boilerplate
+    jingles) are dropped before the join — the textops hot-shingle cap
+    applied to audio."""
+    from ..cache import tracked_persist
+
+    fps = tracked_persist(audio_fingerprints(media))
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("media_id").alias("df"))
+        .where(F.col("df") > FP_DF_CAP)
+        .select("fp")
+    )
+    cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = cold.select(
+        F.col("fp"), F.col("media_id").alias("media_a"),
+        F.col("win_idx").alias("_wa"),
+    )
+    b = cold.select(
+        F.col("fp"), F.col("media_id").alias("media_b"),
+        F.col("win_idx").alias("_wb"),
+    )
+    return (
+        a.join(b, "fp")
+        .where(F.col("media_a") < F.col("media_b"))
+        .groupBy(
+            "media_a", "media_b",
+            (F.col("_wa") - F.col("_wb")).alias("delta_win"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .where(F.col("n_matches") >= FP_MIN_MATCHES)
+    )
+
+
+def audio_match_pairs_sql(n: int = 40) -> str:
+    """DuckDB twin: replays :func:`synth_media_streams` (stream hex =
+    ``repeat(sha256('stream' || i//2), 8)`` — the tag never enters the
+    stream, exactly like the codec), the ``|fp|`` md5 sample stream, the
+    window peaks, the landmark hashes, the df cap, and the
+    offset-grouped join."""
+    spm = SAMPLES_PER_MS
+    wlen = FP_WIN_MS * spm
+    max_dur = 900 + 150 * 3
+    return f"""
+    WITH m AS (
+      SELECT i AS media_id, 900 + 150 * (i % 4) AS dur,
+             repeat(sha256('stream' || (i // 2)::VARCHAR), 8) AS hexp
+      FROM range({n}) t(i)),
+    px AS (
+      SELECT media_id, dur, j.range AS j,
+             ('0x' || substr(md5(hexp || '|fp|' || (j.range // 16)::VARCHAR),
+                             (j.range % 16)::INT * 2 + 1, 2))::INT AS v
+      FROM m CROSS JOIN range({max_dur * spm}) j
+      WHERE j.range < (dur * {spm} // {wlen}) * {wlen}),
+    peaks AS (
+      SELECT media_id, j // {wlen} AS w, SUM(v)::BIGINT AS peak
+      FROM px GROUP BY 1, 2),
+    fps AS (
+      SELECT p0.media_id, p0.w::INT AS win_idx,
+             ('0x' || substr(md5(p0.peak::VARCHAR || ':' ||
+                                 p1.peak::VARCHAR || ':' ||
+                                 p2.peak::VARCHAR), 1, 15))::BIGINT AS fp
+      FROM peaks p0
+      JOIN peaks p1 ON p1.media_id = p0.media_id AND p1.w = p0.w + 1
+      JOIN peaks p2 ON p2.media_id = p0.media_id AND p2.w = p0.w + 2),
+    cold AS (
+      SELECT * FROM fps WHERE fp NOT IN (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING COUNT(DISTINCT media_id) > {FP_DF_CAP})),
+    pairs AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             (a.win_idx - b.win_idx)::INT AS delta_win,
+             COUNT(*)::BIGINT AS n_matches
+      FROM cold a JOIN cold b
+        ON a.fp = b.fp AND a.media_id < b.media_id
+      GROUP BY 1, 2, 3)
+    SELECT media_a, media_b, delta_win, n_matches
+    FROM pairs WHERE n_matches >= {FP_MIN_MATCHES}
+    """

@@ -275,3 +275,53 @@ def test_scene_cuts_match_sequential_rederivation(spark):
             if abs(step) > SCENE_CUT_DELTA:
                 want[(i, f)] = (lumas[f], lumas[f - 1], step)
     assert got == want and len(want) > 0
+
+
+def test_audio_match_finds_retagged_streams_payload_dedup_misses(spark):
+    """Every planted (2k, 2k+1) shared-stream pair must match at offset 0
+    with the full landmark overlap of the shorter clip — while their
+    payload bytes differ (different TAG suffix), so exact payload-hash
+    dedup cannot pair them."""
+    import hashlib
+
+    from ehr_ner_spark.operators.multimodal import (
+        FP_LANDMARK_SPAN,
+        FP_WIN_MS,
+        audio_match_pairs,
+        synth_media_streams,
+    )
+
+    media = synth_media_streams(spark, 40)
+    out = {(r["media_a"], r["media_b"]): r
+           for r in audio_match_pairs(media).collect()}
+    assert set(out) == {(2 * k, 2 * k + 1) for k in range(20)}
+    payloads = {r["media_id"]: bytes(r["payload"])
+                for r in media.select("media_id", "payload").collect()}
+    for (a, b), r in out.items():
+        assert r["delta_win"] == 0
+        # payload bytes differ -> sha256 dedup is blind to this pair
+        assert hashlib.sha256(payloads[a]).digest() != \
+            hashlib.sha256(payloads[b]).digest()
+        dur_a = 900 + 150 * (a % 4)
+        dur_b = 900 + 150 * (b % 4)
+        short_wins = min(dur_a, dur_b) // FP_WIN_MS
+        assert r["n_matches"] == short_wins - (FP_LANDMARK_SPAN - 1)
+
+
+def test_audio_fingerprints_truncate_to_whole_windows(spark):
+    from ehr_ner_spark.operators.multimodal import (
+        FP_LANDMARK_SPAN,
+        FP_WIN_MS,
+        audio_fingerprints,
+        synth_media_streams,
+    )
+
+    from pyspark.sql import functions as F
+
+    fps = audio_fingerprints(synth_media_streams(spark, 8))
+    counts = {r["media_id"]: r["c"] for r in
+              fps.groupBy("media_id").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    for i in range(8):
+        wins = (900 + 150 * (i % 4)) // FP_WIN_MS
+        assert counts[i] == wins - (FP_LANDMARK_SPAN - 1)
