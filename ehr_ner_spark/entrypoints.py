@@ -6349,3 +6349,22 @@ def mm_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import audio_match_pairs, synth_media_streams
 
     return audio_match_pairs(synth_media_streams(spark, 40))
+
+
+def _scurve_oracle() -> str:
+    from .operators.dedup import lsh_scurve_sql
+
+    return lsh_scurve_sql()
+
+
+@_register("ds_lsh_scurve", oracle=_scurve_oracle)
+def ds_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve audit: per exact-Jaccard decile, the empirical
+    band-capture rate of the production MinHash banding next to the
+    theoretical 1-(1-s^4)^4 at the bucket midpoint — ground truth and
+    signatures over the SAME hot-capped shingle space, so a curve/theory
+    mismatch means broken hashing, not sampling luck
+    (operators/dedup.py::lsh_scurve)."""
+    from .operators.dedup import lsh_scurve
+
+    return lsh_scurve(_t(spark, sf_dir, "documents"))

@@ -1186,3 +1186,190 @@ def bbit_minhash_audit_sql(threshold: float = 0.4) -> str:
     JOIN bits bb ON bb.doc_id = p.dst AND bb.perm = ba.perm
     GROUP BY p.src, p.dst, p.jaccard
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve audit: empirical capture rate vs banding theory, per sim bucket
+# ---------------------------------------------------------------------------
+
+def lsh_scurve(docs: DataFrame, n: int = 3, df_cap: int = NGRAM_DF_CAP,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The (bands, rows) tuning audit behind every LSH deployment: for each
+    exact-Jaccard decile, the fraction of true overlap pairs the band
+    blocking actually captured next to the theoretical capture probability
+    ``1 - (1 - s^r)^b`` at the bucket midpoint (r = 4 perms/band, b = 4
+    bands).  This is the measured S-curve that decides whether the
+    production banding is sharp enough BEFORE a 100-TB dedup run commits
+    to it — ds_lsh_recall_eval answers "did we miss pairs at the
+    threshold"; this answers "is the whole curve shaped as theory says"
+    (a mismatch means broken hashing/banding, not bad luck).
+
+    Everything is computed over the SAME hot-capped shingle space —
+    ground truth AND signatures — so empirics and theory talk about one
+    similarity measure.  The ground-truth overlap join is the audit's
+    cost (quadratic in df_cap per shingle, the documented cap bound); at
+    production scale this runs on a deterministic corpus sample, never
+    the full table.
+
+    Output: (bucket, n_pairs, n_captured, capture_rate, theory_mid) —
+    counts exact BIGINT, rates snapped to the 1e-6 grid, theory as an
+    explicit multiply chain (no libm pow: bit-parity across engines).
+    """
+    sh_all = shingle_rows(docs, text_col, id_col, n)
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = tracked_persist(
+        sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"),
+                 F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.withColumnRenamed("doc_id", "src")
+              .withColumnRenamed("n_sh", "sz_a"), "src")
+        .join(sizes.withColumnRenamed("doc_id", "dst")
+              .withColumnRenamed("n_sh", "sz_b"), "dst")
+        .select(
+            "src", "dst",
+            (F.col("n_common")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+             ).alias("jac_raw"),
+        )
+    )
+    sig = signatures_from_shingles(sh)
+    band = (
+        sig.groupBy(
+            "doc_id",
+            F.floor(F.col("perm") / MINHASH_BAND_PERMS).alias("band"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "minhash")))
+             .alias("s"))
+        .select(
+            "doc_id", "band",
+            F.array_join(
+                F.transform("s", lambda x: x["minhash"].cast("string")), ","
+            ).alias("band_sig"),
+        )
+    )
+    ba, bb = band.alias("ba"), band.alias("bb")
+    captured = (
+        ba.join(bb, ["band", "band_sig"])
+        .where(F.col("ba.doc_id") < F.col("bb.doc_id"))
+        .select(F.col("ba.doc_id").alias("src"),
+                F.col("bb.doc_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("_caught", F.lit(1))
+    )
+    bucket = F.least(F.floor(F.col("jac_raw") * 10).cast("int"), F.lit(9))
+    mid = (F.col("bucket").cast("double") + F.lit(0.5)) / F.lit(10.0)
+    m2 = mid * mid
+    s4 = m2 * m2
+    q = F.lit(1.0) - s4
+    q2 = q * q
+    q4 = q2 * q2
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        exact.join(captured, ["src", "dst"], "left")
+        .select(bucket.alias("bucket"), F.col("_caught"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("_caught"), F.lit(0))).alias("n_captured"),
+        )
+        .select(
+            "bucket", "n_pairs", "n_captured",
+            snap(F.col("n_captured").cast("double")
+                 / F.col("n_pairs").cast("double")).alias("capture_rate"),
+            snap(F.lit(1.0) - q4).alias("theory_mid"),
+        )
+    )
+
+
+def lsh_scurve_sql(df_cap: int = NGRAM_DF_CAP) -> str:
+    """DuckDB twin of :func:`lsh_scurve` — identical capped shingle space,
+    identical literal permutation family over it, identical bucket and
+    multiply-chain theory arithmetic."""
+    coef_rows = ",\n        ".join(
+        "({}, {}, {})".format(p, *_perm_coeffs(p))
+        for p in range(N_MINHASH_PERMS)
+    )
+    return f"""
+    WITH sh0 AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(len(string_split(text, ' ')) - 2),
+                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
+               )) AS shingle
+        FROM documents)),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > {df_cap}),
+    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    exact AS (
+      SELECT i.src, i.dst,
+             i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE)
+               AS jac_raw
+      FROM (
+        SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2) i
+      JOIN sizes sa ON sa.doc_id = i.src
+      JOIN sizes sb ON sb.doc_id = i.dst),
+    hsh AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      FROM sh),
+    coef AS (SELECT * FROM (VALUES
+        {coef_rows}) v(perm, a, b)),
+    sig AS (
+      SELECT doc_id, perm,
+             MIN((a * (h % {_MH_PRIME}) + b) % {_MH_PRIME}) AS minhash
+      FROM hsh CROSS JOIN coef
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, perm // {MINHASH_BAND_PERMS} AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    captured AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id),
+    bucketed AS (
+      SELECT LEAST(FLOOR(e.jac_raw * 10)::INT, 9) AS bucket,
+             (c.src IS NOT NULL)::INT AS caught
+      FROM exact e LEFT JOIN captured c
+        ON e.src = c.src AND e.dst = c.dst),
+    grouped AS (
+      SELECT bucket, COUNT(*)::BIGINT AS n_pairs,
+             SUM(caught)::BIGINT AS n_captured
+      FROM bucketed GROUP BY bucket)
+    SELECT bucket, n_pairs, n_captured,
+           FLOOR(n_captured::DOUBLE / n_pairs::DOUBLE * 1000000.0 + 0.5)
+             / 1000000.0 AS capture_rate,
+           FLOOR((1.0 - (((1.0 - (((bucket::DOUBLE + 0.5) / 10.0)
+                                  * ((bucket::DOUBLE + 0.5) / 10.0))
+                                 * (((bucket::DOUBLE + 0.5) / 10.0)
+                                  * ((bucket::DOUBLE + 0.5) / 10.0)))
+                           * (1.0 - (((bucket::DOUBLE + 0.5) / 10.0)
+                                  * ((bucket::DOUBLE + 0.5) / 10.0))
+                                 * (((bucket::DOUBLE + 0.5) / 10.0)
+                                  * ((bucket::DOUBLE + 0.5) / 10.0))))
+                          * ((1.0 - (((bucket::DOUBLE + 0.5) / 10.0)
+                                  * ((bucket::DOUBLE + 0.5) / 10.0))
+                                 * (((bucket::DOUBLE + 0.5) / 10.0)
+                                  * ((bucket::DOUBLE + 0.5) / 10.0)))
+                           * (1.0 - (((bucket::DOUBLE + 0.5) / 10.0)
+                                  * ((bucket::DOUBLE + 0.5) / 10.0))
+                                 * (((bucket::DOUBLE + 0.5) / 10.0)
+                                  * ((bucket::DOUBLE + 0.5) / 10.0))))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS theory_mid
+    FROM grouped
+    """

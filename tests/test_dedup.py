@@ -431,3 +431,26 @@ def test_bbit_minhash_estimator_hand_math(spark, docs):
     exact_pairs = [r for r in rows if (r.src, r.dst) == (0, 1)]
     assert exact_pairs and exact_pairs[0].agree_1bit == 16
     assert exact_pairs[0].est_1bit == 1.0
+
+
+def test_lsh_scurve_theory_and_monotone_capture(spark, sf_dir):
+    """theory_mid must equal the closed-form 1-(1-s^4)^4 at midpoints;
+    empirical capture must be ~0 at the bottom decile and total at the
+    top (4x4 banding: p(0.95)=0.9988, and every >=0.9 pair here is
+    band-captured); rates must be monotone with the bucket."""
+    import math
+
+    from ehr_ner_spark.operators.dedup import lsh_scurve
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(lsh_scurve(docs).collect(), key=lambda r: r["bucket"])
+    assert rows, "no overlap pairs at all?"
+    for r in rows:
+        s = (r["bucket"] + 0.5) / 10.0
+        want = 1.0 - (1.0 - s ** 4) ** 4
+        assert abs(r["theory_mid"] - want) < 2e-6
+        assert 0 <= r["n_captured"] <= r["n_pairs"]
+    rates = [r["capture_rate"] for r in rows]
+    assert rates == sorted(rates)
+    assert rows[0]["bucket"] == 0 and rates[0] < 0.01
+    assert rows[-1]["bucket"] == 9 and rates[-1] == 1.0
