@@ -6368,3 +6368,25 @@ def ds_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import lsh_scurve
 
     return lsh_scurve(_t(spark, sf_dir, "documents"))
+
+
+def _ktruss_oracle() -> str:
+    from .operators.communities import k_truss_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return k_truss_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_ktruss", oracle=_ktruss_oracle)
+def kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the entity co-occurrence graph via 3 synchronous
+    support-peeling rounds: an edge survives only while its endpoints
+    share >= 2 common neighbors — the EDGE-level density bar (stronger
+    than kg_kcore's degree bar) that peels loosely-attached spokes and
+    keeps the triangle-reinforced relation backbone.  Per round one
+    oriented triangle enumeration + one map-side support count + one
+    semi-join peel (operators/communities.py::k_truss)."""
+    from .operators.communities import entity_edges, k_truss
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return k_truss(entity_edges(m))

@@ -475,3 +475,130 @@ def modularity_trajectory_sql(mentions_sql: str, rounds: int = LPA_ITERS,
         selects.append(f"SELECT round, n_communities, q_micro FROM q{it}")
     parts.append("\n    " + "\n    UNION ALL ".join(selects))
     return "".join(parts)
+
+
+KTRUSS_K = 4          # keep edges in >= k-2 = 2 triangles
+KTRUSS_ROUNDS = 3
+
+
+def _edge_support(ed: DataFrame) -> DataFrame:
+    """(ent_a, ent_b, supp): per-edge triangle support over an edge frame
+    with the ent_a < ent_b orientation.  Triangles are enumerated once
+    each (a < b < c) via two equi-joins — the closing-edge probe keeps the
+    wedge fan-out bounded by the oriented adjacency like
+    operators/triangles.py — then each triangle credits its 3 edges
+    through one explode + count."""
+    e1 = ed.alias("e1")
+    e2 = ed.alias("e2")
+    e3 = ed.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.ent_a") == F.col("e1.ent_b"))
+        .join(
+            e3,
+            (F.col("e3.ent_a") == F.col("e1.ent_a"))
+            & (F.col("e3.ent_b") == F.col("e2.ent_b")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.ent_a").alias("a"),
+            F.col("e1.ent_b").alias("b"),
+            F.col("e2.ent_b").alias("c"),
+        )
+    )
+    return (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("ent_a"), F.col("b").alias("ent_b")),
+                    F.struct(F.col("b").alias("ent_a"), F.col("c").alias("ent_b")),
+                    F.struct(F.col("a").alias("ent_a"), F.col("c").alias("ent_b")),
+                )
+            ).alias("e")
+        )
+        .select("e.ent_a", "e.ent_b")
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("supp"))
+    )
+
+
+def k_truss(edges: DataFrame, k: int = KTRUSS_K,
+            rounds: int = KTRUSS_ROUNDS,
+            checkpoint: bool = True) -> DataFrame:
+    """k-truss decomposition by synchronous support peeling: ``rounds``
+    rounds of "drop every edge in fewer than k-2 triangles", then report
+    the survivors with their in-truss support — the EDGE-level density
+    filter (Cohen 2008) that is strictly stronger than the k-core's
+    node-degree bar: an edge survives only if its endpoints share k-2
+    common neighbors, so loosely-attached spokes that pad a core are
+    peeled away and what remains is the triangle-reinforced relation
+    backbone a KG curator can trust.
+
+    Same engine discipline as :func:`k_core`: a FIXED round count keeps
+    both engines on the same trajectory; per round one oriented
+    triangle enumeration (two equi-joins + a closing-edge semi-join,
+    never a wedge explosion from hub nodes), one map-side-combined
+    support count, one semi-join peel, and a lineage-truncating
+    localCheckpoint.  Returns (ent_a, ent_b, supp) for edges still
+    meeting the bar after the final round.
+    """
+    from ..cache import tracked_persist
+
+    ed = tracked_persist(edges.select("ent_a", "ent_b"))
+    _ckpt = ((lambda df: df.localCheckpoint(eager=True)) if checkpoint
+             else (lambda df: df))
+    for _ in range(rounds):
+        keep = _ckpt(
+            _edge_support(ed).where(F.col("supp") >= k - 2)
+            .select("ent_a", "ent_b")
+        )
+        ed = _ckpt(ed.join(keep, ["ent_a", "ent_b"], "left_semi"))
+    return _edge_support(ed).where(F.col("supp") >= k - 2).select(
+        "ent_a", "ent_b", "supp"
+    )
+
+
+def k_truss_sql(mentions_sql: str, k: int = KTRUSS_K,
+                rounds: int = KTRUSS_ROUNDS,
+                min_pair: int = LPA_MIN_PAIR) -> str:
+    """DuckDB twin: the same fixed peeling rounds unrolled as materialized
+    CTEs — per round triangles (a<b<c) via two joins + closing-edge
+    membership, 3-way edge crediting, support filter."""
+    parts = [f"""
+    WITH mentions AS ({mentions_sql}),
+    ents AS (SELECT DISTINCT doc_id, text FROM mentions),
+    e0 AS MATERIALIZED (
+      SELECT a.text AS ent_a, b.text AS ent_b
+      FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.text < b.text
+      GROUP BY a.text, b.text
+      HAVING COUNT(*) >= {min_pair})"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    t{r} AS MATERIALIZED (
+      SELECT e1.ent_a AS a, e1.ent_b AS b, e2.ent_b AS c
+      FROM e{r - 1} e1
+      JOIN e{r - 1} e2 ON e2.ent_a = e1.ent_b
+      WHERE EXISTS (SELECT 1 FROM e{r - 1} e3
+                    WHERE e3.ent_a = e1.ent_a AND e3.ent_b = e2.ent_b)),
+    s{r} AS MATERIALIZED (
+      SELECT ent_a, ent_b, COUNT(*) AS supp FROM (
+        SELECT a AS ent_a, b AS ent_b FROM t{r}
+        UNION ALL SELECT b AS ent_a, c AS ent_b FROM t{r}
+        UNION ALL SELECT a AS ent_a, c AS ent_b FROM t{r})
+      GROUP BY 1, 2),
+    e{r} AS MATERIALIZED (
+      SELECT e.ent_a, e.ent_b FROM e{r - 1} e
+      JOIN s{r} s ON s.ent_a = e.ent_a AND s.ent_b = e.ent_b
+                 AND s.supp >= {k - 2})""")
+    parts.append(f""",
+    tf AS (
+      SELECT e1.ent_a AS a, e1.ent_b AS b, e2.ent_b AS c
+      FROM e{rounds} e1
+      JOIN e{rounds} e2 ON e2.ent_a = e1.ent_b
+      WHERE EXISTS (SELECT 1 FROM e{rounds} e3
+                    WHERE e3.ent_a = e1.ent_a AND e3.ent_b = e2.ent_b))
+    SELECT ent_a, ent_b, COUNT(*)::BIGINT AS supp FROM (
+      SELECT a AS ent_a, b AS ent_b FROM tf
+      UNION ALL SELECT b AS ent_a, c AS ent_b FROM tf
+      UNION ALL SELECT a AS ent_a, c AS ent_b FROM tf)
+    GROUP BY 1, 2 HAVING COUNT(*) >= {k - 2}""")
+    return "".join(parts)

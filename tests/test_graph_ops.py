@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from ehr_ner_spark.operators.communities import entity_edges, label_propagation
 from ehr_ner_spark.operators.triangles import triangle_stats
 
@@ -310,3 +312,37 @@ def test_modularity_trajectory_rounds(spark):
     assert rows[0].q_micro < 0 and n0 > 1
     assert all(rows[r].n_communities <= rows[r - 1].n_communities
                for r in range(1, 5))
+
+
+def test_k_truss_peels_spokes_keeps_clique(spark):
+    """Planted graph: K4 (every edge in 2 triangles -> survives 4-truss)
+    + a pendant spoke + a triangle hanging off one clique node (each
+    triangle edge in only 1 triangle -> peeled)."""
+    from ehr_ner_spark.operators.communities import k_truss
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    extra = [("d", "e"), ("e", "f"), ("d", "f"), ("a", "z")]
+    edges = spark.createDataFrame(k4 + extra, "ent_a string, ent_b string")
+    out = {(r["ent_a"], r["ent_b"]): r["supp"]
+           for r in k_truss(edges, checkpoint=False).collect()}
+    assert set(out) == set(k4)
+    assert all(s == 2 for s in out.values())
+
+
+def test_k_truss_is_subset_of_edges_and_supports_consistent(spark, sf_dir):
+    from ehr_ner_spark.operators.communities import (
+        KTRUSS_K,
+        entity_edges,
+        k_truss,
+    )
+    from ehr_ner_spark.corpus import corpus
+    from ehr_ner_spark.operators.mention_detect import detect_mentions
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=4)
+    ed = entity_edges(m).persist()
+    out = k_truss(ed).persist()
+    assert out.count() > 0
+    assert out.where(F.col("supp") < KTRUSS_K - 2).count() == 0
+    # truss edges are a subset of the input edges
+    assert out.join(ed, ["ent_a", "ent_b"], "left_anti").count() == 0
