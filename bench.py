@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     "ds_rrf_fusion",
     "rel_zone_maps",
     "ds_cdc_chunks",
+    "rel_multiple_regression",
+    "rel_dynamic_pruning",
+    "ds_sorted_neighborhood",
+    "ds_hll_rollup",
+    "ds_lsh_scurve",
 ]
 
 

@@ -1308,3 +1308,50 @@ def test_dynamic_pruning_is_dpp_not_static(spark, sf_dir):
     # the dim side reaches the fact scan as a broadcast reuse, not a
     # second full job
     assert "Subquery" in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Runtime skew evidence for the north rule's 'skew handled
+    explicitly': a join where one key holds 75% of the rows must come
+    out of AQE with the hot partition SPLIT — SortMergeJoin(skew=true)
+    in the final adaptive plan.  (Thresholds are lowered to make the
+    sandbox-sized hot partition cross the skew bar; production keeps the
+    defaults — the mechanism, not the numbers, is what session.py turns
+    on.)"""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "65536")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("v" * 64), F.col("id").cast("string"))
+            .alias("payload"))
+        dim = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr"))
+        j = big.join(dim, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0]["n"] == 350_000  # 300k hot + 50k uniform hits
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
