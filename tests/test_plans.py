@@ -1355,3 +1355,41 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_demotes_smj_to_broadcast_at_runtime(spark):
+    """AQE runtime join re-selection evidence: with the STATIC broadcast
+    threshold disabled (the 100-TB posture — the planner cannot know a
+    filtered side is tiny), a join whose build side shrinks to a few
+    hundred rows at runtime must still come out of AQE as a
+    BroadcastHashJoin, decided from actual shuffle sizes."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+        big = spark.range(500_000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("p" * 32), F.col("id").cast("string"))
+            .alias("pl"))
+        dim = spark.range(1_000_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("a"))
+        small = dim.where(F.col("a") == 3).where(F.col("k") % 97 == 0)
+        j = big.join(small, "k").agg(F.count(F.lit(1)).alias("n"))
+        static_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in static_plan
+        assert j.collect()[0]["n"] == 736
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final_plan
+        assert "AdaptiveSparkPlan" in final_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
