@@ -6390,3 +6390,26 @@ def kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
     return k_truss(entity_edges(m))
+
+
+def _stress_oracle() -> str:
+    from .operators.mention_sql import mentions_oracle_sql
+    from .operators.paths import stress_centrality_sql
+
+    return stress_centrality_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_stress_centrality", oracle=_stress_oracle)
+def kg_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-pair stress centrality (Shimbel 1953) over the entity
+    co-occurrence graph — the all-INTEGER sibling of betweenness
+    (Brandes' float dependency sums are order-dependent; stress is a
+    BIGINT product sum, bit-exact on any engine): per-entity count of
+    landmark-pair geodesics through it, from a level-synchronous BFS
+    that also counts shortest paths
+    (operators/paths.py::stress_centrality)."""
+    from .operators.communities import entity_edges
+    from .operators.paths import stress_centrality
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return stress_centrality(entity_edges(m))

@@ -346,3 +346,59 @@ def test_k_truss_is_subset_of_edges_and_supports_consistent(spark, sf_dir):
     assert out.where(F.col("supp") < KTRUSS_K - 2).count() == 0
     # truss edges are a subset of the input edges
     assert out.join(ed, ["ent_a", "ent_b"], "left_anti").count() == 0
+
+
+def test_stress_centrality_matches_bruteforce_bfs(spark):
+    """Planted graph vs a pure-Python BFS-with-sigma reference replaying
+    the same hash-uniform source pick and hop cap."""
+    from collections import deque
+
+    from ehr_ner_spark.hashing import md5_60
+    from ehr_ner_spark.operators.paths import (
+        PATHS_HOPS,
+        PATHS_LANDMARKS,
+        stress_centrality,
+    )
+
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+           ("f", "g"), ("g", "h"), ("a", "h"), ("b", "f"), ("c", "g")]
+    edges = spark.createDataFrame(raw, "ent_a string, ent_b string")
+    out = {r["entity"]: (r["stress"], r["n_geodesic_pairs"])
+           for r in stress_centrality(edges, checkpoint=False).collect()}
+
+    adj = {}
+    for x, y in raw:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    nodes = sorted(adj)
+    lms = sorted(nodes, key=lambda n: (md5_60(n), n))[:PATHS_LANDMARKS]
+
+    def bfs_sigma(src):
+        dist, sigma = {src: 0}, {src: 1}
+        frontier = [src]
+        for r in range(1, PATHS_HOPS + 1):
+            nxt = {}
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+            for v, s in nxt.items():
+                dist[v], sigma[v] = r, s
+            frontier = list(nxt)
+        return dist, sigma
+
+    reach = {l: bfs_sigma(l) for l in lms}
+    want = {}
+    for i, s in enumerate(lms):
+        for t in lms[i + 1:]:
+            a, b = (s, t) if s < t else (t, s)
+            d_ab = reach[a][0].get(b)
+            if d_ab is None:
+                continue
+            for v in nodes:
+                d1 = reach[a][0].get(v)
+                d2 = reach[b][0].get(v)
+                if d1 and d2 and d1 + d2 == d_ab:
+                    st, np_ = want.get(v, (0, 0))
+                    want[v] = (st + reach[a][1][v] * reach[b][1][v], np_ + 1)
+    assert out == want and want, (out, want, lms)
