@@ -6413,3 +6413,67 @@ def kg_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
     return stress_centrality(entity_edges(m))
+
+
+def _lineage_oracle() -> str:
+    from .operators.mention_sql import _linking_ctes
+
+    base = _linking_ctes(CORPUS_SQL) + """
+    SELECT 'mentions' AS stage, 2::BIGINT AS n_commits, 8::BIGINT AS n_buckets,
+           (SELECT COUNT(*) FROM m_spans)::BIGINT AS n_rows
+    UNION ALL
+    SELECT 'canon', 1::BIGINT, 8::BIGINT, (SELECT COUNT(*) FROM cmap)::BIGINT
+    UNION ALL
+    SELECT 'triples', 1::BIGINT, 8::BIGINT,
+           (SELECT COUNT(*) FROM m_spans)::BIGINT
+    """
+    return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
+
+
+@_register("kg_checkpoint_lineage", oracle=_lineage_oracle)
+def kg_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 lineage/metrics evidence through the driver (north rule:
+    "checkpoint per-partition with full lineage + metrics"): run the
+    checkpointed pipeline with a simulated crash after 3 of 8 mention
+    buckets, resume, then emit the FINAL SNAPSHOT'S per-stage lineage
+    ledger — commit count, committed buckets, row totals.  The oracle
+    derives the expected row accounting from the SAME SQL chain that
+    checks the data itself (kg_canonical_triples), so a green row proves
+    the manifests' bookkeeping agrees with the data the driver already
+    hash-checks: mentions committed across TWO commits (3-bucket partial
+    + 5-bucket resume), canon and triples in one commit each."""
+    import shutil
+    import tempfile
+
+    from .io.icetable import IceTable
+    from .pipeline import run_pipeline
+
+    root = tempfile.mkdtemp(prefix="kg_lineage_")
+    try:
+        try:
+            run_pipeline(
+                spark, sf_dir, root, n_buckets=8, num_partitions=8,
+                fail_after={"mentions": 3},
+            )
+            raise AssertionError("simulated crash did not fire")
+        except RuntimeError:
+            pass
+        run_pipeline(spark, sf_dir, root, n_buckets=8, num_partitions=8)
+        lineage = IceTable(root).current_snapshot()["lineage"]
+        agg: dict = {}
+        for entry in lineage:
+            st = agg.setdefault(
+                entry["stage"], {"n_commits": 0, "n_buckets": 0, "n_rows": 0}
+            )
+            st["n_commits"] += 1
+            st["n_buckets"] += len(entry["committed_buckets"])
+            st["n_rows"] += entry["rows"]
+        rows = [
+            (stage, v["n_commits"], v["n_buckets"], v["n_rows"])
+            for stage, v in agg.items()
+        ]
+        return spark.createDataFrame(
+            rows, "stage string, n_commits long, n_buckets long, n_rows long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
