@@ -6477,3 +6477,78 @@ def kg_checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _session_native_oracle() -> str:
+    from .streaming.sessionize import SESSIONIZE_SQL
+
+    return SESSIONIZE_SQL
+
+
+@_register("rel_session_window_native", oracle=_session_native_oracle)
+def rel_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window operator vs the window-function
+    sessionization SQL: the native gap-merge aggregation (the operator
+    Structured Streaming uses for streaming session aggs, here in batch
+    mode) must reproduce the LAG/cumulative-flag twin row for row — the
+    'use the built-in when Spark has one' evidence next to the
+    applyInPandasWithState custom sessionizer (rel_sessionize /
+    rel_sessionize_stream).  Boundary note: the built-in opens a new
+    session at gap >= 30min vs the SQL's strict >; event timestamps are
+    microsecond-continuous, so an exact-equality gap cannot occur in
+    this data (same tie argument as the stateful twin)."""
+    from .streaming.sessionize import GAP_MINUTES
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{GAP_MINUTES} minutes").alias("w"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events",
+                "sum_value")
+    )
+
+
+@_register(
+    "rel_incremental_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+           CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def rel_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (the delta-join algebra behind
+    every streaming/CDC materialized join):
+    ``V1 = V0 UNION (dO JOIN L0) UNION (O0 JOIN dL) UNION (dO JOIN dL)``
+    — the engine maintains the view from the three DELTA terms and the
+    result must equal a full recompute (the oracle's plain join).  At
+    100 TB the deltas are micro-batch-sized, so every delta term is a
+    BROADCAST probe into the big base side and V0 itself is never
+    re-joined — incremental cost scales with the delta, not the view
+    (rel_incremental_agg is the aggregation half of IVM; this is the
+    join half).  Split membership is deterministic (orderkey mod), so
+    the four quadrants partition the full join exactly."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o0 = o.where(F.col("o_orderkey") % 10 != 0)
+    do_ = o.where(F.col("o_orderkey") % 10 == 0)
+    l0 = li.where(F.col("l_orderkey") % 7 != 0)
+    dl = li.where(F.col("l_orderkey") % 7 == 0)
+    cond = F.col("l_orderkey") == F.col("o_orderkey")
+    cols = [
+        F.col("l_orderkey"), F.col("l_linenumber"), F.col("o_custkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ]
+    v0 = l0.join(o0, cond).select(*cols)
+    t1 = l0.join(F.broadcast(do_), cond).select(*cols)
+    t2 = dl.join(o0, cond).select(*cols)          # dl broadcast-sized too,
+    t3 = dl.join(F.broadcast(do_), cond).select(*cols)  # AQE picks BHJ
+    return v0.unionByName(t1).unionByName(t2).unionByName(t3)
