@@ -14,7 +14,11 @@ PICK = ["kg_mentions", "kg_canonical_triples", "ds_minhash_lsh_pairs",
         "rel_k_anonymity", "ds_distribution_drift",
         "ds_dsir_select", "ds_ks_drift", "ds_pca_outliers",
         "rel_column_stats", "ds_bootstrap_ci", "ds_prefix_pairs",
-        "ds_rrf_fusion", "rel_zone_maps", "ds_cdc_chunks"]
+        "ds_rrf_fusion", "rel_zone_maps", "ds_cdc_chunks",
+        "rel_multiple_regression", "rel_dynamic_pruning",
+        "ds_sorted_neighborhood", "ds_hll_rollup", "ds_lsh_scurve",
+        "kg_ktruss", "kg_stress_centrality", "rel_incremental_join",
+        "rel_session_window_native", "mm_audio_match"]
 BLURB = {
     "kg_mentions": "Flagship battery detect: ONE explicit doc-hash Exchange, ONE Arrow scorer stage, content pruned before the mention stream.",
     "kg_canonical_triples": "Whole north-rule pipeline: detect -> LSH linking -> CC -> election -> triples.",
@@ -49,6 +53,16 @@ BLURB = {
     "ds_rrf_fusion": "Hybrid RRF: BM25 and integer-MIPS legs each end in WindowGroupLimit top-k heaps; fusion joins two rank-bounded lists — cost independent of corpus size.",
     "rel_zone_maps": "Zone-map skipping audit: two map-side-combined zone aggregates (write-order + date-clustered layouts) unioned; output bounded by zone counts.",
     "ds_cdc_chunks": "Content-defined chunking: doc-keyed lag + running-sum windows (no global sort); chunk copy counts partial+final on the cryptographic sha.",
+    "rel_multiple_regression": "Closed-form OLS: ten combinable BIGINT moments in ONE map-side-combined groupBy (single Exchange), Cramer solve as per-group column arithmetic — no iteration, no Python.",
+    "rel_dynamic_pruning": "DPP: the fact scan's PartitionFilters carry dynamicpruningexpression — the data-dependent busy-day dim prunes partitions at runtime via the reused broadcast.",
+    "ds_sorted_neighborhood": "Multi-pass SNM: per-(pass, prefix) partitioned Windows (no SinglePartition exchange), lead-offset candidate pairing bounded by 2w per surface, trigram verify on candidates only.",
+    "ds_hll_rollup": "Sketch rollup: leaf registers combine map-side; the corpus rollup is a register-wise MAX over the 256-row-per-leaf sketch frames — the token stream is read once.",
+    "ds_lsh_scurve": "S-curve audit: ONE persisted capped shingle frame feeds ground truth, sizes and signatures; banding capture joins candidate pairs only; theory is a literal multiply chain.",
+    "kg_ktruss": "k-truss: per round ONE oriented triangle enumeration (two equi-joins + closing-edge semi-join), map-side support count, semi-join peel, lineage-truncating checkpoint.",
+    "kg_stress_centrality": "Stress centrality: L-source BFS with sigma as frontier-join + SUM + anti-join rounds; geodesic test joins node x L bounded frames; BIGINT product sums.",
+    "rel_incremental_join": "Delta-join IVM: V0 plus three delta terms; the delta sides broadcast into the base probes — incremental cost scales with the delta, never the view.",
+    "rel_session_window_native": "Native session_window gap-merge aggregation (the Structured Streaming session operator in batch mode) — no window function, no custom state.",
+    "mm_audio_match": "Landmark fingerprints: Arrow-batched decode+hash stage, hot-fp broadcast anti-join cap, inverted-index equi-join, offset-consistency grouping.",
 }
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "32").getOrCreate())
