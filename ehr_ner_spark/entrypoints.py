@@ -6552,3 +6552,119 @@ def rel_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = dl.join(o0, cond).select(*cols)          # dl broadcast-sized too,
     t3 = dl.join(F.broadcast(do_), cond).select(*cols)  # AQE picks BHJ
     return v0.unionByName(t1).unionByName(t2).unionByName(t3)
+
+
+@_register(
+    "rel_schema_evolution",
+    oracle="""
+    SELECT lang,
+           COUNT(*)::BIGINT                                   AS n_docs,
+           SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                                                              AS n_with_chars,
+           SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)::BIGINT
+                                                              AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg add-column schema evolution on the engine's snapshot
+    table: half the corpus commits under schema v1 (doc_id, lang), the
+    other half under v2 (+ n_chars); the merged read surfaces the new
+    column with NULLs for pre-evolution files — NO old data file is
+    rewritten, which is the property that makes adding a column to a
+    100-TB table a metadata operation
+    (io/icetable.py::read_stage_merged)."""
+    import shutil
+    import tempfile
+
+    from .io.icetable import IceTable
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="rel_schema_evo_")
+    try:
+        t = IceTable(root)
+        t.write_stage(
+            docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang"),
+            "docs", bucket_key="doc_id", n_buckets=4,
+        )
+        t.write_stage(
+            docs.where(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "lang", "n_chars"),
+            "docs_v2", bucket_key="doc_id", n_buckets=4,
+        )
+        # one stage, two schema generations: merge the two manifests'
+        # files through the schema-merging read
+        snap = t.current_snapshot()
+        merged_stage = dict(snap["stages"]["docs"])
+        v2 = snap["stages"]["docs_v2"]
+        merged_buckets = dict(merged_stage["buckets"])
+        for b, meta in v2["buckets"].items():
+            m = dict(merged_buckets.get(b, {"files": [], "rows": 0}))
+            m["files"] = m["files"] + meta["files"]
+            m["rows"] = m.get("rows", 0) + meta["rows"]
+            merged_buckets[b] = m
+        snap["stages"]["evolved"] = {**merged_stage, "buckets": merged_buckets}
+        snap["seq"] += 1
+        t._commit(snap)
+        out = (
+            t.read_stage_merged(spark, "evolved")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("n_chars").alias("n_with_chars"),
+                F.sum(F.coalesce("n_chars", F.lit(0))).alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@_register(
+    "rel_mor_deletes",
+    oracle="""
+    SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+    FROM documents
+    WHERE doc_id % 7 <> 0
+    GROUP BY lang
+    """,
+)
+def rel_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read EQUALITY DELETES on the engine's snapshot
+    table: a GDPR-style erasure batch (doc_id % 7 = 0) commits as a small
+    delete FILE in a new snapshot — no data file rewritten, O(delete) not
+    O(table) — and the scan applies it as a broadcast anti-join; the
+    pre-delete snapshot still time-travels to the full data
+    (io/icetable.py::commit_equality_deletes / read_stage_mor).  pytest
+    additionally asserts the time-travel read and that compaction later
+    folds the deletes in."""
+    import shutil
+    import tempfile
+
+    from .io.icetable import IceTable
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="rel_mor_del_")
+    try:
+        t = IceTable(root)
+        t.write_stage(
+            docs.select("doc_id", "lang", "n_chars"), "docs",
+            bucket_key="doc_id", n_buckets=4,
+        )
+        t.commit_equality_deletes(
+            spark, "docs", "doc_id",
+            docs.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+        )
+        return (
+            t.read_stage_mor(spark, "docs")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -203,6 +203,16 @@ class IceTable:
         snap = self.current_snapshot()
         st = snap["stages"][stage]
         stage_dir = os.path.join(self.root, "data", stage)
+        # compaction FOLDS any committed equality-delete files into the
+        # rewritten data (Iceberg's rewrite_data_files with delete
+        # compaction): after the rewrite the new manifest carries no
+        # delete files and plain reads need no merge-on-read join
+        delete_specs = st.get("delete_files") or []
+        del_frames = [
+            (d["key_col"],
+             spark.read.parquet(os.path.join(self.root, d["file"])))
+            for d in delete_specs
+        ]
         new_buckets: Dict[int, dict] = {}
         for b_str, meta in sorted(st["buckets"].items(), key=lambda kv: int(kv[0])):
             b = int(b_str)
@@ -212,7 +222,13 @@ class IceTable:
                 continue
             srcs = [os.path.join(self.root, f) for f in meta["files"]]
             tmp = os.path.join(stage_dir, f".compact-{uuid.uuid4().hex[:8]}")
-            spark.read.parquet(*srcs).coalesce(1).write.mode(
+            bucket_df = spark.read.parquet(*srcs)
+            for key_col, keys in del_frames:
+                bucket_df = bucket_df.join(
+                    F.broadcast(keys.select(F.col(key_col))),
+                    key_col, "left_anti",
+                )
+            bucket_df.coalesce(1).write.mode(
                 "overwrite"
             ).parquet(tmp)
             (part,) = [
@@ -232,6 +248,7 @@ class IceTable:
         stages = dict(snap["stages"])
         stages[stage] = {
             **st, "buckets": {str(k): v for k, v in new_buckets.items()},
+            "delete_files": [],
         }
         snapshot = {
             "seq": snap["seq"] + 1,
@@ -239,6 +256,7 @@ class IceTable:
             "stages": stages,
             "lineage": (snap.get("lineage") or [])
             + [{"stage": stage, "compacted": True,
+                "folded_delete_files": len(delete_specs),
                 "rows": sum(v["rows"] for v in new_buckets.values())}],
         }
         self._commit(snapshot)
@@ -262,16 +280,23 @@ class IceTable:
             for st in snap.get("stages", {}).values():
                 for b in st["buckets"].values():
                     refs.update(b["files"])
+                for d in st.get("delete_files") or []:
+                    refs.add(d["file"])
         return refs
 
     def data_files(self) -> set:
         """All parquet files physically present under data/."""
         out = set()
-        data_root = os.path.join(self.root, "data")
-        for root, _dirs, files in os.walk(data_root):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    out.add(os.path.relpath(os.path.join(root, fn), self.root))
+        for sub in ("data", "deletes"):
+            sub_root = os.path.join(self.root, sub)
+            if not os.path.isdir(sub_root):
+                continue
+            for root, _dirs, files in os.walk(sub_root):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        out.add(
+                            os.path.relpath(os.path.join(root, fn), self.root)
+                        )
         return out
 
     def gc_orphans(self) -> int:
@@ -305,3 +330,86 @@ class IceTable:
         if not files:
             raise FileNotFoundError(f"stage {stage} empty at seq={seq}")
         return spark.read.parquet(*files).drop(BUCKET_COL)
+
+
+    # -- schema evolution + merge-on-read equality deletes ------------------
+
+    def read_stage_merged(self, spark: SparkSession, stage: str) -> DataFrame:
+        """Schema-evolution read: like :meth:`read_stage` but with parquet
+        schema merging, so files committed BEFORE a column was added are
+        read with NULLs in the new column — Iceberg's add-column evolution
+        semantics (new columns are optional; old data files never rewrite).
+        """
+        snap = self.current_snapshot()
+        if not snap or stage not in snap.get("stages", {}):
+            raise FileNotFoundError(f"stage {stage} has no committed snapshot")
+        files = []
+        for b in snap["stages"][stage]["buckets"].values():
+            files.extend(os.path.join(self.root, f) for f in b["files"])
+        return (
+            spark.read.option("mergeSchema", "true").parquet(*files)
+            .drop(BUCKET_COL)
+        )
+
+    def commit_equality_deletes(
+        self, spark: SparkSession, stage: str, key_col: str, keys: DataFrame
+    ) -> dict:
+        """Merge-on-read EQUALITY DELETES (Iceberg v2 delete files): the
+        keys-to-delete are written as their own small parquet file and
+        recorded in a new snapshot; NO data file is rewritten.  Readers
+        apply the deletes with an anti-join at scan time
+        (:meth:`read_stage_mor`); a later compaction folds them in.
+        This is how a 100-TB table absorbs a GDPR erasure or a CDC delete
+        batch in O(delete) instead of O(table)."""
+        snap = self.current_snapshot()
+        if not snap or stage not in snap.get("stages", {}):
+            raise FileNotFoundError(f"stage {stage} has no committed snapshot")
+        ddir = os.path.join(self.root, "deletes", stage)
+        os.makedirs(ddir, exist_ok=True)
+        tmp = os.path.join(ddir, f".del-{uuid.uuid4().hex[:8]}")
+        keys.select(F.col(key_col)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = [
+            fn for fn in sorted(os.listdir(tmp)) if fn.endswith(".parquet")
+        ]
+        name = f"eqdel-{snap['seq'] + 1:06d}-{uuid.uuid4().hex[:8]}.parquet"
+        os.replace(os.path.join(tmp, part), os.path.join(ddir, name))
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        fp = os.path.join(ddir, name)
+        stages = dict(snap["stages"])
+        st = dict(stages[stage])
+        st["delete_files"] = (st.get("delete_files") or []) + [
+            {
+                "file": os.path.relpath(fp, self.root),
+                "key_col": key_col,
+                "n_keys": pq.ParquetFile(fp).metadata.num_rows,
+            }
+        ]
+        stages[stage] = st
+        snapshot = {
+            "seq": snap["seq"] + 1,
+            "parent_seq": snap["seq"],
+            "stages": stages,
+            "lineage": (snap.get("lineage") or [])
+            + [{"stage": stage, "equality_deletes": st["delete_files"][-1]}],
+        }
+        self._commit(snapshot)
+        return snapshot
+
+    def read_stage_mor(self, spark: SparkSession, stage: str) -> DataFrame:
+        """Merge-on-read scan: data files anti-joined against every
+        committed equality-delete file of the stage.  The delete frame is
+        delete-batch-sized, so the anti-join broadcasts; the data side
+        never rewrites or shuffles."""
+        df = self.read_stage(spark, stage)
+        snap = self.current_snapshot()
+        for d in snap["stages"][stage].get("delete_files") or []:
+            keys = spark.read.parquet(os.path.join(self.root, d["file"]))
+            df = df.join(
+                F.broadcast(keys.select(F.col(d["key_col"]))),
+                d["key_col"], "left_anti",
+            )
+        return df

@@ -182,3 +182,55 @@ def test_zone_maps_monthly_zone_bounds(spark):
         y, m = divmod(int(r.zone_id), 12)
         prefix = f"{y}-{m + 1:02d}-"
         assert r.min_ship.startswith(prefix) and r.max_ship.startswith(prefix)
+
+
+def test_mor_deletes_time_travel_and_compaction_fold(spark, sf_dir, tmp_path):
+    """The v2 delete lifecycle end to end: equality deletes apply at scan
+    time without rewriting data; the PRE-delete snapshot still
+    time-travels to the full table; compaction folds the deletes into
+    rewritten files (new manifest carries none) and expiry+GC then
+    reclaims the delete file itself."""
+    from pyspark.sql import functions as F
+
+    from ehr_ner_spark.io.icetable import IceTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = IceTable(str(tmp_path / "tbl"))
+    t.write_stage(docs, "docs", bucket_key="doc_id", n_buckets=4)
+    seq_before = t.current_snapshot()["seq"]
+    n_all = docs.count()
+    n_kept = docs.where(F.col("doc_id") % 7 != 0).count()
+
+    t.commit_equality_deletes(
+        spark, "docs", "doc_id",
+        docs.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    # merge-on-read sees the deletes; the plain file set is unchanged
+    assert t.read_stage_mor(spark, "docs").count() == n_kept
+    assert t.read_stage(spark, "docs").count() == n_all
+    # pre-delete snapshot still reads the full table (time travel)
+    assert t.read_stage_at(spark, "docs", seq_before).count() == n_all
+
+    snap = t.compact_stage(spark, "docs")
+    assert snap["stages"]["docs"]["delete_files"] == []
+    assert snap["lineage"][-1]["folded_delete_files"] == 1
+    # after folding, plain reads AND MoR reads agree
+    assert t.read_stage(spark, "docs").count() == n_kept
+    assert t.read_stage_mor(spark, "docs").count() == n_kept
+
+    # expire history, GC: the delete file itself becomes an orphan
+    import os
+
+    deletes_dir = os.path.join(t.root, "deletes", "docs")
+    n_delete_files = len(
+        [f for f in os.listdir(deletes_dir) if f.endswith(".parquet")]
+    )
+    assert n_delete_files == 1
+    t.expire_snapshots(keep_last=1)
+    assert t.gc_orphans() > 0
+    assert not [
+        f for f in os.listdir(deletes_dir) if f.endswith(".parquet")
+    ]
+    assert t.read_stage(spark, "docs").count() == n_kept
