@@ -6668,3 +6668,25 @@ def rel_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _linkpred_auc_oracle() -> str:
+    from .operators.linkpred import linkpred_auc_sql
+    from .operators.mention_sql import mentions_oracle_sql
+
+    return linkpred_auc_sql(mentions_oracle_sql(CORPUS_SQL))
+
+
+@_register("kg_linkpred_auc", oracle=_linkpred_auc_oracle)
+def kg_linkpred_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out AUC of the common-neighbor link scorer as an EXACT
+    integer Mann-Whitney U: every 5th edge (pair-hash) is removed and
+    re-predicted against a hash-uniform non-edge negative sample; the U
+    statistic folds the two score HISTOGRAMS with integer products only
+    — no float summation anywhere, auc_micro is one integer division
+    (operators/linkpred.py::linkpred_auc)."""
+    from .operators.communities import entity_edges
+    from .operators.linkpred import linkpred_auc
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return linkpred_auc(entity_edges(m))

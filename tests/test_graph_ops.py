@@ -402,3 +402,53 @@ def test_stress_centrality_matches_bruteforce_bfs(spark):
                     st, np_ = want.get(v, (0, 0))
                     want[v] = (st + reach[a][1][v] * reach[b][1][v], np_ + 1)
     assert out == want and want, (out, want, lms)
+
+
+def test_linkpred_auc_matches_pure_python(spark):
+    from itertools import combinations
+
+    from ehr_ner_spark.hashing import md5_60
+    from ehr_ner_spark.operators.linkpred import (
+        AUC_HOLDOUT_MOD,
+        AUC_NEG_BUCKETS,
+        linkpred_auc,
+    )
+
+    # two cliques bridged by one edge; hash-bucket-0 nodes (n03, n04,
+    # n80) live in clique A and bucket-1 nodes (n20, n22, n24) in clique
+    # B, so cross-clique bucket pairs are NON-edges -> the negative
+    # sample is non-empty
+    clique_a = ["n03", "n04", "n80", "n05", "n06", "n07"]
+    clique_b = ["n20", "n22", "n24", "n08", "n09", "n10"]
+    raw = sorted(
+        {tuple(sorted(p)) for p in combinations(clique_a, 2)}
+        | {tuple(sorted(p)) for p in combinations(clique_b, 2)}
+        | {tuple(sorted(("n07", "n08")))}
+    )
+    edges = spark.createDataFrame(raw, "ent_a string, ent_b string")
+    got = linkpred_auc(edges).collect()[0]
+
+    hold = {(a, b) for a, b in raw
+            if md5_60(f"{a}|{b}") % AUC_HOLDOUT_MOD == 0}
+    train = [e for e in raw if e not in hold]
+    adj = {}
+    for a, b in train:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tnodes = sorted(adj)
+    b0 = [n for n in tnodes if md5_60(n) % AUC_NEG_BUCKETS == 0]
+    b1 = [n for n in tnodes if md5_60(n) % AUC_NEG_BUCKETS == 1]
+    neg = {(min(x, y), max(x, y)) for x in b0 for y in b1
+           if (min(x, y), max(x, y)) not in set(raw) and x != y}
+
+    def cn(p):
+        return len(adj.get(p[0], set()) & adj.get(p[1], set()))
+
+    ps = [cn(p) for p in sorted(hold)]
+    ns = [cn(p) for p in sorted(neg)]
+    assert ps and ns, "planted graph produced empty pos/neg sets"
+    u2 = sum(2 if sp > sn else (1 if sp == sn else 0)
+             for sp in ps for sn in ns)
+    assert got["n_pos"] == len(ps) and got["n_neg"] == len(ns)
+    assert got["u2"] == u2
+    assert got["auc_micro"] == (1_000_000 * u2) // (2 * len(ps) * len(ns))
