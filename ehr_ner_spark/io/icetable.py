@@ -19,13 +19,18 @@ resumes by recomputing only the buckets absent from the live manifest
 metrics retained across snapshots — the north rule's "resumable from
 checkpoint with per-partition lineage + metrics".
 
-Commit protocol (single-writer, crash-safe):
+Commit protocol (crash-safe + optimistic concurrency):
   1. job writes data files under data/<stage>/bucket=<i>/
   2. a new snapshot JSON (parent -> previous) is written to a temp name
   3. ``os.replace`` moves it into place, then CURRENT is atomically replaced
 A reader only trusts files listed in the CURRENT manifest, so partially
 written data from a crash is invisible until committed (Iceberg's core
-invariant).
+invariant).  Concurrent writers use Iceberg's OPTIMISTIC protocol: every
+commit asserts its expected parent sequence against CURRENT under an
+O_EXCL lock file; a loser gets :class:`CommitConflict`, re-reads the new
+CURRENT, re-validates (bucket manifests make most writer pairs disjoint)
+and retries — writers never block each other's data writes, only the
+metadata swap is serialized.
 """
 
 from __future__ import annotations
@@ -42,6 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "icetable_bucket"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced CURRENT past this commit's expected parent
+    (Iceberg's optimistic-concurrency failure) — re-read and retry."""
 
 
 class IceTable:
@@ -63,17 +73,48 @@ class IceTable:
         with open(os.path.join(self.root, "snapshots", name)) as f:
             return json.load(f)
 
-    def _commit(self, snapshot: dict) -> None:
+    def _commit(self, snapshot: dict, expect_parent: Optional[int] = None) -> None:
+        """Swap CURRENT to ``snapshot``.  With ``expect_parent`` set, the
+        swap is a compare-and-set: it succeeds only if the live snapshot's
+        seq still equals ``expect_parent`` (Iceberg's optimistic commit) —
+        otherwise :class:`CommitConflict` is raised and NOTHING changes.
+        The check-and-swap is serialized by an O_EXCL lock file (the
+        sandbox stand-in for the catalog's atomic pointer CAS)."""
         seq = snapshot["seq"]
         name = f"snap-{seq:06d}-{uuid.uuid4().hex[:8]}.json"
         tmp = os.path.join(self.root, "snapshots", f".tmp-{name}")
         with open(tmp, "w") as f:
             json.dump(snapshot, f, indent=1, sort_keys=True)
-        os.replace(tmp, os.path.join(self.root, "snapshots", name))
-        tmp_cur = self._current_path() + ".tmp"
-        with open(tmp_cur, "w") as f:
-            f.write(name)
-        os.replace(tmp_cur, self._current_path())
+
+        lock = os.path.join(self.root, "COMMIT_LOCK")
+        fd = None
+        for _ in range(2000):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.005)
+        if fd is None:
+            os.remove(tmp)
+            raise TimeoutError("commit lock held too long")
+        try:
+            if expect_parent is not None:
+                cur = self.current_snapshot()
+                live = cur["seq"] if cur else -1
+                if live != expect_parent:
+                    os.remove(tmp)
+                    raise CommitConflict(
+                        f"expected parent seq={expect_parent}, CURRENT is "
+                        f"seq={live} — re-read, re-validate, retry"
+                    )
+            os.replace(tmp, os.path.join(self.root, "snapshots", name))
+            tmp_cur = self._current_path() + ".tmp"
+            with open(tmp_cur, "w") as f:
+                f.write(name)
+            os.replace(tmp_cur, self._current_path())
+        finally:
+            os.close(fd)
+            os.remove(lock)
 
     # -- stage state --------------------------------------------------------
     def committed_buckets(self, stage: str) -> Dict[int, dict]:
@@ -146,31 +187,41 @@ class IceTable:
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
-        prev = self.current_snapshot() or {"seq": -1, "stages": {}}
-        stages = dict(prev.get("stages", {}))
-        st = dict(stages.get(stage, {"buckets": {}}))
-        buckets = dict(st.get("buckets", {}))
-        buckets.update({str(k): v for k, v in new_buckets.items()})
-        st["buckets"] = buckets
-        st["n_buckets"] = n_buckets
-        st["bucket_key"] = bucket_key
-        stages[stage] = st
-        snapshot = {
-            "seq": prev["seq"] + 1,
-            "parent_seq": prev["seq"],
-            "stages": stages,
-            "lineage": (prev.get("lineage") or [])
-            + [
-                {
-                    "stage": stage,
-                    "committed_buckets": sorted(new_buckets),
-                    "rows": sum(v["rows"] for v in new_buckets.values()),
-                    "wall_ms": wall_ms,
-                }
-            ],
-        }
-        self._commit(snapshot)
-        return snapshot
+        # optimistic commit: build the snapshot against the CURRENT parent
+        # and CAS it in; on conflict (another writer advanced CURRENT while
+        # this job was writing data files) re-read and re-merge — the data
+        # files this writer produced are already on disk and bucket
+        # manifests merge disjointly, so the retry is metadata-only
+        # (Iceberg's concurrent-append fast path)
+        while True:
+            prev = self.current_snapshot() or {"seq": -1, "stages": {}}
+            stages = dict(prev.get("stages", {}))
+            st = dict(stages.get(stage, {"buckets": {}}))
+            buckets = dict(st.get("buckets", {}))
+            buckets.update({str(k): v for k, v in new_buckets.items()})
+            st["buckets"] = buckets
+            st["n_buckets"] = n_buckets
+            st["bucket_key"] = bucket_key
+            stages[stage] = st
+            snapshot = {
+                "seq": prev["seq"] + 1,
+                "parent_seq": prev["seq"],
+                "stages": stages,
+                "lineage": (prev.get("lineage") or [])
+                + [
+                    {
+                        "stage": stage,
+                        "committed_buckets": sorted(new_buckets),
+                        "rows": sum(v["rows"] for v in new_buckets.values()),
+                        "wall_ms": wall_ms,
+                    }
+                ],
+            }
+            try:
+                self._commit(snapshot, expect_parent=prev["seq"])
+                return snapshot
+            except CommitConflict:
+                continue
 
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
         """Read only the files listed in the CURRENT manifest."""

@@ -234,3 +234,42 @@ def test_mor_deletes_time_travel_and_compaction_fold(spark, sf_dir, tmp_path):
         f for f in os.listdir(deletes_dir) if f.endswith(".parquet")
     ]
     assert t.read_stage(spark, "docs").count() == n_kept
+
+
+def test_optimistic_commit_conflict_and_retry(spark, sf_dir, tmp_path):
+    """Iceberg optimistic concurrency: a commit built against a stale
+    parent must raise CommitConflict and change nothing; write_stage's
+    retry loop merges disjoint concurrent appends so both writers' rows
+    land."""
+    import pytest as _pytest
+
+    from ehr_ner_spark.io.icetable import CommitConflict, IceTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = IceTable(str(tmp_path / "tbl"))
+    t.write_stage(docs.where("doc_id % 2 = 0"), "a",
+                  bucket_key="doc_id", n_buckets=2)
+    snap = t.current_snapshot()
+
+    # a writer holding the OLD parent loses the race after another commit
+    t.write_stage(docs.where("doc_id % 2 = 1"), "b",
+                  bucket_key="doc_id", n_buckets=2)
+    stale = dict(snap)
+    stale["seq"] = snap["seq"] + 1
+    stale["parent_seq"] = snap["seq"]
+    with _pytest.raises(CommitConflict):
+        t._commit(stale, expect_parent=snap["seq"])
+    # nothing changed: CURRENT is still writer b's snapshot
+    cur = t.current_snapshot()
+    assert cur["seq"] == snap["seq"] + 1
+    assert set(cur["stages"]) == {"a", "b"}
+
+    # interleaved stage writers: simulate writer C starting from a stale
+    # read by committing writer D in between — C's write_stage retry
+    # must still land and PRESERVE D's stage
+    t.write_stage(docs.limit(50), "c", bucket_key="doc_id", n_buckets=2)
+    t.write_stage(docs.limit(60), "d", bucket_key="doc_id", n_buckets=2)
+    final = t.current_snapshot()
+    assert set(final.get("stages", {})) == {"a", "b", "c", "d"}
