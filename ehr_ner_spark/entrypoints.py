@@ -1430,7 +1430,13 @@ def _boilerplate_oracle() -> str:
 def _inverted_index_oracle() -> str:
     from .operators.textops import inverted_index_sql
 
-    return inverted_index_sql()
+    # comma-join the posting list (identical to the engine's
+    # serialization): the driver's canonicalizer sorts/hashes rows and
+    # cannot handle list-typed columns — the doc-id CSV is engine-exact
+    return (
+        "SELECT term, df, rnk, array_to_string(postings, ',') AS postings"
+        f"\n    FROM ({inverted_index_sql()})"
+    )
 
 
 @_register("ds_inverted_index", oracle=_inverted_index_oracle)
@@ -1440,10 +1446,18 @@ def ds_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject — per-partition heaps, no single-partition
     window) and postings truncate via a broadcast semi-join BEFORE any
     list materializes, so Zipf head terms never collect full postings
-    (operators/textops.py::inverted_index)."""
+    (operators/textops.py::inverted_index).  The postings column is
+    serialized to a doc-id CSV string in the REGISTERED output (both
+    engines) so the driver's row canonicalizer can sort and hash it;
+    ``inverted_index`` itself still emits a real array."""
     from .operators.textops import inverted_index
 
-    return inverted_index(_t(spark, sf_dir, "documents"))
+    return inverted_index(_t(spark, sf_dir, "documents")).select(
+        "term", "df", "rnk",
+        F.array_join(
+            F.transform("postings", lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
 
 
 def _chunk_oracle() -> str:
@@ -3038,7 +3052,12 @@ def kg_mention_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _feature_hash_oracle() -> str:
     from .operators.featurehash import feature_hash_embed_sql
 
-    return feature_hash_embed_sql()
+    # integer-CSV serialization of the vector (both engines): the
+    # driver's canonicalizer cannot sort/hash LIST-typed columns
+    return (
+        "SELECT doc_id, array_to_string(embedding, ',') AS embedding"
+        f"\n    FROM ({feature_hash_embed_sql()})"
+    )
 
 
 @_register("ds_feature_hash_embed", oracle=_feature_hash_oracle)
@@ -3047,11 +3066,18 @@ def ds_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-count vectors with NO learned vocabulary — every shard of a
     100-TB corpus embeds independently, zero coordination.  Pure integer
     arithmetic end to end (md5-60 bucket + sign, map-side-combined sums,
-    codegen dense fill), so the array compare is bit-exact
+    codegen dense fill), so the array compare is bit-exact; the REGISTERED
+    output serializes the vector to an integer-CSV string (both engines)
+    for the driver's row canonicalizer
     (operators/featurehash.py::feature_hash_embed)."""
     from .operators.featurehash import feature_hash_embed
 
-    return feature_hash_embed(_t(spark, sf_dir, "documents"))
+    return feature_hash_embed(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.array_join(
+            F.transform("embedding", lambda x: x.cast("string")), ","
+        ).alias("embedding"),
+    )
 
 
 _INCR_AGG_KEYS = "event_type, date_trunc('hour', ts) AS hour"
@@ -3579,7 +3605,15 @@ def rel_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rp_oracle() -> str:
     from .operators.similarity import random_projection_sql
 
-    return random_projection_sql()
+    # unnest to (vec_id, label, j, proj) rows: the driver's canonicalizer
+    # cannot sort/hash LIST columns, and per-coordinate DOUBLE rows keep
+    # its float discipline (repr(round(x, 9))) instead of inventing a
+    # string float format that would have to match across engines
+    return f"""
+    SELECT vec_id, label, j - 1 AS j, proj[j] AS proj
+    FROM ({random_projection_sql()}),
+         UNNEST(generate_series(1, len(proj))) AS t(j)
+    """
 
 
 @_register("ds_random_projection", oracle=_rp_oracle)
@@ -3589,11 +3623,17 @@ def ds_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     The +-1 matrix is a pure function of (j, i) via the md5 discipline —
     no RNG state, identical on every worker/engine — and each coordinate
     is a literal cast-and-add chain, so the projection is zero-shuffle
-    codegen and BIT-exact against its twin
+    codegen and BIT-exact against its twin.  The REGISTERED output
+    unnests the vector to per-coordinate (vec_id, label, j, proj) rows
+    so no ARRAY column reaches the driver's canonicalizer; the operator
+    itself still emits real arrays
     (operators/similarity.py::random_projection)."""
     from .operators.similarity import random_projection
 
-    return random_projection(_t(spark, sf_dir, "embeddings"))
+    proj = random_projection(_t(spark, sf_dir, "embeddings"))
+    return proj.select(
+        "vec_id", "label", F.posexplode("proj").alias("j", "proj")
+    ).select("vec_id", "label", F.col("j").cast("long").alias("j"), "proj")
 
 
 def _knn_oracle() -> str:
@@ -4258,7 +4298,14 @@ def _adjacency_csr_oracle() -> str:
     from .operators.csr import adjacency_csr_sql
     from .operators.mention_sql import mentions_oracle_sql
 
-    return adjacency_csr_sql(mentions_oracle_sql(CORPUS_SQL))
+    # '|'-join the sorted neighbor list (both engines): the driver's
+    # canonicalizer cannot sort/hash LIST-typed columns
+    return (
+        "SELECT node, degree, csr_offset,"
+        " array_to_string(neighbors, '|') AS neighbors\n    FROM ("
+        + adjacency_csr_sql(mentions_oracle_sql(CORPUS_SQL))
+        + ")"
+    )
 
 
 @_register("kg_adjacency_csr", oracle=_adjacency_csr_oracle)
@@ -4269,13 +4316,17 @@ def kg_adjacency_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum uses the two-level distributed decomposition — range-partitioned
     local running totals plus a partition-count-sized base window — so NO
     global single-task window ever touches a data-sized frame; offsets
-    are a pure function of the data at any parallelism
-    (operators/csr.py)."""
+    are a pure function of the data at any parallelism; the REGISTERED
+    output '|'-joins the neighbor array (both engines) for the driver's
+    row canonicalizer (operators/csr.py)."""
     from .operators.communities import entity_edges
     from .operators.csr import adjacency_csr
 
     return adjacency_csr(
         entity_edges(detect_mentions(corpus(spark, sf_dir), num_partitions=8))
+    ).select(
+        "node", "degree", "csr_offset",
+        F.array_join("neighbors", "|").alias("neighbors"),
     )
 
 

@@ -23,19 +23,23 @@ def _canon(pdf):
     import numpy as np
 
     pdf = pdf[sorted(pdf.columns)].copy()
-    # array cells (Spark ArrayType / DuckDB LIST reach pandas as ndarray
-    # or list) are unorderable for sort_values: canonicalize to a string
-    # form first — per-element so float reprs stay engine-identical
-    for col in pdf.columns:
-        if pdf[col].map(lambda v: isinstance(v, (list, np.ndarray))).any():
-            pdf[col] = pdf[col].map(
-                lambda v: "[" + ",".join(
-                    repr(round(float(x), 9))
-                    if isinstance(x, (float, np.floating)) else str(x)
-                    for x in v
-                ) + "]"
-                if isinstance(v, (list, np.ndarray)) else str(v)
-            )
+    if os.environ.get("DRIVER_COMPARE_LENIENT") == "1":
+        # array cells (Spark ArrayType / DuckDB LIST reach pandas as
+        # ndarray or list) are unorderable for sort_values: canonicalize
+        # to a string form — per-element so float reprs stay identical.
+        # OFF by default: the DRIVER's comparator has no such fallback
+        # (it raises TypeError: unhashable type 'list'), so the strict
+        # default makes this harness fail exactly where the driver would.
+        for col in pdf.columns:
+            if pdf[col].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+                pdf[col] = pdf[col].map(
+                    lambda v: "[" + ",".join(
+                        repr(round(float(x), 9))
+                        if isinstance(x, (float, np.floating)) else str(x)
+                        for x in v
+                    ) + "]"
+                    if isinstance(v, (list, np.ndarray)) else str(v)
+                )
     pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
     return pdf
 

@@ -452,3 +452,49 @@ def test_linkpred_auc_matches_pure_python(spark):
     assert got["n_pos"] == len(ps) and got["n_neg"] == len(ns)
     assert got["u2"] == u2
     assert got["auc_micro"] == (1_000_000 * u2) // (2 * len(ps) * len(ns))
+
+
+def test_linkpred_auc_negative_pairs_bounded_by_side_cap(spark, monkeypatch):
+    """The negative crossJoin is O(K^2) INDEPENDENT of graph size: each
+    side is the K hash-smallest nodes of its bucket (orderBy+limit heap),
+    so a graph with many bucket-0/bucket-1 nodes still emits <= K^2
+    negative candidates.  K is patched down to 3 so the planted star
+    graph (hundreds of nodes, dozens per bucket) overflows both sides."""
+    from ehr_ner_spark.hashing import md5_60
+    from ehr_ner_spark.operators import linkpred as lp
+
+    monkeypatch.setattr(lp, "AUC_NEG_SIDE_K", 3)
+
+    # star graph: every node rides one edge to the hub -> every train
+    # node appears in bidir; names chosen blind, bucketed by md5 below
+    names = [f"node{i:04d}" for i in range(400)]
+    raw = sorted((min("hub", n), max("hub", n)) for n in names)
+    edges = spark.createDataFrame(raw, "ent_a string, ent_b string")
+    got = lp.linkpred_auc(edges).collect()[0]
+
+    hold = {(a, b) for a, b in raw
+            if md5_60(f"{a}|{b}") % lp.AUC_HOLDOUT_MOD == 0}
+    train = [e for e in raw if e not in hold]
+    adj = {}
+    for a, b in train:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tnodes = sorted(adj)
+    b0_all = [n for n in tnodes if md5_60(n) % lp.AUC_NEG_BUCKETS == 0]
+    b1_all = [n for n in tnodes if md5_60(n) % lp.AUC_NEG_BUCKETS == 1]
+    assert len(b0_all) > 3 and len(b1_all) > 3, "graph must overflow the cap"
+    side0 = sorted(b0_all, key=lambda n: (md5_60(n), n))[:3]
+    side1 = sorted(b1_all, key=lambda n: (md5_60(n), n))[:3]
+    neg = {(min(x, y), max(x, y)) for x in side0 for y in side1
+           if (min(x, y), max(x, y)) not in set(raw) and x != y}
+
+    def cn(p):
+        return len(adj.get(p[0], set()) & adj.get(p[1], set()))
+
+    ps = [cn(p) for p in sorted(hold)]
+    ns = [cn(p) for p in sorted(neg)]
+    assert ns and len(ns) <= 9, "capped negatives must be <= K^2"
+    u2 = sum(2 if sp > sn else (1 if sp == sn else 0)
+             for sp in ps for sn in ns)
+    assert got["n_pos"] == len(ps) and got["n_neg"] == len(ns)
+    assert got["u2"] == u2

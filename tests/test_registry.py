@@ -61,6 +61,28 @@ def test_every_oracle_plans_in_duckdb(con):
     assert not failures, failures
 
 
+def test_no_list_typed_oracle_outputs(con):
+    """The driver's row canonicalizer (pandas sort_values -> factorize)
+    raises ``TypeError: unhashable type: 'list'`` on LIST-typed result
+    columns — this burned ``kg_featurize`` in round 1 and
+    ``ds_inverted_index`` in round 3.  Gate: no registered oracle may
+    emit a LIST/ARRAY/STRUCT/MAP-typed column; serialize to CSV strings
+    at the registry boundary instead (array_join / array_to_string)."""
+    failures = []
+    for name, sql in entrypoints.ORACLE_REGISTRY.items():
+        if name.startswith("mm_"):
+            continue  # synth_media oracles build their own input via range()
+        try:
+            desc = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").description
+        except Exception:  # noqa: BLE001
+            continue  # empty-table execution gate reports this one
+        for col, type_code, *_ in desc:
+            t = str(type_code).upper()
+            if "[]" in t or any(k in t for k in ("LIST", "STRUCT", "MAP(")):
+                failures.append((name, col, str(type_code)))
+    assert not failures, failures
+
+
 def test_every_oracle_executes_on_empty_tables(con):
     """Empty-input degeneracy: oracles must RUN (not just plan) on empty
     tables — catches e.g. list-type unification and recursion-anchor bugs
