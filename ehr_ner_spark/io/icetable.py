@@ -25,12 +25,15 @@ Commit protocol (crash-safe + optimistic concurrency):
   3. ``os.replace`` moves it into place, then CURRENT is atomically replaced
 A reader only trusts files listed in the CURRENT manifest, so partially
 written data from a crash is invisible until committed (Iceberg's core
-invariant).  Concurrent writers use Iceberg's OPTIMISTIC protocol: every
-commit asserts its expected parent sequence against CURRENT under an
-O_EXCL lock file; a loser gets :class:`CommitConflict`, re-reads the new
-CURRENT, re-validates (bucket manifests make most writer pairs disjoint)
-and retries — writers never block each other's data writes, only the
-metadata swap is serialized.
+invariant).  Concurrent writers use Iceberg's OPTIMISTIC protocol on ALL
+commit paths (append, compaction, equality deletes): every commit asserts
+its expected parent sequence against CURRENT under an O_EXCL lock file
+(stale locks from crashed writers are broken after ``STALE_LOCK_SEC``); a
+loser gets :class:`CommitConflict` and retries — disjoint-bucket appends
+and delete commits re-merge metadata-only, compaction re-runs its rewrite
+against the new CURRENT, and two writers racing on the SAME (stage,
+bucket) surface the conflict instead of last-write-winning.  Writers
+never block each other's data writes; only the metadata swap serializes.
 """
 
 from __future__ import annotations
@@ -55,6 +58,10 @@ class CommitConflict(RuntimeError):
 
 
 class IceTable:
+    #: a COMMIT_LOCK older than this is treated as abandoned by a crashed
+    #: writer and broken (the guarded section is a metadata swap, ms-scale)
+    STALE_LOCK_SEC = 30.0
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
@@ -91,8 +98,21 @@ class IceTable:
         for _ in range(2000):
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
                 break
             except FileExistsError:
+                # stale-lock takeover: a writer that crashed between O_EXCL
+                # and the finally-remove would otherwise wedge every future
+                # commit (liveness).  The metadata swap under the lock is
+                # milliseconds, so a lock older than STALE_LOCK_SEC can only
+                # belong to a dead process — break it.  The O_EXCL retry
+                # races takeover attempts safely: exactly one recreates it.
+                try:
+                    if time.time() - os.path.getmtime(lock) > self.STALE_LOCK_SEC:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    continue  # holder released it between the checks
                 time.sleep(0.005)
         if fd is None:
             os.remove(tmp)
@@ -198,6 +218,18 @@ class IceTable:
             stages = dict(prev.get("stages", {}))
             st = dict(stages.get(stage, {"buckets": {}}))
             buckets = dict(st.get("buckets", {}))
+            # two writers racing on the SAME (stage, bucket) would
+            # last-write-win on the manifest entry, silently dropping one
+            # writer's files — that's duplicated work plus a lost update,
+            # not a mergeable append.  Disjoint-bucket appends (the resume
+            # and multi-stage cases) merge cleanly; overlap is an error.
+            overlap = set(buckets) & {str(k) for k in new_buckets}
+            if overlap:
+                raise CommitConflict(
+                    f"stage {stage!r} buckets {sorted(overlap)} were "
+                    "committed concurrently by another writer — this "
+                    "writer's recompute of them is redundant, not mergeable"
+                )
             buckets.update({str(k): v for k, v in new_buckets.items()})
             st["buckets"] = buckets
             st["n_buckets"] = n_buckets
@@ -250,7 +282,21 @@ class IceTable:
         whose manifest references ONLY the rewritten files — the old
         files stay on disk, referenced by older snapshots, until
         :meth:`expire_snapshots` + :meth:`gc_orphans` reclaim them
-        (exactly Iceberg's rewrite/expire/delete-orphans lifecycle)."""
+        (exactly Iceberg's rewrite/expire/delete-orphans lifecycle).
+
+        The commit is optimistic (CAS on the parent seq): a concurrent
+        write_stage landing mid-rewrite would otherwise be silently
+        overwritten by this pre-rewrite view of the stage (lost update).
+        On conflict the whole rewrite re-runs against the new CURRENT;
+        the abandoned attempt's files are unreferenced and reclaimed by
+        :meth:`gc_orphans`."""
+        while True:
+            try:
+                return self._compact_stage_once(spark, stage)
+            except CommitConflict:
+                continue
+
+    def _compact_stage_once(self, spark: SparkSession, stage: str) -> dict:
         snap = self.current_snapshot()
         st = snap["stages"][stage]
         stage_dir = os.path.join(self.root, "data", stage)
@@ -310,7 +356,7 @@ class IceTable:
                 "folded_delete_files": len(delete_specs),
                 "rows": sum(v["rows"] for v in new_buckets.values())}],
         }
-        self._commit(snapshot)
+        self._commit(snapshot, expect_parent=snap["seq"])
         return snapshot
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -371,7 +417,11 @@ class IceTable:
     def read_stage_at(self, spark: SparkSession, stage: str,
                       seq: int) -> DataFrame:
         """Time-travel read: the stage EXACTLY as snapshot ``seq`` saw it
-        (Iceberg's VERSION AS OF), from the files that manifest lists."""
+        (Iceberg's VERSION AS OF), from the files that manifest lists —
+        INCLUDING that snapshot's equality-delete files, applied as
+        broadcast anti-joins like :meth:`read_stage_mor`.  Traveling to a
+        post-delete, pre-compaction snapshot must not resurrect the
+        deleted rows (Iceberg v2 scan semantics are per-snapshot)."""
         snap = self.snapshot_at(seq)
         if stage not in snap.get("stages", {}):
             raise FileNotFoundError(f"stage {stage} absent at seq={seq}")
@@ -380,7 +430,14 @@ class IceTable:
             files.extend(os.path.join(self.root, f) for f in b["files"])
         if not files:
             raise FileNotFoundError(f"stage {stage} empty at seq={seq}")
-        return spark.read.parquet(*files).drop(BUCKET_COL)
+        df = spark.read.parquet(*files).drop(BUCKET_COL)
+        for d in snap["stages"][stage].get("delete_files") or []:
+            keys = spark.read.parquet(os.path.join(self.root, d["file"]))
+            df = df.join(
+                F.broadcast(keys.select(F.col(d["key_col"]))),
+                d["key_col"], "left_anti",
+            )
+        return df
 
 
     # -- schema evolution + merge-on-read equality deletes ------------------
@@ -430,25 +487,32 @@ class IceTable:
 
         shutil.rmtree(tmp, ignore_errors=True)
         fp = os.path.join(ddir, name)
-        stages = dict(snap["stages"])
-        st = dict(stages[stage])
-        st["delete_files"] = (st.get("delete_files") or []) + [
-            {
-                "file": os.path.relpath(fp, self.root),
-                "key_col": key_col,
-                "n_keys": pq.ParquetFile(fp).metadata.num_rows,
-            }
-        ]
-        stages[stage] = st
-        snapshot = {
-            "seq": snap["seq"] + 1,
-            "parent_seq": snap["seq"],
-            "stages": stages,
-            "lineage": (snap.get("lineage") or [])
-            + [{"stage": stage, "equality_deletes": st["delete_files"][-1]}],
+        spec = {
+            "file": os.path.relpath(fp, self.root),
+            "key_col": key_col,
+            "n_keys": pq.ParquetFile(fp).metadata.num_rows,
         }
-        self._commit(snapshot)
-        return snapshot
+        # optimistic commit (CAS + metadata-only retry): the delete file is
+        # already durable, so on conflict only the manifest rebuilds against
+        # the new CURRENT — a concurrent write_stage commit is never lost
+        while True:
+            snap = self.current_snapshot()
+            stages = dict(snap["stages"])
+            st = dict(stages[stage])
+            st["delete_files"] = (st.get("delete_files") or []) + [spec]
+            stages[stage] = st
+            snapshot = {
+                "seq": snap["seq"] + 1,
+                "parent_seq": snap["seq"],
+                "stages": stages,
+                "lineage": (snap.get("lineage") or [])
+                + [{"stage": stage, "equality_deletes": spec}],
+            }
+            try:
+                self._commit(snapshot, expect_parent=snap["seq"])
+                return snapshot
+            except CommitConflict:
+                continue
 
     def read_stage_mor(self, spark: SparkSession, stage: str) -> DataFrame:
         """Merge-on-read scan: data files anti-joined against every

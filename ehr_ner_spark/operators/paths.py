@@ -226,8 +226,9 @@ def stress_centrality(edges: DataFrame,
     accumulation sums FLOAT ratios sigma_sv/sigma_st in data-dependent
     order — exactly the nondeterminism the engine's twin discipline
     forbids — while stress is a sum of BIGINT products, bit-exact in any
-    order on any engine.  Source sampling (the top-degree landmarks, the
-    same production trick landmark_paths documents) bounds the cost: the
+    order on any engine.  Source sampling (hash-uniform md5-order
+    landmarks — see ``_bfs_sigma`` for why top-degree picks would be
+    useless here) bounds the cost: the
     per-source BFS is O(L * edges * hops) and the geodesic test joins
     frames bounded by nodes x L, never all-pairs.
 

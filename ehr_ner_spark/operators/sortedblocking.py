@@ -38,14 +38,20 @@ SNM_TAU = 0.35        # exact trigram-Jaccard acceptance threshold
 
 
 def _grams(df: DataFrame, name_col: str, out_id: str) -> DataFrame:
-    """Distinct char-trigrams per surface — JVM-side transform/explode."""
+    """Distinct char-trigrams per surface — JVM-side transform/explode.
+
+    Surfaces shorter than 3 chars emit NO grams: unguarded,
+    ``sequence(1, length - 2)`` counts DOWN for them (sequence(1,0) =
+    [1,0]) and would emit bogus sub-trigram grams the DuckDB twin never
+    produces."""
     return df.select(
         F.col(name_col).alias(out_id),
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, length({name_col}) - 2),"
-                    f" i -> substring({name_col}, i, 3))"
+                    f"CASE WHEN length({name_col}) < 3 THEN array() "
+                    f"ELSE transform(sequence(1, length({name_col}) - 2),"
+                    f" i -> substring({name_col}, i, 3)) END"
                 )
             )
         ).alias("gram"),
@@ -159,9 +165,11 @@ def snm_pairs_sql(window: int = SNM_WINDOW, tau: float = SNM_TAU) -> str:
         ON a.pass = b.pass AND a.prefix = b.prefix
        AND b.rn - a.rn BETWEEN 1 AND {window}),
     grams AS (
-      SELECT DISTINCT name, substr(name, i.range::INT + 1, 3) AS gram
-      FROM surfaces CROSS JOIN range(64) i
-      WHERE i.range + 3 <= length(name)),
+      -- per-row exact bound (no literal cap: a >66-char name would lose
+      -- grams the engine keeps); <3-char names emit none, like the engine
+      SELECT DISTINCT name, substr(name, t.i::INT + 1, 3) AS gram
+      FROM surfaces,
+           UNNEST(range(greatest(length(name) - 2, 0))) AS t(i)),
     gn AS (
       SELECT name, COUNT(*)::BIGINT AS n_grams FROM grams GROUP BY 1),
     inter AS (

@@ -273,3 +273,135 @@ def test_optimistic_commit_conflict_and_retry(spark, sf_dir, tmp_path):
     t.write_stage(docs.limit(60), "d", bucket_key="doc_id", n_buckets=2)
     final = t.current_snapshot()
     assert set(final.get("stages", {})) == {"a", "b", "c", "d"}
+
+
+def test_stale_commit_lock_is_broken(spark, sf_dir, tmp_path):
+    """A writer that crashes while holding COMMIT_LOCK must not wedge the
+    table forever: locks older than STALE_LOCK_SEC are taken over."""
+    import os
+    import time
+
+    from ehr_ner_spark.io.icetable import IceTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = IceTable(str(tmp_path / "tbl"))
+    lock = os.path.join(t.root, "COMMIT_LOCK")
+    with open(lock, "w") as f:
+        f.write("99999 0")  # dead pid, ancient timestamp
+    old = time.time() - 10 * IceTable.STALE_LOCK_SEC
+    os.utime(lock, (old, old))
+    snap = t.write_stage(docs.limit(20), "s", bucket_key="doc_id",
+                         n_buckets=2)
+    assert snap["seq"] == 0 and not os.path.exists(lock)
+
+
+def test_time_travel_to_post_delete_snapshot_applies_deletes(
+    spark, sf_dir, tmp_path
+):
+    """VERSION AS OF a post-delete, pre-compaction snapshot must NOT
+    resurrect deleted rows (Iceberg v2 scan semantics are per-snapshot)."""
+    from pyspark.sql import functions as F
+
+    from ehr_ner_spark.io.icetable import IceTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = IceTable(str(tmp_path / "tbl"))
+    t.write_stage(docs, "docs", bucket_key="doc_id", n_buckets=4)
+    n_all = docs.count()
+    n_kept = docs.where(F.col("doc_id") % 7 != 0).count()
+    seq_before = t.current_snapshot()["seq"]
+    snap_del = t.commit_equality_deletes(
+        spark, "docs", "doc_id",
+        docs.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    t.compact_stage(spark, "docs")  # CURRENT moves past the delete snapshot
+    assert t.read_stage_at(spark, "docs", seq_before).count() == n_all
+    assert t.read_stage_at(spark, "docs", snap_del["seq"]).count() == n_kept
+
+
+def test_same_bucket_concurrent_writers_conflict_not_clobber(
+    spark, sf_dir, tmp_path
+):
+    """Two writers racing on the SAME (stage, bucket) must surface
+    CommitConflict instead of last-write-winning on the bucket manifest."""
+    import pytest as _pytest
+
+    from ehr_ner_spark.io.icetable import CommitConflict, IceTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = IceTable(str(tmp_path / "tbl"))
+    t.write_stage(docs, "s", bucket_key="doc_id", n_buckets=2)
+    # writer whose pending-scan predates the commit above: force a stale
+    # empty view of the committed buckets so it recomputes everything
+    t2 = IceTable(str(tmp_path / "tbl"))
+    t2.committed_buckets = lambda stage: {}
+    with _pytest.raises(CommitConflict):
+        t2.write_stage(docs, "s", bucket_key="doc_id", n_buckets=2)
+
+
+def _racing_commit(table, other_table, other_docs):
+    """Wrap table._commit so a concurrent writer lands a stage commit just
+    before the FIRST CAS attempt — the deterministic replay of the
+    read-rewrite-commit race window."""
+    orig = table._commit
+    state = {"raced": False}
+
+    def wrapper(snapshot, expect_parent=None):
+        if not state["raced"]:
+            state["raced"] = True
+            other_table.write_stage(other_docs, "concurrent",
+                                    bucket_key="doc_id", n_buckets=2)
+        return orig(snapshot, expect_parent=expect_parent)
+
+    table._commit = wrapper
+    return state
+
+
+def test_compaction_survives_concurrent_append(spark, sf_dir, tmp_path):
+    """Lost-update guard: a write_stage commit landing mid-compaction must
+    survive — compact_stage's CAS fails, the rewrite re-runs against the
+    new CURRENT, and BOTH the compaction and the concurrent stage land."""
+    from ehr_ner_spark.io.icetable import IceTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = IceTable(str(tmp_path / "tbl"))
+    t.write_stage(docs, "docs", bucket_key="doc_id", n_buckets=4)
+    t2 = IceTable(str(tmp_path / "tbl"))
+    state = _racing_commit(t, t2, docs.limit(30))
+    snap = t.compact_stage(spark, "docs")
+    assert state["raced"]
+    assert set(snap["stages"]) == {"docs", "concurrent"}
+    assert snap["lineage"][-1]["compacted"] is True
+    assert t.read_stage(spark, "docs").count() == docs.count()
+
+
+def test_equality_deletes_survive_concurrent_append(spark, sf_dir, tmp_path):
+    """Same race window for commit_equality_deletes: the concurrent stage
+    commit must survive and the delete must still apply."""
+    from pyspark.sql import functions as F
+
+    from ehr_ner_spark.io.icetable import IceTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = IceTable(str(tmp_path / "tbl"))
+    t.write_stage(docs, "docs", bucket_key="doc_id", n_buckets=4)
+    t2 = IceTable(str(tmp_path / "tbl"))
+    state = _racing_commit(t, t2, docs.limit(30))
+    snap = t.commit_equality_deletes(
+        spark, "docs", "doc_id",
+        docs.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    assert state["raced"]
+    assert set(snap["stages"]) == {"docs", "concurrent"}
+    n_kept = docs.where(F.col("doc_id") % 7 != 0).count()
+    assert t.read_stage_mor(spark, "docs").count() == n_kept

@@ -1294,8 +1294,9 @@ def test_join_cardinality_never_materializes_join(spark, sf_dir):
 
 def test_dynamic_pruning_is_dpp_not_static(spark, sf_dir):
     """rel_dynamic_pruning's fact scan must be pruned by a DPP subquery:
-    the dim set (top-4 busiest days) is data-dependent, so no static
-    PartitionFilter can exist — only dynamicpruningexpression."""
+    the dim set (days whose event count is above the daily mean) is
+    data-dependent, so no static PartitionFilter can exist — only
+    dynamicpruningexpression."""
     df = entrypoints.QUERIES_REGISTRY["rel_dynamic_pruning"](spark, sf_dir)
     plan = _formatted(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]

@@ -62,3 +62,28 @@ def test_snm_windows_are_partitioned_not_global(spark, sf_dir):
     assert "Window" in plan
     assert "SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_grams_short_and_long_surfaces(spark):
+    """<3-char surfaces emit NO grams (unguarded sequence(1, len-2)
+    counts down and fabricates sub-trigrams); >66-char surfaces keep
+    every position (the twin derives its bound per row, no literal cap)."""
+    from ehr_ner_spark.operators.sortedblocking import _grams
+
+    long_name = "x" * 30 + "abcdefghijklmnopqrstuvwxyz" + "y" * 30  # 86 chars
+    df = spark.createDataFrame(
+        [("a",), ("ab",), ("abc",), (long_name,)], ["name"]
+    )
+    got = {
+        n: sorted(r["gram"] for r in rows)
+        for n, rows in __import__("itertools").groupby(
+            sorted(_grams(df, "name", "name").collect(),
+                   key=lambda r: r["name"]),
+            key=lambda r: r["name"],
+        )
+    }
+    def ref(s):
+        return sorted({s[i:i + 3] for i in range(len(s) - 2)})
+    assert "a" not in got and "ab" not in got
+    assert got["abc"] == ["abc"]
+    assert got[long_name] == ref(long_name)
