@@ -199,12 +199,20 @@ def _run_pipeline(spark, sf_dir: str, rep: int) -> tuple[float, int]:
     surface into a rep-sized clique (edges quadratic in rep — the opposite
     artifact), and a salt shared within a replica (keyed on rep alone)
     floods the LSH bands with same-salt candidate pairs.  So: 80% of
-    surfaces get a length-proportional per-(text, rep) salt — novel
-    vocabulary, disjoint shingles, no spurious candidates — and 20% stay
-    unsalted, modeling the shared vocabulary that recurs corpus-wide (hot
-    surfaces collapse in the groupBy; the base near-dup alias graph lives
-    here and still links).  Result: surface universe, signatures, banding,
-    verification, and triples all grow linearly with rep, like real data."""
+    surfaces are REPLACED by a length-proportional md5-derived string
+    keyed on (text, rep) — novel vocabulary with genuinely disjoint
+    shingles — and 20% stay unsalted, modeling the shared vocabulary that
+    recurs corpus-wide (hot surfaces collapse in the groupBy; the base
+    near-dup alias graph lives here and still links).  REPLACEMENT, not
+    an appended suffix: ``text + salt`` keeps the original text as a
+    shared PREFIX across a base surface's ~0.8*rep variants, leaving
+    cross-variant Jaccard ~1/3 — which r=2 LSH bands catch with p ~0.85,
+    so every variant family became a near-clique of spurious candidates
+    (~1.5M pairs at rep=64, growing QUADRATICALLY in rep, all discarded
+    by the verify join).  Profiled 2026-08-21: that artifact was the
+    whole-pipeline 4->16 Amdahl tail.  Result: surface universe,
+    signatures, banding, verification, and triples all grow linearly
+    with rep, like real data."""
     from pyspark.sql import functions as F
 
     from ehr_ner_spark.cache import release_all
@@ -236,20 +244,17 @@ def _run_pipeline(spark, sf_dir: str, rep: int) -> tuple[float, int]:
             .withColumn(
                 "text",
                 F.when(F.abs(F.hash("text")) % 5 == 0, F.col("text")).otherwise(
-                    F.concat(
-                        F.col("text"),
-                        # repeat() so the salt really is length-proportional:
-                        # a single md5 is 32 hex chars, and a truncated salt
-                        # on a >~64-char surface would leave cross-replica
-                        # Jaccard >= 0.5 — welding replicas into rep-sized
-                        # cliques, the exact artifact this salt exists to
-                        # prevent (current corpus max surface is 21 chars,
-                        # so this is robustness, not a live repair)
-                        F.expr(
-                            "substr(repeat(md5(concat(text,"
-                            " cast(_rep as string))),"
-                            " 1 + length(text) DIV 32), 1, length(text))"
-                        ),
+                    # full REPLACEMENT by an md5-derived string of the SAME
+                    # length (repeat() extends past 32 hex chars): no shared
+                    # prefix with the base text or with sibling variants, so
+                    # shingle sets are disjoint and LSH emits no spurious
+                    # same-family candidates (see the docstring's artifact
+                    # note); same length keeps shingle counts, signature
+                    # cost, and byte mass identical to the corpus it models
+                    F.expr(
+                        "substr(repeat(md5(concat(text,"
+                        " cast(_rep as string))),"
+                        " 1 + length(text) DIV 32), 1, length(text))"
                     )
                 ),
             )

@@ -56,6 +56,19 @@ LSH_BANDS = 16
 LSH_ROWS = 2  # MINHASH_K == LSH_BANDS * LSH_ROWS
 SHINGLE_N = 3
 PAIR_CAP = 64  # buckets beyond this emit chain pairs (skew guard)
+# a pair becomes a candidate only if it collides in >= this many DISTINCT
+# small-bucket bands (chain pairs from capped buckets are exempt — they
+# exist to preserve connectivity, not similarity evidence).  r=2 banding
+# keeps J=0.5 recall at 0.99 but lets J~0.03 background pairs through at
+# p ~ 1e-2 per corpus pair — at n surfaces that is O(n^2)*1e-2 spurious
+# candidates (measured: 0.9M of 46k surfaces), ALL discarded by the
+# verify join.  Requiring a second independent band hit squares the
+# noise rate (~200x fewer false candidates) while true near-dups at the
+# 0.5 verify threshold lose only ~5% (P[exactly 1 of 16 bands | >=1] at
+# J=0.5), which the downstream connected components partly re-bridge.
+# This is the frequency-threshold variant of multi-probe LSH — the
+# standard steepening of the S-curve when n makes r=2 noise quadratic.
+MIN_BAND_HITS = 2
 # Mersenne prime 2^31-1: a*x fits int64 AND the modulo genuinely wraps, so
 # (a*x + b) mod P is an actual permutation-like universal hash.  (A larger
 # prime whose products can't wrap in int64 would be ORDER-PRESERVING — every
@@ -206,7 +219,13 @@ def blocking_stats(sigs: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH banding -> (band, band_hash) buckets -> skew-capped pair emission."""
+    """LSH banding -> (band, band_hash) buckets -> skew-capped pair
+    emission -> ``MIN_BAND_HITS`` frequency filter.
+
+    A pair survives only if it collided in >= MIN_BAND_HITS distinct
+    small-bucket bands OR rode a capped bucket's connectivity chain (see
+    the constant's rationale: one r=2 band hit is weak evidence, and its
+    false-candidate mass grows O(n^2) with corpus size)."""
     bands = band_frame(sigs)
     grouped = bands.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_set("surface_id")).alias("members")
@@ -221,25 +240,43 @@ def candidate_pairs(sigs: DataFrame) -> DataFrame:
     chain_expr = F.zip_with(
         F.slice("members", 1, F.size("members") - 1),
         F.slice("members", 2, F.size("members") - 1),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        lambda a, b: F.struct(
+            a.alias("a"), b.alias("b"), F.lit(1).alias("c")
+        ),
     )
     pair_expr = F.when(F.size("members") <= PAIR_CAP, _pairs_expr()).otherwise(
         chain_expr
     )
+    # the hit-count groupBy replaces the old dropDuplicates — same shuffle
+    # (src, dst) key, but the aggregate carries the evidence the filter
+    # needs: how many independent small-bucket bands voted for the pair
     return (
         grouped.select(F.explode(pair_expr).alias("pr"))
-        .select(F.col("pr.a").alias("src"), F.col("pr.b").alias("dst"))
-        .dropDuplicates(["src", "dst"])
+        .select(
+            F.col("pr.a").alias("src"),
+            F.col("pr.b").alias("dst"),
+            F.col("pr.c").alias("chained"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.max("chained").alias("chained"),
+            F.sum(F.lit(1) - F.col("chained")).alias("n_small"),
+        )
+        .where(
+            (F.col("chained") == 1) | (F.col("n_small") >= MIN_BAND_HITS)
+        )
+        .select("src", "dst")
     )
 
 
 def _pairs_expr():
     # all i<j pairs from the sorted members array, as SQL higher-order fns
+    # ('c' = 0: a small-bucket hit, counted toward MIN_BAND_HITS)
     return F.expr(
         """
         flatten(transform(members, (x, i) ->
           transform(slice(members, i + 2, size(members)), y ->
-            named_struct('a', x, 'b', y))))
+            named_struct('a', x, 'b', y, 'c', 0))))
         """
     )
 
@@ -288,8 +325,13 @@ def connected_components(
     vertices: (surface_id); edges: (src, dst) undirected.
     Returns (surface_id, component = min surface_id of the cluster).
     """
-    n_edges = edges.count()
-    if n_edges <= small_graph_edges:
+    # bounded strategy probe: LIMIT threshold+1 then count — cost capped
+    # by the threshold regardless of graph size (a full count() would be
+    # an O(edges) driver barrier spent only to pick a strategy; the edge
+    # frame is persisted by the caller, so this reads at most
+    # ``small_graph_edges + 1`` cached rows)
+    probe = edges.limit(small_graph_edges + 1).count()
+    if probe <= small_graph_edges:
         return _cc_single_pass(vertices, edges)
     return _cc_iterative(vertices, edges, max_iter)
 
@@ -374,16 +416,24 @@ def _cc_iterative(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataF
         ptr = stepped.select(
             F.col("surface_id").alias("p_id"), F.col("component").alias("p_comp")
         )
+        # lazy checkpoint: lineage is cut but materialization rides the
+        # NEXT action instead of an extra eager per-round job — each
+        # driver-synchronized round is a fixed serial term that more
+        # cores cannot shrink (the whole-job N->4N Amdahl tail)
         new_labels = (
             stepped.join(ptr, stepped.component == ptr.p_id, "left")
             .select(
                 "surface_id",
                 F.coalesce("p_comp", F.col("component")).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # convergence probe (skipped on round 0 — chains rarely settle in one)
-        if it > 0:
+        # convergence probe every 2nd round (and never on round 0): with
+        # pointer jumping, rounds needed ~ log2(diameter), so probing per
+        # round costs one driver-synchronized job each to save at most
+        # one — probing half as often halves the serial probe count at
+        # the price of at most ONE extra propagation round after quiesce
+        if it % 2 == 1:
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "surface_id")
@@ -416,9 +466,14 @@ def canonicalize(mentions: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
     edges = tracked_persist(verified_edges(sigs, pairs, jaccard_threshold))
     comps = connected_components(sigs.select("surface_id"), edges)
 
-    labeled = sigs.select("surface_id", "text", "n_mentions").join(
-        comps, "surface_id", "left"
-    ).withColumn("component", F.coalesce("component", F.col("surface_id")))
+    # labeled feeds TWO consumers (the canonical-election window and the
+    # final label join): unpersisted, the component computation — incl.
+    # the union-find pass — would execute once per consumer
+    labeled = tracked_persist(
+        sigs.select("surface_id", "text", "n_mentions").join(
+            comps, "surface_id", "left"
+        ).withColumn("component", F.coalesce("component", F.col("surface_id")))
+    )
 
     from pyspark.sql.window import Window
 

@@ -540,6 +540,7 @@ def _linking_ctes(corpus_sql: str, threshold: float = 0.5) -> str:
     from .linking import (
         LSH_BANDS,
         LSH_ROWS,
+        MIN_BAND_HITS,
         MINHASH_K,
         PAIR_CAP,
         SHINGLE_N,
@@ -588,13 +589,21 @@ def _linking_ctes(corpus_sql: str, threshold: float = 0.5) -> str:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY band, band_sig
                                    ORDER BY surface_id) AS rk
       FROM bandrows),
-    pairs AS (
-      SELECT DISTINCT a.surface_id AS src, b.surface_id AS dst
+    pairsm AS (
+      -- per-pair band-hit evidence: n_small = distinct small-bucket band
+      -- collisions, chained = rode a capped bucket's connectivity chain
+      SELECT a.surface_id AS src, b.surface_id AS dst,
+             MAX(CASE WHEN s.n > {PAIR_CAP} THEN 1 ELSE 0 END) AS chained,
+             SUM(CASE WHEN s.n <= {PAIR_CAP} THEN 1 ELSE 0 END) AS n_small
       FROM br a
       JOIN br b ON a.band = b.band AND a.band_sig = b.band_sig
       JOIN bsize s ON s.band = a.band AND s.band_sig = a.band_sig
       WHERE (s.n <= {PAIR_CAP} AND b.surface_id > a.surface_id)
-         OR (s.n > {PAIR_CAP} AND b.rk = a.rk + 1)),
+         OR (s.n > {PAIR_CAP} AND b.rk = a.rk + 1)
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT src, dst FROM pairsm
+      WHERE chained = 1 OR n_small >= {MIN_BAND_HITS}),
     sizes AS (SELECT surface_id, COUNT(*) AS n_sh FROM ssh GROUP BY 1),
     inter AS (
       SELECT p.src, p.dst, COUNT(*) AS n_common
@@ -673,6 +682,7 @@ def minhash_dedup_oracle_sql(threshold: float = 0.6) -> str:
     from .linking import (
         LSH_BANDS,
         LSH_ROWS,
+        MIN_BAND_HITS,
         MINHASH_K,
         PAIR_CAP,
         SHINGLE_N,
@@ -715,13 +725,19 @@ def minhash_dedup_oracle_sql(threshold: float = 0.6) -> str:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY band, band_sig
                                    ORDER BY surface_id) AS rk
       FROM bandrows),
-    pairs AS (
-      SELECT DISTINCT a.surface_id AS src, b.surface_id AS dst
+    pairsm AS (
+      SELECT a.surface_id AS src, b.surface_id AS dst,
+             MAX(CASE WHEN s.n > {PAIR_CAP} THEN 1 ELSE 0 END) AS chained,
+             SUM(CASE WHEN s.n <= {PAIR_CAP} THEN 1 ELSE 0 END) AS n_small
       FROM br a
       JOIN br b ON a.band = b.band AND a.band_sig = b.band_sig
       JOIN bsize s ON s.band = a.band AND s.band_sig = a.band_sig
       WHERE (s.n <= {PAIR_CAP} AND b.surface_id > a.surface_id)
-         OR (s.n > {PAIR_CAP} AND b.rk = a.rk + 1)),
+         OR (s.n > {PAIR_CAP} AND b.rk = a.rk + 1)
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT src, dst FROM pairsm
+      WHERE chained = 1 OR n_small >= {MIN_BAND_HITS}),
     sizes AS (SELECT surface_id, COUNT(*) AS n_sh FROM ssh GROUP BY 1),
     inter AS (
       SELECT p.src, p.dst, COUNT(*) AS n_common
