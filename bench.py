@@ -36,9 +36,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 
-# headline benchmark queries (name -> registry key); the flagship KG
+# Headline benchmark queries (name -> registry key); the flagship KG
 # pipeline is timed separately since it is the throughput metric.
-BENCH_QUERIES = [
+# CORE = the round-2 headline set, timed min-of-reps every round (the
+# stable round-over-round comparison series); EXTENDED = everything added
+# since, timed min-of-1 (coverage without blowing the wall-clock budget —
+# r3's 61 queries at min-of-3 ate 2848 s of a 3300 s budget and the next
+# additions would have truncated the scaling evidence that matters more).
+CORE_QUERIES = [
     "rel_pricing_summary",
     "rel_top_customers",
     "rel_order_rank_window",
@@ -58,6 +63,9 @@ BENCH_QUERIES = [
     "ds_lang_id",
     "ds_minhash_lsh_pairs",
     "ds_embedding_neardup",
+]
+
+EXTENDED_QUERIES = [
     "kg_train_tagger",
     "ds_kmeans",
     "ds_inverted_index",
@@ -99,6 +107,8 @@ BENCH_QUERIES = [
     "ds_hll_rollup",
     "ds_lsh_scurve",
 ]
+
+BENCH_QUERIES = CORE_QUERIES + EXTENDED_QUERIES
 
 
 def _session(cores: int):
@@ -399,7 +409,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = entrypoints.QUERIES_REGISTRY[name]
         best = float("inf")
-        for i in range(reps):
+        # CORE queries always get their full min-of-reps (the stable
+        # round-over-round series must stay noise-robust); EXTENDED
+        # queries run once each (coverage), earning extra reps only while
+        # the headline phase is comfortably inside its budget share
+        n_reps = reps if name in CORE_QUERIES else 1
+        for i in range(n_reps):
             # min-of-what-fits: every query gets >=1 rep; extra reps yield
             # once the headline phase has eaten 45% of the whole budget
             # (the three scaling pairs behind it need the clock more)
