@@ -181,3 +181,64 @@ def test_alias_dictionary_cluster_invariants(spark, sf_dir):
                 m.alias for m in members
                 if m.n_mentions == max(x.n_mentions for x in members)
             )
+
+
+def test_min_band_hits_filter_semantics(spark):
+    """A candidate needs >=MIN_BAND_HITS distinct small-bucket band
+    collisions; capped-bucket chain pairs bypass the filter (they carry
+    connectivity, not similarity evidence).  Signatures are PLANTED so
+    band collisions are exact by construction."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    from ehr_ner_spark.operators.linking import (
+        LSH_BANDS, LSH_ROWS, MIN_BAND_HITS, PAIR_CAP,
+    )
+
+    assert MIN_BAND_HITS == 2  # the planted cases below encode K=2
+
+    def sig(*band_vals):
+        # band b's identity = sig[2b:2b+2]; distinct filler guarantees no
+        # accidental collisions outside the planted bands
+        out = []
+        for b in range(LSH_BANDS):
+            out.extend(band_vals[b])
+        return out
+
+    uniq = itertools.count(1000)
+
+    def filler():
+        return (next(uniq), next(uniq))
+
+    # s1/s2 collide in bands 0 AND 1 (-> kept); s3 collides with s1 only
+    # in band 0 (-> dropped); s4 shares nothing (control)
+    shared0, shared1 = (7, 7), (9, 9)
+    rows = [
+        (1, "s1", 1, sig(shared0, shared1, *[filler() for _ in range(LSH_BANDS - 2)]), [1]),
+        (2, "s2", 1, sig(shared0, shared1, *[filler() for _ in range(LSH_BANDS - 2)]), [2]),
+        (3, "s3", 1, sig(shared0, *[filler() for _ in range(LSH_BANDS - 1)]), [3]),
+        (4, "s4", 1, sig(*[filler() for _ in range(LSH_BANDS)]), [4]),
+    ]
+    schema = StructType([
+        StructField("surface_id", LongType()),
+        StructField("text", StringType()),
+        StructField("n_mentions", LongType()),
+        StructField("sig", ArrayType(LongType())),
+        StructField("shingle_hashes", ArrayType(LongType())),
+    ])
+    sigs = spark.createDataFrame(rows, schema)
+    got = {(r["src"], r["dst"]) for r in candidate_pairs(sigs).collect()}
+    assert got == {(1, 2)}, got
+
+    # chain exemption: an oversized band-0 bucket emits consecutive chain
+    # pairs, each seen in only ONE band — they must survive the filter
+    big = [
+        (i, f"c{i}", 1,
+         sig(shared0, *[filler() for _ in range(LSH_BANDS - 1)]), [i])
+        for i in range(1, PAIR_CAP + 3)
+    ]
+    sigs_big = spark.createDataFrame(big, schema)
+    chain = {(r["src"], r["dst"]) for r in candidate_pairs(sigs_big).collect()}
+    ids = sorted(r[0] for r in big)
+    assert chain == {(a, b) for a, b in zip(ids, ids[1:])}
