@@ -553,7 +553,15 @@ def main() -> None:
         # link -> canonicalize -> triples), not just its compute-bound
         # stage.  rep inflates the corpus under distinct doc ids so the
         # scalable work dwarfs the pipeline's fixed per-job latency.
-        pipe_rep = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REP", "128"))
+        # 256 (1.28M docs, ~50M mentions): at r3's 128 the whole job ran
+        # ~35 s at local[16], so the linking tail's ~10 s of fixed
+        # driver/stage latency — a term that VANISHES relative to compute
+        # at the 100-TB design point — ate a third of the measurement and
+        # capped the observable efficiency near 0.7 no matter how well
+        # the scan/score/shuffle work scaled.  Doubling the corpus halves
+        # the fixed share while keeping a 3-try pair inside its phase
+        # budget (~5 min/try at 4 cores).
+        pipe_rep = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REP", "256"))
         # 2 windows x min-of-2 timed runs: the in-try min already absorbs
         # the JIT/GC swing, so fewer windows are needed than the scoring
         # pairs' single-shot tries

@@ -4655,6 +4655,50 @@ def _blocking_stats_oracle() -> str:
     return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
 
 
+def _band_filter_recall_oracle() -> str:
+    from .operators.mention_sql import _linking_ctes
+
+    # extend the shared linking chain with the UNFILTERED pair->verify leg
+    # (pairsm/ssh/sizes are in scope); filtered edges are a subset, so the
+    # recall division is exact.  GREATEST guards the empty-corpus case.
+    base = _linking_ctes(CORPUS_SQL) + """,
+    pairs_all AS (SELECT src, dst FROM pairsm),
+    inter_all AS (
+      SELECT p.src, p.dst, COUNT(*) AS n_common
+      FROM pairs_all p
+      JOIN ssh a ON a.surface_id = p.src
+      JOIN ssh b ON b.surface_id = p.dst AND b.h = a.h
+      GROUP BY 1, 2),
+    edges_all AS (
+      SELECT i.src, i.dst FROM inter_all i
+      JOIN sizes sa ON sa.surface_id = i.src
+      JOIN sizes sb ON sb.surface_id = i.dst
+      WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5)
+    SELECT (SELECT COUNT(*) FROM pairs)::BIGINT     AS n_cand_filtered,
+           (SELECT COUNT(*) FROM pairs_all)::BIGINT AS n_cand_all,
+           (SELECT COUNT(*) FROM edges)::BIGINT     AS n_edges_filtered,
+           (SELECT COUNT(*) FROM edges_all)::BIGINT AS n_edges_all,
+           ((1000000 * (SELECT COUNT(*) FROM edges))
+             // GREATEST((SELECT COUNT(*) FROM edges_all), 1))::BIGINT
+             AS edge_recall_micro
+    """
+    return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
+
+
+@_register("kg_band_filter_recall", oracle=_band_filter_recall_oracle)
+def kg_band_filter_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honesty audit for the linking LSH's MIN_BAND_HITS candidate
+    filter: the candidate+verify chain with and without the >=2-band
+    frequency rule, reported as candidate/edge counts and exact edge
+    recall in integer micro-units — the same ships-with-its-own-audit
+    discipline as ds_lsh_recall_eval
+    (operators/linking.py::band_filter_recall)."""
+    from .operators.linking import band_filter_recall
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return band_filter_recall(m)
+
+
 @_register("kg_blocking_stats", oracle=_blocking_stats_oracle)
 def kg_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band LSH blocking audit for the linking stage: bucket-size

@@ -63,7 +63,14 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
     sigs = tracked_persist(surface_signatures(pseudo_mentions))
     pairs = candidate_pairs(sigs)
     edges = tracked_persist(verified_edges(sigs, pairs, threshold))
-    comps = connected_components(sigs.select("surface_id"), edges)
+    # endpoints only — the left join below coalesces unlinked docs to
+    # their own surface_id (same contract as canonicalize)
+    endpoints = (
+        edges.select(F.col("src").alias("surface_id"))
+        .unionByName(edges.select(F.col("dst").alias("surface_id")))
+        .distinct()
+    )
+    comps = connected_components(endpoints, edges)
     return (
         pseudo_mentions.withColumn("surface_id", md5_60_expr(F.col("text")))
         .join(comps, "surface_id", "left")

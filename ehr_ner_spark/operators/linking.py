@@ -174,17 +174,29 @@ def surface_signatures(mentions: DataFrame) -> DataFrame:
 
 
 def band_frame(sigs: DataFrame) -> DataFrame:
-    """One row per (surface_id, band) with the band's identity string —
-    the shared blocking stage behind pair emission AND the blocking-stats
-    audit."""
+    """One row per (surface_id, band) with the band's identity — the
+    shared blocking stage behind pair emission AND the blocking-stats
+    audit.
+
+    The identity is the band's two minhashes PACKED into one BIGINT
+    (``mh0 * 2^31 + mh1``): both values are < P31 = 2^31 - 1, so the
+    packing is collision-free and fits int64 exactly ((2^31-1)*2^31 +
+    2^31-1 = 2^62-1).  A fixed-width numeric key keeps the band groupBy
+    inside codegen with cheap hashing — the former comma-joined STRING
+    identity allocated and hashed ~30 bytes per band row, pure CPU tax
+    on a 16-rows-per-surface explode.  SQL-expressible verbatim (the
+    twins compute the same arithmetic).  r=2-specific: a third 31-bit
+    value would overflow int64."""
+    assert LSH_ROWS == 2, "packed band identity requires r=2"
     return sigs.select(
         "surface_id",
         F.posexplode(
             F.array(
                 *[
-                    # band identity = the joined minhash run itself (string):
-                    # SQL-expressible, unlike xxhash64 over an array
-                    F.array_join(F.slice("sig", 1 + b * LSH_ROWS, LSH_ROWS), ",")
+                    (
+                        F.col("sig")[b * LSH_ROWS] * F.lit(2_147_483_648)
+                        + F.col("sig")[b * LSH_ROWS + 1]
+                    )
                     for b in range(LSH_BANDS)
                 ]
             )
@@ -218,14 +230,19 @@ def blocking_stats(sigs: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(sigs: DataFrame) -> DataFrame:
+def candidate_pairs(sigs: DataFrame, min_hits: int | None = None) -> DataFrame:
     """LSH banding -> (band, band_hash) buckets -> skew-capped pair
     emission -> ``MIN_BAND_HITS`` frequency filter.
 
-    A pair survives only if it collided in >= MIN_BAND_HITS distinct
-    small-bucket bands OR rode a capped bucket's connectivity chain (see
-    the constant's rationale: one r=2 band hit is weak evidence, and its
-    false-candidate mass grows O(n^2) with corpus size)."""
+    A pair survives only if it collided in >= ``min_hits`` (default
+    ``MIN_BAND_HITS``) distinct small-bucket bands OR rode a capped
+    bucket's connectivity chain (see the constant's rationale: one r=2
+    band hit is weak evidence, and its false-candidate mass grows O(n^2)
+    with corpus size).  ``min_hits=1`` disables the filter — the
+    kg_band_filter_recall audit measures what the default costs against
+    that unfiltered baseline."""
+    if min_hits is None:
+        min_hits = MIN_BAND_HITS
     bands = band_frame(sigs)
     grouped = bands.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_set("surface_id")).alias("members")
@@ -263,7 +280,7 @@ def candidate_pairs(sigs: DataFrame) -> DataFrame:
             F.sum(F.lit(1) - F.col("chained")).alias("n_small"),
         )
         .where(
-            (F.col("chained") == 1) | (F.col("n_small") >= MIN_BAND_HITS)
+            (F.col("chained") == 1) | (F.col("n_small") >= min_hits)
         )
         .select("src", "dst")
     )
@@ -281,16 +298,54 @@ def _pairs_expr():
     )
 
 
+def band_filter_recall(mentions: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Honesty audit for the MIN_BAND_HITS candidate filter (the same
+    discipline as ds_lsh_recall_eval / ds_ivf_recall_eval: every
+    approximation ships with a query that measures it against the exact
+    baseline).  Runs the linking candidate+verify chain twice — with the
+    frequency filter and with ``min_hits=1`` (unfiltered) — and reports
+    the candidate counts, verified-edge counts, and the edge recall in
+    integer micro-units.  Filtered edges are a subset of unfiltered by
+    construction, so recall is exact set containment, not an estimate.
+
+    One row: (n_cand_filtered, n_cand_all, n_edges_filtered, n_edges_all,
+    edge_recall_micro)."""
+    from ..cache import tracked_persist
+
+    sigs = tracked_persist(surface_signatures(mentions))
+    filt = tracked_persist(candidate_pairs(sigs))
+    allp = tracked_persist(candidate_pairs(sigs, min_hits=1))
+    e_f = verified_edges(sigs, filt, threshold)
+    e_a = verified_edges(sigs, allp, threshold)
+    counts = (
+        filt.agg(F.count(F.lit(1)).alias("n_cand_filtered"))
+        .crossJoin(allp.agg(F.count(F.lit(1)).alias("n_cand_all")))
+        .crossJoin(e_f.agg(F.count(F.lit(1)).alias("n_edges_filtered")))
+        .crossJoin(e_a.agg(F.count(F.lit(1)).alias("n_edges_all")))
+    )
+    return counts.select(
+        "n_cand_filtered", "n_cand_all", "n_edges_filtered", "n_edges_all",
+        F.expr(
+            "(1000000 * n_edges_filtered) DIV GREATEST(n_edges_all, 1)"
+        ).alias("edge_recall_micro"),
+    )
+
+
 def verified_edges(sigs: DataFrame, pairs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard over shingle-hash sets for candidate pairs (J2-style
     equi-joins; the shingle arrays ride along, no re-tokenization)."""
-    # shuffle-hash, not sort-merge: the candidate frame is orders of
-    # magnitude larger than the verified survivors (chance band collisions
-    # among short surfaces), and sorting it twice — once per side lookup —
-    # is pure wasted memory bandwidth.  A hash join builds on the (smaller)
-    # signature side and streams the candidates; at warehouse scale both
-    # sides stay hash-partitioned on the same key, no sort ever needed.
-    s = sigs.select("surface_id", "shingle_hashes").hint("shuffle_hash")
+    # join strategy is AQE's runtime call, deliberately un-hinted: since
+    # the MIN_BAND_HITS filter, the pair frame is usually the SMALL side
+    # (tens of KB per million surfaces) and AQE broadcasts it — the heavy
+    # signature side (shingle arrays) then never shuffles at all.  When a
+    # pathological corpus makes pairs big, AQE's runtime sizes fall back
+    # to a shuffled join instead of OOMing a forced broadcast; either
+    # way sort-merge's double sort of array payloads is avoided for
+    # whichever side stays hash-built.  (The previous forced shuffle_hash
+    # hint was sized for the pre-filter regime where candidates were
+    # ~20x the surface count; it pinned TWO shuffles of the array-heavy
+    # signature frame on every run.)
+    s = sigs.select("surface_id", "shingle_hashes")
     j = (
         pairs.join(s.withColumnRenamed("surface_id", "src").withColumnRenamed("shingle_hashes", "sh_a"), "src")
         .join(s.withColumnRenamed("surface_id", "dst").withColumnRenamed("shingle_hashes", "sh_b"), "dst")
@@ -464,7 +519,19 @@ def canonicalize(mentions: DataFrame, jaccard_threshold: float = 0.5) -> DataFra
     sigs = tracked_persist(surface_signatures(mentions))
     pairs = candidate_pairs(sigs)
     edges = tracked_persist(verified_edges(sigs, pairs, jaccard_threshold))
-    comps = connected_components(sigs.select("surface_id"), edges)
+    # CC over the EDGE ENDPOINTS only: the left join below coalesces
+    # every unlinked surface to its own id, so isolated vertices never
+    # need to ride through the union-find — the component frame shrinks
+    # from |surfaces| to |linked surfaces| (orders of magnitude at
+    # corpus scale, where most surfaces join nothing), the single-pass
+    # path's one-partition shuffle carries edges only, and the join back
+    # broadcasts
+    endpoints = (
+        edges.select(F.col("src").alias("surface_id"))
+        .unionByName(edges.select(F.col("dst").alias("surface_id")))
+        .distinct()
+    )
+    comps = connected_components(endpoints, edges)
 
     # labeled feeds TWO consumers (the canonical-election window and the
     # final label join): unpersisted, the component computation — incl.

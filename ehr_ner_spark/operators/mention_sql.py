@@ -580,7 +580,10 @@ def _linking_ctes(corpus_sql: str, threshold: float = 0.5) -> str:
       GROUP BY 1, 2),
     bandrows AS (
       SELECT surface_id, perm // {LSH_ROWS} AS band,
-             string_agg(mh::VARCHAR, ',' ORDER BY perm) AS band_sig
+             -- packed BIGINT band identity (mh0 * 2^31 + mh1): the
+             -- engine's band_frame arithmetic verbatim (r=2, mh < 2^31)
+             SUM(mh * CASE WHEN perm % 2 = 0
+                           THEN 2147483648 ELSE 1 END)::BIGINT AS band_sig
       FROM sig GROUP BY 1, 2),
     bsize AS (
       SELECT band, band_sig, COUNT(*) AS n
@@ -718,7 +721,10 @@ def minhash_dedup_oracle_sql(threshold: float = 0.6) -> str:
       GROUP BY 1, 2),
     bandrows AS (
       SELECT surface_id, perm // {LSH_ROWS} AS band,
-             string_agg(mh::VARCHAR, ',' ORDER BY perm) AS band_sig
+             -- packed BIGINT band identity (mh0 * 2^31 + mh1): the
+             -- engine's band_frame arithmetic verbatim (r=2, mh < 2^31)
+             SUM(mh * CASE WHEN perm % 2 = 0
+                           THEN 2147483648 ELSE 1 END)::BIGINT AS band_sig
       FROM sig GROUP BY 1, 2),
     bsize AS (SELECT band, band_sig, COUNT(*) AS n FROM bandrows GROUP BY 1, 2),
     br AS (
@@ -862,7 +868,10 @@ def incremental_dedup_oracle_sql(threshold: float = 0.6,
       GROUP BY 1, 2),
     bandrows AS (
       SELECT surface_id, perm // {LSH_ROWS} AS band,
-             string_agg(mh::VARCHAR, ',' ORDER BY perm) AS band_sig
+             -- packed BIGINT band identity (mh0 * 2^31 + mh1): the
+             -- engine's band_frame arithmetic verbatim (r=2, mh < 2^31)
+             SUM(mh * CASE WHEN perm % 2 = 0
+                           THEN 2147483648 ELSE 1 END)::BIGINT AS band_sig
       FROM sig GROUP BY 1, 2),
     sdocs AS (
       SELECT d.doc_id, s.surface_id, d.doc_id % {batch_mod} = 0 AS is_batch

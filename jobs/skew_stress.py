@@ -38,9 +38,8 @@ def main() -> None:
 
     from ehr_ner_spark.corpus import corpus
     from ehr_ner_spark.operators.linking import (
-        LSH_BANDS,
-        LSH_ROWS,
         PAIR_CAP,
+        band_frame,
         candidate_pairs,
         canonical_triples,
         canonicalize,
@@ -87,14 +86,7 @@ def main() -> None:
     # --- guard statistics (diagnostic pass, not counted in throughput) ---
     sigs = surface_signatures(m).persist()
     n_surfaces = sigs.count()
-    bands = sigs.select(
-        F.posexplode(
-            F.array(*[
-                F.array_join(F.slice("sig", 1 + b * LSH_ROWS, LSH_ROWS), ",")
-                for b in range(LSH_BANDS)
-            ])
-        ).alias("band", "band_hash")
-    )
+    bands = band_frame(sigs)
     bstats = (
         bands.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("sz"))
