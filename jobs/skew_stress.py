@@ -57,15 +57,43 @@ def main() -> None:
     )
     par = spark.sparkContext.defaultParallelism
 
+    zipf = os.environ.get("SPARK_GRAFT_SKEW_ZIPF", "0") == "1"
     c = corpus(spark, sf_dir)
     n_base = c.count()
-    big = (
-        c.repartition(4 * par, "doc_id")
-        .crossJoin(F.broadcast(spark.range(k).select(F.col("id").alias("rep"))))
-        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(100_000_000))
-        .drop("rep")
-    )
-    n_docs = n_base * k
+    if zipf:
+        # Zipf-head duplication: doc at popularity rank r (by doc_id hash,
+        # deterministic) is replicated ~K/r times, so a few head documents
+        # carry most of the duplicated mass — the adversarial profile for
+        # the PAIR_CAP chain guard (uniform x K loads every bucket equally;
+        # Zipf concentrates one bucket family) while the total volume stays
+        # ~K * H(n)/n ... per-doc replication is computed as a column and
+        # exploded, so the inflation never crosses a shuffle
+        reps = F.greatest(
+            F.lit(1),
+            (F.lit(k) / (F.pmod(F.xxhash64("doc_id"), F.lit(1000)) + F.lit(1)))
+            .cast("long"),
+        )
+        big = (
+            c.repartition(4 * par, "doc_id")
+            .withColumn("rep", F.explode(F.sequence(F.lit(0), reps - F.lit(1))))
+            .withColumn(
+                "doc_id", F.col("doc_id") + F.col("rep") * F.lit(100_000_000)
+            )
+            .drop("rep")
+        )
+        n_docs = big.count()
+    else:
+        big = (
+            c.repartition(4 * par, "doc_id")
+            .crossJoin(
+                F.broadcast(spark.range(k).select(F.col("id").alias("rep")))
+            )
+            .withColumn(
+                "doc_id", F.col("doc_id") + F.col("rep") * F.lit(100_000_000)
+            )
+            .drop("rep")
+        )
+        n_docs = n_base * k
 
     # warm the Python workers so stage timings are steady-state
     detect_mentions(c.limit(4 * par), num_partitions=par).write.mode(
@@ -111,6 +139,7 @@ def main() -> None:
     out = {
         "metric": "skew-stress linking",
         "k": k,
+        "zipf": zipf,
         "sf": sf_dir,
         "n_docs": n_docs,
         "n_mentions": n_mentions,
