@@ -242,3 +242,20 @@ def test_min_band_hits_filter_semantics(spark):
     chain = {(r["src"], r["dst"]) for r in candidate_pairs(sigs_big).collect()}
     ids = sorted(r[0] for r in big)
     assert chain == {(a, b) for a, b in zip(ids, ids[1:])}
+
+
+def test_band_filter_recall_counts(spark, sf_dir):
+    """The audit row's invariants: filtered candidates/edges are subsets
+    of the unfiltered ones, and the micro recall is the exact integer
+    division of the two edge counts."""
+    from ehr_ner_spark.corpus import corpus
+    from ehr_ner_spark.operators.linking import band_filter_recall
+    from ehr_ner_spark.operators.mention_detect import detect_mentions
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=4)
+    row = band_filter_recall(m).collect()[0]
+    assert 0 < row["n_cand_filtered"] <= row["n_cand_all"]
+    assert 0 < row["n_edges_filtered"] <= row["n_edges_all"]
+    assert row["edge_recall_micro"] == (
+        1_000_000 * row["n_edges_filtered"] // max(row["n_edges_all"], 1)
+    )
