@@ -17,10 +17,20 @@ local[8]->local[32] saturation pair with a raw-multiprocessing hardware
 calibration of the same window.  Disable with SPARK_GRAFT_BENCH_SCALING=0.
 
 The whole harness runs under a wall-clock budget
-(``SPARK_GRAFT_BENCH_BUDGET_SEC``, default 3300; 0 disables): past the
-budget it stops quiet-window waiting and resampling — never a measurement
-in progress — so the JSON artifact always lands even under an external
-timeout, with every phase carrying at least one timed try.
+(``SPARK_GRAFT_BENCH_BUDGET_SEC``, default 2700; 0 disables) and — the
+round-4 lesson, where the driver's external timeout killed the run before
+the single final print and the official record got NOTHING — emits the
+full accumulated JSON line after EVERY phase (and after every scaling
+try), newest line superseding the previous: an external kill truncates
+the evidence instead of erasing it.  Each emitted line is complete valid
+JSON carrying everything measured so far, also mirrored to
+``BENCH/last_run_partial.json``.  Budget pressure drops reps first, then
+phases (recorded in ``phases_skipped``), never the write.  Phase order
+puts the BASELINE-gated scaling pairs BEFORE the EXTENDED coverage
+queries, so a truncated run still carries the evidence that matters.
+
+``--phases headline,north,sat,pipe,extended`` runs a subset (local
+artifact hunting for quiet windows).
 """
 
 from __future__ import annotations
@@ -376,93 +386,190 @@ def _scaling_child(cores: int, rep: int) -> None:
     print(json.dumps({"sec": sec, "n_rows": n_rows}))
 
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _emit(out: dict, final: bool = False) -> None:
+    """Print the full accumulated result as one JSON line (newest line
+    supersedes older ones) and mirror it to a partial file.  Called after
+    every phase and every scaling try: an external timeout mid-run leaves
+    the last line as a complete, parseable artifact of everything
+    measured so far (round 4's rc=124 left nothing)."""
+    out["partial"] = not final
+    line = json.dumps(out)
+    print(line, flush=True)
+    try:
+        path = os.environ.get(
+            "SPARK_GRAFT_BENCH_PARTIAL",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH", "last_run_partial.json"),
+        )
+        with open(path + ".tmp", "w") as f:
+            f.write(line)
+        os.replace(path + ".tmp", path)
+    except OSError:
+        pass  # the stdout line is the artifact of record
+
+
 def main() -> None:
     from ehr_ner_spark import entrypoints
     from ehr_ner_spark.cache import release_all
+
+    phases_arg = "headline,north,sat,pipe,extended"
+    if "--phases" in sys.argv:
+        phases_arg = sys.argv[sys.argv.index("--phases") + 1]
+    phases = {p.strip() for p in phases_arg.split(",") if p.strip()}
 
     n_docs = None
     timings: dict[str, float] = {}
 
     # wall-clock budget: the driver runs this harness under its own timeout,
-    # and a lost artifact is strictly worse than a shorter try list — the
-    # session-15 full run spent 74 min, >10 min of it sleeping in noisy-
-    # window gates.  The budget stops WAITING and RESAMPLING, never a
-    # measurement in progress, and the JSON always prints.  0 disables.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3300"))
+    # and a lost artifact is strictly worse than a shorter try list.  r4's
+    # 3300 default overran (4052 s / 3342 s elapsed locally; the driver's
+    # harder timeout killed the run mid-phase) — 2700 leaves real headroom
+    # under a 3600 s external window.  Budget pressure drops reps, then
+    # phases, never the emit.  0 disables.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700"))
     if budget <= 0:
         budget = float("inf")
     t0_all = time.time()
+
+    def left() -> float:
+        return budget - (time.time() - t0_all)
 
     # min-of-N per query: single-shot timings on a shared host made r2
     # regressions unarguable-but-undiagnosable; the min is the noise-robust
     # estimator of the plan's cost.  Tracked caches are released between
     # repetitions so every rep pays the full plan (no warm-cache minima)
-    # and persisted frames never accumulate across the 20-query session.
+    # and persisted frames never accumulate across the query session.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "3"))
 
-    spark = _session(CPUS)
-    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    # flagship KG pipeline (throughput metric), min-of-2
-    flagship_sec = min(_run_flagship(spark, SF_DIR) for _ in range(2))
-    timings["kg_pipeline"] = round(flagship_sec, 3)
+    out: dict = {
+        "metric": "kg_pipeline+headline_queries wall-clock",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "n_docs": None,
+        "bench_budget_sec": None if budget == float("inf") else budget,
+        "phases_skipped": [],
+        "queries_skipped": [],
+    }
 
-    for name in BENCH_QUERIES:
-        fn = entrypoints.QUERIES_REGISTRY[name]
-        best = float("inf")
-        # CORE queries always get their full min-of-reps (the stable
-        # round-over-round series must stay noise-robust); EXTENDED
-        # queries run once each (coverage), earning extra reps only while
-        # the headline phase is comfortably inside its budget share
-        n_reps = reps if name in CORE_QUERIES else 1
-        for i in range(n_reps):
-            # min-of-what-fits: every query gets >=1 rep; extra reps yield
-            # once the headline phase has eaten 45% of the whole budget
-            # (the three scaling pairs behind it need the clock more)
-            if i and time.time() - t0_all > 0.45 * budget:
-                break
-            t0 = time.time()
-            _sink(fn(spark, SF_DIR))
-            best = min(best, time.time() - t0)
-            release_all()
-        timings[name] = round(best, 3)
-    spark.stop()
+    def refresh() -> None:
+        out["value"] = round(sum(timings.values()), 3)
+        out["bench_elapsed_sec"] = round(time.time() - t0_all, 1)
 
-    scaling = None
-    if DO_SCALING:
-        # NORTH-RULE pair: N=4 -> 4N=16 executor threads (half the 32-core
-        # box at the high level, so the measurement is not confounded by the
-        # shared host's all-core contention).  rep sized so scoring
-        # core-time dwarfs session fixed costs at both levels.
+    spark = None
+    if "headline" in phases or "extended" in phases:
+        spark = _session(CPUS)
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        out["n_docs"] = n_docs
+
+    if "headline" in phases:
+        # flagship KG pipeline (throughput metric), min-of-2
+        flagship_sec = min(_run_flagship(spark, SF_DIR) for _ in range(2))
+        timings["kg_pipeline"] = round(flagship_sec, 3)
+        out["docs_per_sec"] = round(n_docs / flagship_sec, 2)
+        refresh()
+        _emit(out)
+        for name in CORE_QUERIES:
+            fn = entrypoints.QUERIES_REGISTRY[name]
+            best = float("inf")
+            for i in range(reps):
+                # CORE queries are cheap (~1-2 s each); extra reps yield
+                # only under a tiny budget — the scaling pairs behind this
+                # phase need the clock far more
+                if i and time.time() - t0_all > 0.20 * budget:
+                    break
+                t0 = time.time()
+                _sink(fn(spark, SF_DIR))
+                best = min(best, time.time() - t0)
+                release_all()
+            timings[name] = round(best, 3)
+            refresh()
+            _emit(out)
+
+    # ---- scaling phases (the BASELINE gate) run BEFORE the EXTENDED
+    # coverage queries: a budget- or externally-truncated run must carry
+    # the scaling evidence, not 40 min-of-1 coverage timings.  The Spark
+    # session is stopped around them (each pair runs its own child JVMs).
+    if spark is not None and ("north" in phases or "sat" in phases
+                              or "pipe" in phases):
+        spark.stop()
+        spark = None
+
+    scaling: dict = {}
+    want_scaling = DO_SCALING and ("north" in phases or "sat" in phases
+                                   or "pipe" in phases)
+    if want_scaling:
+        out["scaling"] = scaling
         rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "96"))
-        # the sandbox VM is a shared host: throughput swings with neighbor
-        # load, so sample up to `tries` times and report the best pair
-        # (quiet-window sampling) alongside every try
-        tries = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_TRIES", "3"))
-        # quiet-window gate, shared by all three pairs: the hw probe costs
-        # <1 s while a Spark pair costs minutes — when the probe already
-        # shows the box's own ceiling below what a green try needs, sleep
-        # and re-probe instead of burning a try on a window that cannot
-        # pass.  Bounded at 4x the try budget, after which the pair runs
-        # regardless, so the artifact always carries measurements.
         quiet_hw = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_HW", "0.85"))
-        # split whatever budget remains at scaling start into per-phase
-        # deadlines so the later (more expensive) pairs always get a shot:
-        # 30% north / 35% saturation / 35% whole-job pipeline
-        scal_left = max(0.0, budget - (time.time() - t0_all))
-        if scal_left == float("inf"):
-            north_deadline = sat_deadline = pipe_deadline = float("inf")
-        else:
-            t_scal = time.time()
-            north_deadline = t_scal + 0.30 * scal_left
-            sat_deadline = t_scal + 0.65 * scal_left
-            pipe_deadline = t_scal + 1.00 * scal_left
-        best, all_tries, north_skipped = None, [], 0
-        north_windows = 0
-        while True:
+        # phase deadline shares, renormalized over the requested phases and
+        # re-based on the clock actually remaining as each phase starts —
+        # a phase finishing early donates its slack downstream
+        weights = {"north": 20.0, "sat": 35.0, "pipe": 45.0}
+        active = [p for p in ("north", "sat", "pipe") if p in phases]
+
+        def phase_deadline(p: str) -> float:
+            rem = [q for q in active if active.index(q) >= active.index(p)]
+            share = weights[p] / sum(weights[q] for q in rem)
+            if left() == float("inf"):
+                return float("inf")
+            return time.time() + share * max(0.0, left())
+
+    if want_scaling and "north" in phases:
+        # NORTH-RULE pair: N=4 -> 4N=16 executor threads (half the 32-core
+        # box at the high level, so the measurement is not confounded by
+        # the shared host's all-core contention).  rep sized so scoring
+        # core-time dwarfs session fixed costs at both levels.
+        tries = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_TRIES", "3"))
+        north_deadline = phase_deadline("north")
+        est_try = 220.0  # measured r4: ~65 s @4 + ~18 s @16 + 2 sessions
+        best, all_tries, north_skipped, north_windows = None, [], 0, 0
+
+        def north_summary() -> None:
+            scaling.update({
+                "tries": all_tries,
+                "windows_skipped_noisy": north_skipped,
+            })
+            if best is not None:
+                scaling.update({
+                    "stage": "battery scoring + IOB2 decode (mapInPandas)",
+                    "rep": rep,
+                    "n_docs_scored": best["n_rows"],
+                    "local4_sec": round(best["t4"], 3),
+                    "local16_sec": round(best["t16"], 3),
+                    "local4_docs_per_sec": round(
+                        best["n_rows"] / best["t4"], 1),
+                    "local16_docs_per_sec": round(
+                        best["n_rows"] / best["t16"], 1),
+                    # headline = best try; the shared host makes the
+                    # distribution's max (the quiet window) the estimate of
+                    # the engine's scaling, and the label + median + raw
+                    # tries keep the reporting honest
+                    "efficiency": round(best["eff"], 3),
+                    "efficiency_policy":
+                        "best_of_tries (quiet-window sampling)",
+                    "median_efficiency": round(_median(
+                        [t["efficiency"] for t in all_tries
+                         if "efficiency" in t]), 3),
+                    "hw_calibration": best["hw"],
+                    "efficiency_vs_hw": round(
+                        best["eff"] / best["hw"]["hw_efficiency"], 3),
+                })
+            refresh()
+            _emit(out)
+
+        while left() > est_try:
             north_windows += 1
             north_hw = _hw_calibration(4, 16)
             north_exhausted = (north_windows >= 4 * tries
-                               or time.time() > north_deadline)
+                               or time.time() > north_deadline - est_try)
             if north_hw["hw_efficiency"] < quiet_hw and not north_exhausted:
                 north_skipped += 1
                 time.sleep(10)
@@ -476,7 +583,8 @@ def main() -> None:
                 t16, _ = _scaling_child_run(16, rep)
             except Exception as e:  # noqa: BLE001 — artifact > crash
                 all_tries.append({"error": repr(e)[:200]})
-                if len(all_tries) >= tries or time.time() > north_deadline:
+                north_summary()
+                if len(all_tries) >= tries:
                     break
                 continue
             eff = (t4 / t16) / 4.0
@@ -489,35 +597,58 @@ def main() -> None:
             if best is None or eff > best["eff"]:
                 best = {"t4": t4, "t16": t16, "eff": eff, "n_rows": n_rows,
                         "hw": north_hw}
-            # gate exhaustion stops the WAITING, never the SAMPLING: on a
-            # host that never offers a quiet window, the artifact still
-            # records best-of-`tries` timed pairs, not one contended shot
+            north_summary()
             if (eff >= 0.8 or len(all_tries) >= tries
-                    or time.time() > north_deadline):
+                    or time.time() > north_deadline - est_try):
                 break
+        if not all_tries:
+            out["phases_skipped"].append("north (budget)")
+            north_summary()
+
+    if want_scaling and "sat" in phases:
         # SATURATION pair: 8 -> 32 fills the whole box; reported with a raw
         # multiprocessing calibration of the SAME window so engine overhead
-        # is separable from the machine's own all-core ceiling.  Sampled the
-        # same way as the north pair (quiet-window: up to `sat_tries` runs,
-        # stop once a >=0.8-raw try lands) so the recorded artifact is
-        # self-sufficient — no prose needed to find the green window.
+        # is separable from the machine's own all-core ceiling.  The
+        # all-core hw probe is a WEAK predictor for this pair (r3 records
+        # landed green in windows whose probe read 0.54-0.57), so waiting
+        # is capped and the phase spends its clock on timed tries.
         rep32 = 2 * rep
         sat_tries = int(os.environ.get("SPARK_GRAFT_BENCH_SAT_TRIES", "8"))
-        # the all-core hw probe is a WEAK predictor for this pair: the
-        # session-15 record (0.831 raw) and the session-20 run (0.785 raw,
-        # vs-hw 1.368) both landed in windows whose probe read 0.54-0.57 —
-        # the engine routinely tracks well ABOVE the raw-mp calibration.
-        # So cap the time spent sleeping on the probe (default 12 x 10 s)
-        # and spend the rest of the phase on timed tries: more samples
-        # beat more waiting when the gate signal is weak.
         sat_sleeps = int(os.environ.get("SPARK_GRAFT_BENCH_SAT_SLEEPS", "12"))
-        sat_best, sat_all, sat_skipped = None, [], 0
-        windows = 0
-        while True:
+        sat_deadline = phase_deadline("sat")
+        est_try = 200.0  # measured r4: ~60 s @8 + ~25 s @32 + 2 sessions
+        sat_best, sat_all, sat_skipped, windows = None, [], 0, 0
+
+        def sat_summary() -> None:
+            scaling["saturation_8_to_32"] = {
+                **({
+                    "rep": rep32,
+                    "n_docs_scored": sat_best["n32"],
+                    "local8_sec": round(sat_best["t8"], 3),
+                    "local32_sec": round(sat_best["t32"], 3),
+                    "local32_docs_per_sec": round(
+                        sat_best["n32"] / sat_best["t32"], 1),
+                    "efficiency": round(sat_best["eff"], 3),
+                    "efficiency_policy":
+                        "best_of_tries (quiet-window sampling)",
+                    "median_efficiency": round(_median(
+                        [t["efficiency"] for t in sat_all
+                         if "efficiency" in t]), 3),
+                    "hw_calibration": sat_best["hw"],
+                    "efficiency_vs_hw": round(
+                        sat_best["eff"] / sat_best["hw"]["hw_efficiency"], 3),
+                } if sat_best is not None else {}),
+                "tries": sat_all,
+                "windows_skipped_noisy": sat_skipped,
+            }
+            refresh()
+            _emit(out)
+
+        while left() > est_try:
             windows += 1
             hw = _hw_calibration()
             exhausted = (sat_skipped >= sat_sleeps
-                         or time.time() > sat_deadline)
+                         or time.time() > sat_deadline - est_try)
             if hw["hw_efficiency"] < quiet_hw and not exhausted:
                 sat_skipped += 1
                 time.sleep(10)
@@ -529,7 +660,8 @@ def main() -> None:
                 t32, _ = _scaling_child_run(32, rep32)
             except Exception as e:  # noqa: BLE001 — artifact > crash
                 sat_all.append({"error": repr(e)[:200]})
-                if len(sat_all) >= sat_tries or time.time() > sat_deadline:
+                sat_summary()
+                if len(sat_all) >= sat_tries:
                     break
                 continue
             eff32 = (t8 / t32) / 4.0
@@ -542,50 +674,99 @@ def main() -> None:
             if sat_best is None or eff32 > sat_best["eff"]:
                 sat_best = {"t8": t8, "t32": t32, "eff": eff32,
                             "n32": n32, "hw": hw}
-            # as with the north pair: exhaustion ends the waiting, not the
-            # sampling — always leave with best-of-`sat_tries` timed pairs
+            sat_summary()
             if (eff32 >= 0.8 or len(sat_all) >= sat_tries
-                    or time.time() > sat_deadline):
+                    or time.time() > sat_deadline - est_try):
                 break
+        if not sat_all:
+            out["phases_skipped"].append("sat (budget)")
+            sat_summary()
 
+    if want_scaling and "pipe" in phases:
         # WHOLE-JOB pair: the north rule says "the same job at N and 4N
         # executors" — so also measure the full flagship pipeline (detect ->
         # link -> canonicalize -> triples), not just its compute-bound
         # stage.  rep inflates the corpus under distinct doc ids so the
-        # scalable work dwarfs the pipeline's fixed per-job latency.
-        # 256 (1.28M docs, ~50M mentions): at r3's 128 the whole job ran
-        # ~35 s at local[16], so the linking tail's ~10 s of fixed
-        # driver/stage latency — a term that VANISHES relative to compute
-        # at the 100-TB design point — ate a third of the measurement and
-        # capped the observable efficiency near 0.7 no matter how well
-        # the scan/score/shuffle work scaled.  Doubling the corpus halves
-        # the fixed share while keeping a 3-try pair inside its phase
-        # budget (~5 min/try at 4 cores).
+        # scalable work dwarfs the pipeline's fixed per-job latency (r4:
+        # rep=256 halves the fixed share vs r3's 128).  This is the most
+        # expensive pair (~200 s per local[4] timed run), so the in-child
+        # min-of count adapts to the remaining clock: reps drop before the
+        # phase does, and the phase drops only when even a min-of-1 try
+        # cannot finish — recorded either way.
         pipe_rep = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REP", "256"))
-        # 2 windows x min-of-2 timed runs: the in-try min already absorbs
-        # the JIT/GC swing, so fewer windows are needed than the scoring
-        # pairs' single-shot tries
         pipe_tries = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_TRIES", "3"))
-        pipe_best, pipe_all, pipe_skipped = None, [], 0
-        pipe_windows = 0
+        pipe_deadline_t = phase_deadline("pipe")
+        pipe_best, pipe_all, pipe_skipped, pipe_windows = None, [], 0, 0
+
+        def pipe_try_cost(min_of: int) -> float:
+            # measured r4 @ rep=256: ~200 s per local[4] run, ~85 s per
+            # local[16] run, ~100 s of session+warm overhead per level
+            return 200.0 + min_of * 285.0
+
+        def pipe_summary() -> None:
+            scaling["pipeline_4_to_16"] = {
+                **({
+                    "stage": "whole flagship job: detect -> link -> "
+                             "canonicalize -> triples",
+                    "rep": pipe_rep,
+                    "n_docs": pipe_best["n_docs"],
+                    "local4_sec": round(pipe_best["t4"], 3),
+                    "local16_sec": round(pipe_best["t16"], 3),
+                    "local4_docs_per_sec": round(
+                        pipe_best["n_docs"] / pipe_best["t4"], 1),
+                    "local16_docs_per_sec": round(
+                        pipe_best["n_docs"] / pipe_best["t16"], 1),
+                    "efficiency": round(pipe_best["eff"], 3),
+                    "efficiency_policy":
+                        "best_of_tries (quiet-window sampling)",
+                    "median_efficiency": round(_median(
+                        [t["efficiency"] for t in pipe_all
+                         if "efficiency" in t]), 3),
+                    "hw_calibration": pipe_best["hw"],
+                    "efficiency_vs_hw": round(
+                        pipe_best["eff"]
+                        / pipe_best["hw"]["hw_efficiency"], 3),
+                } if pipe_best is not None else {}),
+                "tries": pipe_all,
+                "windows_skipped_noisy": pipe_skipped,
+            }
+            refresh()
+            _emit(out)
+
+        env_min_of = os.environ.get("SPARK_GRAFT_BENCH_PIPE_MIN_OF")
         while True:
+            avail = min(left(), pipe_deadline_t - time.time())
+            if env_min_of is not None:
+                min_of = int(env_min_of)
+            elif avail > pipe_try_cost(2):
+                min_of = 2
+            else:
+                min_of = 1
+            if avail < pipe_try_cost(min_of) and pipe_all:
+                break  # no clock for another try; keep what's measured
+            if avail < pipe_try_cost(1) and not pipe_all:
+                out["phases_skipped"].append("pipe (budget)")
+                pipe_summary()
+                break
             pipe_windows += 1
             pipe_hw = _hw_calibration(4, 16)
-            pipe_exhausted = (pipe_windows >= 4 * pipe_tries
-                              or time.time() > pipe_deadline)
+            pipe_exhausted = (
+                pipe_windows >= 4 * pipe_tries
+                or time.time() > pipe_deadline_t - pipe_try_cost(min_of))
             if pipe_hw["hw_efficiency"] < quiet_hw and not pipe_exhausted:
                 pipe_skipped += 1
                 time.sleep(10)
                 continue
-            # a failed child (OOM at high rep on a loaded host) must not
-            # kill the whole bench — the scoring-pair and per-query numbers
-            # above are already in hand; record the failure and move on
+            # reps drop before phases: the child reads the min-of count
+            # from the environment at spawn time
+            os.environ["SPARK_GRAFT_BENCH_PIPE_MIN_OF"] = str(min_of)
             try:
                 p4, pipe_docs = _pipeline_child_run(4, pipe_rep)
                 p16, _ = _pipeline_child_run(16, pipe_rep)
             except Exception as e:  # noqa: BLE001 — artifact > crash
                 pipe_all.append({"error": repr(e)[:200]})
-                if len(pipe_all) >= pipe_tries or time.time() > pipe_deadline:
+                pipe_summary()
+                if len(pipe_all) >= pipe_tries:
                     break
                 continue
             peff = (p4 / p16) / 4.0
@@ -593,115 +774,43 @@ def main() -> None:
                 "local4_sec": round(p4, 3),
                 "local16_sec": round(p16, 3),
                 "efficiency": round(peff, 3),
+                "min_of": min_of,
                 "hw_efficiency": pipe_hw["hw_efficiency"],
             })
             if pipe_best is None or peff > pipe_best["eff"]:
                 pipe_best = {"t4": p4, "t16": p16, "eff": peff,
                              "n_docs": pipe_docs, "hw": pipe_hw}
-            if (peff >= 0.8 or len(pipe_all) >= pipe_tries
-                    or time.time() > pipe_deadline):
+            pipe_summary()
+            if peff >= 0.8 or len(pipe_all) >= pipe_tries:
                 break
 
-        def _median(xs):
-            s = sorted(xs)
-            n = len(s)
-            return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    # ---- EXTENDED coverage queries LAST: min-of-1 each, dropped (and
+    # recorded as skipped) when the clock runs out — they are coverage,
+    # not the BASELINE gate.
+    if "extended" in phases:
+        if spark is None:
+            spark = _session(CPUS)
+            if out["n_docs"] is None:
+                out["n_docs"] = spark.read.parquet(
+                    f"{SF_DIR}/documents.parquet").count()
+        for name in EXTENDED_QUERIES:
+            if left() < 60:
+                out["queries_skipped"] = [
+                    q for q in EXTENDED_QUERIES if q not in timings
+                ]
+                break
+            fn = entrypoints.QUERIES_REGISTRY[name]
+            t0 = time.time()
+            _sink(fn(spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+            release_all()
+            refresh()
+            _emit(out)
+    if spark is not None:
+        spark.stop()
 
-        scaling = {
-            **({
-                "stage": "battery scoring + IOB2 decode (mapInPandas)",
-                "rep": rep,
-                "n_docs_scored": best["n_rows"],
-                "local4_sec": round(best["t4"], 3),
-                "local16_sec": round(best["t16"], 3),
-                "local4_docs_per_sec": round(best["n_rows"] / best["t4"], 1),
-                "local16_docs_per_sec": round(
-                    best["n_rows"] / best["t16"], 1
-                ),
-                # headline = best try; the shared host makes the
-                # distribution's max (the quiet window) the estimate of the
-                # engine's scaling, and the label + median + raw tries keep
-                # the reporting honest
-                "efficiency": round(best["eff"], 3),
-                "efficiency_policy": "best_of_tries (quiet-window sampling)",
-                "median_efficiency": round(
-                    _median([t["efficiency"] for t in all_tries
-                             if "efficiency" in t]), 3
-                ),
-                "hw_calibration": best["hw"],
-                "efficiency_vs_hw": round(
-                    best["eff"] / best["hw"]["hw_efficiency"], 3
-                ),
-            } if best is not None else {}),
-            "tries": all_tries,
-            "windows_skipped_noisy": north_skipped,
-            "pipeline_4_to_16": {
-                "stage": "whole flagship job: detect -> link -> "
-                         "canonicalize -> triples",
-                "rep": pipe_rep,
-                "n_docs": pipe_best["n_docs"],
-                "local4_sec": round(pipe_best["t4"], 3),
-                "local16_sec": round(pipe_best["t16"], 3),
-                "local4_docs_per_sec": round(
-                    pipe_best["n_docs"] / pipe_best["t4"], 1
-                ),
-                "local16_docs_per_sec": round(
-                    pipe_best["n_docs"] / pipe_best["t16"], 1
-                ),
-                "efficiency": round(pipe_best["eff"], 3),
-                "efficiency_policy": "best_of_tries (quiet-window sampling)",
-                "median_efficiency": round(
-                    _median([t["efficiency"] for t in pipe_all
-                             if "efficiency" in t]), 3
-                ),
-                "tries": pipe_all,
-                "windows_skipped_noisy": pipe_skipped,
-                "hw_calibration": pipe_best["hw"],
-                "efficiency_vs_hw": round(
-                    pipe_best["eff"] / pipe_best["hw"]["hw_efficiency"], 3
-                ),
-            } if pipe_best is not None else {"tries": pipe_all},
-            # headline fields come from sat_best, NOT the last try — the
-            # loop can exhaust its budget on a try worse than an earlier
-            # one, and the artifact must be self-sufficient
-            "saturation_8_to_32": {
-                "rep": rep32,
-                "n_docs_scored": sat_best["n32"],
-                "local8_sec": round(sat_best["t8"], 3),
-                "local32_sec": round(sat_best["t32"], 3),
-                "local32_docs_per_sec": round(
-                    sat_best["n32"] / sat_best["t32"], 1
-                ),
-                "efficiency": round(sat_best["eff"], 3),
-                "efficiency_policy": "best_of_tries (quiet-window sampling)",
-                "median_efficiency": round(
-                    _median([t["efficiency"] for t in sat_all
-                             if "efficiency" in t]), 3
-                ),
-                "tries": sat_all,
-                "windows_skipped_noisy": sat_skipped,
-                "hw_calibration": sat_best["hw"],
-                "efficiency_vs_hw": round(
-                    sat_best["eff"] / sat_best["hw"]["hw_efficiency"], 3
-                ),
-            } if sat_best is not None else {"tries": sat_all},
-        }
-
-    total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "kg_pipeline+headline_queries wall-clock",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": SF_DIR,
-        "n_docs": n_docs,
-        "docs_per_sec": round(n_docs / flagship_sec, 2),
-        "bench_elapsed_sec": round(time.time() - t0_all, 1),
-        "bench_budget_sec": None if budget == float("inf") else budget,
-    }
-    if scaling:
-        out["scaling"] = scaling
-    print(json.dumps(out))
+    refresh()
+    _emit(out, final=True)
 
 
 if __name__ == "__main__":

@@ -4713,6 +4713,52 @@ def kg_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_stats(surface_signatures(m))
 
 
+def _skew_guard_oracle() -> str:
+    from .operators.linking import PAIR_CAP, SKEW_GUARD_K
+    from .operators.mention_sql import _linking_ctes
+
+    # the twin computes BASE-corpus guard stats: the engine runs the
+    # k-fold-duplicated stream, and the map-side-collapse invariant says
+    # the two must match exactly (mentions scale by k, surfaces don't)
+    base = _linking_ctes(CORPUS_SQL) + f""",
+    bucket_stats AS (
+      SELECT COUNT(*)::BIGINT AS n_band_buckets,
+             MAX(n)::BIGINT AS max_bucket_size,
+             SUM(CASE WHEN n > {PAIR_CAP} THEN 1 ELSE 0 END)::BIGINT
+               AS oversized_buckets
+      FROM bsize),
+    pair_stats AS (SELECT COUNT(*)::BIGINT AS candidate_pairs FROM pairs),
+    edge_stats AS (SELECT COUNT(*)::BIGINT AS verified_edges FROM edges),
+    comp_stats AS (SELECT COUNT(DISTINCT component)::BIGINT AS n_components
+                   FROM slabeled),
+    surf_stats AS (
+      SELECT COUNT(*)::BIGINT AS n_surfaces,
+             (SUM(n_mentions) * {SKEW_GUARD_K})::BIGINT AS n_mentions
+      FROM surfaces)
+    SELECT {SKEW_GUARD_K}::BIGINT AS k, s.n_mentions, s.n_surfaces,
+           b.n_band_buckets, b.max_bucket_size, b.oversized_buckets,
+           p.candidate_pairs, e.verified_edges, c.n_components
+    FROM surf_stats s, bucket_stats b, pair_stats p, edge_stats e,
+         comp_stats c
+    """
+    return base.replace("WITH corpus AS", "WITH RECURSIVE corpus AS", 1)
+
+
+@_register("kg_skew_guard_stats", oracle=_skew_guard_oracle)
+def kg_skew_guard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress guard report as a driver row (VERDICT r4 ask #4): the
+    mention stream duplicated SKEW_GUARD_K x under distinct doc_ids runs
+    through the real linking operators; every surface-level guard
+    statistic must collapse to the base corpus's exact values (and
+    n_mentions to exactly k x base), proving duplication skew dies
+    map-side before any shuffle
+    (operators/linking.py::skew_guard_stats)."""
+    from .operators.linking import skew_guard_stats
+
+    m = detect_mentions(corpus(spark, sf_dir), num_partitions=8)
+    return skew_guard_stats(m)
+
+
 @_register(
     "ds_normalize_text",
     oracle=r"""

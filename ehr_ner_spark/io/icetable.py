@@ -27,19 +27,27 @@ A reader only trusts files listed in the CURRENT manifest, so partially
 written data from a crash is invisible until committed (Iceberg's core
 invariant).  Concurrent writers use Iceberg's OPTIMISTIC protocol on ALL
 commit paths (append, compaction, equality deletes): every commit asserts
-its expected parent sequence against CURRENT under an O_EXCL lock file
-(stale locks from crashed writers are broken after ``STALE_LOCK_SEC``); a
-loser gets :class:`CommitConflict` and retries — disjoint-bucket appends
-and delete commits re-merge metadata-only, compaction re-runs its rewrite
-against the new CURRENT, and two writers racing on the SAME (stage,
-bucket) surface the conflict instead of last-write-winning.  Writers
-never block each other's data writes; only the metadata swap serializes.
+its expected parent sequence against CURRENT under a kernel advisory
+lock (``flock`` on a persistent lock file — the sandbox stand-in for the
+catalog's atomic pointer CAS; the kernel releases it when the holder
+dies, even on SIGKILL, so a crashed writer can never wedge the table and
+no mtime-staleness takeover heuristic — with its check-then-remove race
+— is needed); a loser gets :class:`CommitConflict` and retries —
+disjoint-bucket appends and delete commits re-merge metadata-only,
+compaction re-runs its rewrite against the new CURRENT, and two writers
+racing on the SAME (stage, bucket) surface the conflict instead of
+last-write-winning.  Writers never block each other's data writes; only
+the metadata swap serializes.  Retries are bounded (no livelock under
+sustained contention: metadata-only merges get many cheap attempts,
+full-rewrite paths few expensive ones) and back off with jitter.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import random
 import time
 import uuid
 from typing import Dict, Optional
@@ -58,9 +66,17 @@ class CommitConflict(RuntimeError):
 
 
 class IceTable:
-    #: a COMMIT_LOCK older than this is treated as abandoned by a crashed
-    #: writer and broken (the guarded section is a metadata swap, ms-scale)
-    STALE_LOCK_SEC = 30.0
+    #: a live writer holding the commit flock longer than this is stuck
+    #: (the guarded section is a metadata swap, ms-scale) — waiters give
+    #: up with TimeoutError rather than spin forever.  Crashed holders
+    #: need no timeout at all: the kernel drops their flock on exit.
+    LOCK_TIMEOUT_SEC = 60.0
+    #: bounded optimistic retries: metadata-only merge paths (append,
+    #: delete commit) get many cheap attempts; full-rewrite paths
+    #: (compaction) get few expensive ones.  A busy table surfaces
+    #: CommitConflict instead of livelocking.
+    MAX_META_RETRIES = 64
+    MAX_REWRITE_RETRIES = 5
 
     def __init__(self, root: str):
         self.root = root
@@ -85,8 +101,23 @@ class IceTable:
         swap is a compare-and-set: it succeeds only if the live snapshot's
         seq still equals ``expect_parent`` (Iceberg's optimistic commit) —
         otherwise :class:`CommitConflict` is raised and NOTHING changes.
-        The check-and-swap is serialized by an O_EXCL lock file (the
-        sandbox stand-in for the catalog's atomic pointer CAS)."""
+
+        The check-and-swap is serialized by a kernel advisory lock
+        (``flock``) on a persistent lock file — the sandbox stand-in for
+        the catalog's atomic pointer CAS.  ``flock`` is exactly the right
+        primitive here: the lock dies with the holder's fd (SIGKILL
+        included), so crash recovery needs no mtime-staleness takeover —
+        the previous O_EXCL protocol's check-then-remove takeover was a
+        TOCTOU where two waiters could both break one stale lock, the
+        second waiter deleting the first's FRESH lock and letting two
+        writers into the CAS section (lost update), and a live-but-paused
+        holder (>30 s GC) could be dispossessed the same way.  With flock
+        neither failure mode exists: a dead holder's lock is already
+        released, a paused holder keeps it, and exactly one waiter at a
+        time ever enters the critical section.  The timeout guards only
+        against a live wedged holder and safely exceeds any plausible
+        pause, because no waiter needs to win within a staleness window
+        anymore."""
         seq = snapshot["seq"]
         name = f"snap-{seq:06d}-{uuid.uuid4().hex[:8]}.json"
         tmp = os.path.join(self.root, "snapshots", f".tmp-{name}")
@@ -94,30 +125,22 @@ class IceTable:
             json.dump(snapshot, f, indent=1, sort_keys=True)
 
         lock = os.path.join(self.root, "COMMIT_LOCK")
-        fd = None
-        for _ in range(2000):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
-                break
-            except FileExistsError:
-                # stale-lock takeover: a writer that crashed between O_EXCL
-                # and the finally-remove would otherwise wedge every future
-                # commit (liveness).  The metadata swap under the lock is
-                # milliseconds, so a lock older than STALE_LOCK_SEC can only
-                # belong to a dead process — break it.  The O_EXCL retry
-                # races takeover attempts safely: exactly one recreates it.
-                try:
-                    if time.time() - os.path.getmtime(lock) > self.STALE_LOCK_SEC:
-                        os.remove(lock)
-                        continue
-                except OSError:
-                    continue  # holder released it between the checks
-                time.sleep(0.005)
-        if fd is None:
-            os.remove(tmp)
-            raise TimeoutError("commit lock held too long")
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
+            deadline = time.time() + self.LOCK_TIMEOUT_SEC
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() > deadline:
+                        os.remove(tmp)
+                        raise TimeoutError("commit lock held too long")
+                    time.sleep(0.005)
+            # holder provenance, for humans inspecting a wedged table; the
+            # content carries no protocol meaning (liveness is the fd's)
+            os.ftruncate(fd, 0)
+            os.pwrite(fd, f"{os.getpid()} {time.time()}".encode(), 0)
             if expect_parent is not None:
                 cur = self.current_snapshot()
                 live = cur["seq"] if cur else -1
@@ -133,8 +156,7 @@ class IceTable:
                 f.write(name)
             os.replace(tmp_cur, self._current_path())
         finally:
-            os.close(fd)
-            os.remove(lock)
+            os.close(fd)  # releases the flock; the lock FILE persists
 
     # -- stage state --------------------------------------------------------
     def committed_buckets(self, stage: str) -> Dict[int, dict]:
@@ -212,8 +234,10 @@ class IceTable:
         # this job was writing data files) re-read and re-merge — the data
         # files this writer produced are already on disk and bucket
         # manifests merge disjointly, so the retry is metadata-only
-        # (Iceberg's concurrent-append fast path)
-        while True:
+        # (Iceberg's concurrent-append fast path).  Bounded + jittered
+        # backoff: under sustained contention the table surfaces an
+        # error instead of livelocking.
+        for _attempt in range(self.MAX_META_RETRIES):
             prev = self.current_snapshot() or {"seq": -1, "stages": {}}
             stages = dict(prev.get("stages", {}))
             st = dict(stages.get(stage, {"buckets": {}}))
@@ -253,7 +277,12 @@ class IceTable:
                 self._commit(snapshot, expect_parent=prev["seq"])
                 return snapshot
             except CommitConflict:
-                continue
+                time.sleep(random.uniform(0, 0.002 * (1 + _attempt)))
+        raise CommitConflict(
+            f"stage {stage!r} append lost the CAS race "
+            f"{self.MAX_META_RETRIES} times — table under sustained "
+            "contention; data files are durable, re-invoke to retry"
+        )
 
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
         """Read only the files listed in the CURRENT manifest."""
@@ -289,12 +318,19 @@ class IceTable:
         overwritten by this pre-rewrite view of the stage (lost update).
         On conflict the whole rewrite re-runs against the new CURRENT;
         the abandoned attempt's files are unreferenced and reclaimed by
-        :meth:`gc_orphans`."""
-        while True:
+        :meth:`gc_orphans`.  Retries are few and backed off — each one
+        re-runs a full Spark rewrite, so a table under sustained append
+        traffic surfaces the conflict instead of rewriting forever."""
+        for attempt in range(self.MAX_REWRITE_RETRIES):
             try:
                 return self._compact_stage_once(spark, stage)
             except CommitConflict:
-                continue
+                time.sleep(random.uniform(0.01, 0.05 * (1 + attempt)))
+        raise CommitConflict(
+            f"compaction of stage {stage!r} lost the CAS race "
+            f"{self.MAX_REWRITE_RETRIES} times — retry when append "
+            "traffic quiesces (attempt files are gc_orphans-reclaimable)"
+        )
 
     def _compact_stage_once(self, spark: SparkSession, stage: str) -> dict:
         snap = self.current_snapshot()
@@ -494,8 +530,9 @@ class IceTable:
         }
         # optimistic commit (CAS + metadata-only retry): the delete file is
         # already durable, so on conflict only the manifest rebuilds against
-        # the new CURRENT — a concurrent write_stage commit is never lost
-        while True:
+        # the new CURRENT — a concurrent write_stage commit is never lost.
+        # Bounded like the append path: no livelock under contention.
+        for _attempt in range(self.MAX_META_RETRIES):
             snap = self.current_snapshot()
             stages = dict(snap["stages"])
             st = dict(stages[stage])
@@ -512,7 +549,12 @@ class IceTable:
                 self._commit(snapshot, expect_parent=snap["seq"])
                 return snapshot
             except CommitConflict:
-                continue
+                time.sleep(random.uniform(0, 0.002 * (1 + _attempt)))
+        raise CommitConflict(
+            f"equality-delete commit on stage {stage!r} lost the CAS race "
+            f"{self.MAX_META_RETRIES} times — delete file is durable, "
+            "re-invoke to retry the metadata merge"
+        )
 
     def read_stage_mor(self, spark: SparkSession, stage: str) -> DataFrame:
         """Merge-on-read scan: data files anti-joined against every

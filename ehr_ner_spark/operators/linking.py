@@ -230,6 +230,83 @@ def blocking_stats(sigs: DataFrame) -> DataFrame:
     )
 
 
+#: duplication factor for the driver-visible skew-guard row — big enough
+#: that an un-collapsed duplicate stream would visibly distort every
+#: downstream statistic, small enough that the row stays cheap at sf0.01
+SKEW_GUARD_K = 16
+
+
+def skew_guard_stats(mentions: DataFrame, k: int = SKEW_GUARD_K) -> DataFrame:
+    """One-row guard-stats report of the linking stage under ``k``-fold
+    corpus duplication — the driver-visible form of the skew stress
+    (jobs/skew_stress.py): the mention stream is replicated ``k`` x under
+    distinct doc_ids with IDENTICAL content (every surface form a head
+    key, the adversarial profile for entity linking) and pushed through
+    the REAL surface/banding/pair/verify/CC operators.
+
+    The invariant this row pins: the mention->surface groupBy collapses
+    duplication MAP-SIDE, so every surface-level statistic (band buckets,
+    max bucket, oversized-bucket count, candidate pairs, verified edges,
+    components) of the k-fold stream must equal the base corpus's
+    EXACTLY, and total mentions must equal exactly k x base.  The DuckDB
+    twin computes those base-corpus values, so a hash match IS the proof
+    that duplication skew never reaches a shuffle — the stress jobs'
+    byte-identical-guards claim as a driver-checkable row instead of
+    BENCH prose.  All columns are exact integers."""
+    from ..cache import tracked_persist
+
+    spark = mentions.sparkSession
+    big = (
+        mentions.crossJoin(
+            F.broadcast(spark.range(k).select(F.col("id").alias("rep")))
+        )
+        .withColumn(
+            "doc_id", F.col("doc_id") + F.col("rep") * F.lit(100_000_000)
+        )
+        .drop("rep")
+    )
+    # sigs feeds five consumers (bucket stats, pairs, verify, CC, surface
+    # totals) — persist or Catalyst re-runs the k-fold groupBy per branch
+    sigs = tracked_persist(surface_signatures(big))
+    bucket_stats = (
+        band_frame(sigs)
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_band_buckets"),
+            F.max("n").alias("max_bucket_size"),
+            F.sum(F.when(F.col("n") > PAIR_CAP, 1).otherwise(0)).alias(
+                "oversized_buckets"
+            ),
+        )
+    )
+    pairs = tracked_persist(candidate_pairs(sigs))
+    edges = tracked_persist(verified_edges(sigs, pairs, 0.5))
+    comp_count = connected_components(sigs.select("surface_id"), edges).agg(
+        F.countDistinct("component").alias("n_components")
+    )
+    surf_stats = sigs.agg(
+        F.count(F.lit(1)).alias("n_surfaces"),
+        F.sum("n_mentions").alias("n_mentions"),
+    )
+    pair_count = pairs.agg(F.count(F.lit(1)).alias("candidate_pairs"))
+    edge_count = edges.agg(F.count(F.lit(1)).alias("verified_edges"))
+    # single-row folds: every frame here is exactly one row, so the
+    # crossJoins are broadcast one-row merges, not cartesian blowups
+    return (
+        surf_stats.withColumn("k", F.lit(k).cast("long"))
+        .crossJoin(bucket_stats)
+        .crossJoin(pair_count)
+        .crossJoin(edge_count)
+        .crossJoin(comp_count)
+        .select(
+            "k", "n_mentions", "n_surfaces", "n_band_buckets",
+            "max_bucket_size", "oversized_buckets", "candidate_pairs",
+            "verified_edges", "n_components",
+        )
+    )
+
+
 def candidate_pairs(sigs: DataFrame, min_hits: int | None = None) -> DataFrame:
     """LSH banding -> (band, band_hash) buckets -> skew-capped pair
     emission -> ``MIN_BAND_HITS`` frequency filter.

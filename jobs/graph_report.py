@@ -72,7 +72,13 @@ def main() -> None:
                     "out": out_dir, "sections": {}}
 
     t0 = time.time()
-    mentions = detect_mentions(corpus(spark, sf_dir), num_partitions=0).persist()
+    # num_partitions=2*cpus: the scorer stage is this job's most expensive
+    # pass, and a raw parquet scan of the small corpus may arrive in 1-2
+    # tasks — repartition so the battery scoring actually uses the cores
+    # (num_partitions=0 would keep whatever the scan produced)
+    mentions = detect_mentions(
+        corpus(spark, sf_dir), num_partitions=2 * cpus
+    ).persist()
     n_mentions = mentions.count()
     report["n_mentions"] = n_mentions
     report["detect_sec"] = round(time.time() - t0, 1)

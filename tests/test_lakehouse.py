@@ -275,9 +275,12 @@ def test_optimistic_commit_conflict_and_retry(spark, sf_dir, tmp_path):
     assert set(final.get("stages", {})) == {"a", "b", "c", "d"}
 
 
-def test_stale_commit_lock_is_broken(spark, sf_dir, tmp_path):
-    """A writer that crashes while holding COMMIT_LOCK must not wedge the
-    table forever: locks older than STALE_LOCK_SEC are taken over."""
+def test_dead_writers_lock_never_wedges_the_table(spark, sf_dir, tmp_path):
+    """A writer that crashes while holding the commit lock must not wedge
+    the table: the lock is a kernel flock, released the instant the
+    holder's fd closes (SIGKILL included), so a leftover lock FILE from a
+    dead process — even an ancient one — never blocks a commit and no
+    staleness takeover (with its check-then-remove race) exists at all."""
     import os
     import time
 
@@ -289,12 +292,50 @@ def test_stale_commit_lock_is_broken(spark, sf_dir, tmp_path):
     t = IceTable(str(tmp_path / "tbl"))
     lock = os.path.join(t.root, "COMMIT_LOCK")
     with open(lock, "w") as f:
-        f.write("99999 0")  # dead pid, ancient timestamp
-    old = time.time() - 10 * IceTable.STALE_LOCK_SEC
+        f.write("99999 0")  # dead pid's leftover lock file, unlocked fd
+    old = time.time() - 3600
     os.utime(lock, (old, old))
     snap = t.write_stage(docs.limit(20), "s", bucket_key="doc_id",
                          n_buckets=2)
-    assert snap["seq"] == 0 and not os.path.exists(lock)
+    assert snap["seq"] == 0
+
+
+def test_live_lock_holder_blocks_then_commit_proceeds(spark, sf_dir, tmp_path):
+    """A LIVE holder's flock makes a second writer wait (not dispossess);
+    once released, the waiter commits.  A paused/GC-stalled holder is
+    therefore never dispossessed mid-critical-section."""
+    import fcntl
+    import os
+    import threading
+    import time
+
+    from ehr_ner_spark.io.icetable import IceTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = IceTable(str(tmp_path / "tbl"))
+    t.write_stage(docs.limit(20), "s", bucket_key="doc_id", n_buckets=2)
+    lock = os.path.join(t.root, "COMMIT_LOCK")
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)  # simulate a paused live holder
+    released_at = [None]
+
+    def release_soon():
+        time.sleep(1.0)
+        released_at[0] = time.time()
+        os.close(fd)  # kernel releases the flock
+
+    thr = threading.Thread(target=release_soon)
+    thr.start()
+    prev = t.current_snapshot()
+    snap = dict(prev, seq=prev["seq"] + 1, parent_seq=prev["seq"])
+    t._commit(snap, expect_parent=prev["seq"])  # blocks on the flock
+    done_at = time.time()
+    thr.join()
+    assert t.current_snapshot()["seq"] == prev["seq"] + 1
+    # the commit could only land after the holder released
+    assert released_at[0] is not None and done_at >= released_at[0]
 
 
 def test_time_travel_to_post_delete_snapshot_applies_deletes(

@@ -259,3 +259,19 @@ def test_band_filter_recall_counts(spark, sf_dir):
     assert row["edge_recall_micro"] == (
         1_000_000 * row["n_edges_filtered"] // max(row["n_edges_all"], 1)
     )
+
+
+def test_skew_guard_stats_duplication_invariance(spark, mentions):
+    """The driver row's core claim: k-fold duplicated mentions produce
+    IDENTICAL surface-level guard stats to the base stream (the groupBy
+    collapses duplication map-side), with only n_mentions scaling by k."""
+    from ehr_ner_spark.operators.linking import skew_guard_stats
+
+    base = skew_guard_stats(mentions, k=1).collect()[0].asDict()
+    dup = skew_guard_stats(mentions, k=7).collect()[0].asDict()
+    assert dup["n_mentions"] == 7 * base["n_mentions"]
+    for col in ("n_surfaces", "n_band_buckets", "max_bucket_size",
+                "oversized_buckets", "candidate_pairs", "verified_edges",
+                "n_components"):
+        assert dup[col] == base[col], f"{col} not duplication-invariant"
+    assert dup["k"] == 7
