@@ -3,13 +3,17 @@ optimizer (and a lakehouse table maintenance job) actually consumes:
 exact row count, per-column exact NDV, null count, min/max, and average
 rendered width.
 
-Spark-first shape: ONE aggregate computes every statistic for every
-audited column in a single corpus pass — counts/min/max/total-width all
-combine map-side, and the exact ``count(DISTINCT col)`` set is what
-Catalyst expands into its internal EXPAND + two-phase aggregate (the
-standard exact-NDV cost; the cheap sketch path is the engine's
-ds_hll_distinct sibling).  The single-row result then unpivots to one
-row per column with ``stack`` — driver-sized by construction.
+Spark-first shape: one two-phase aggregate PER COLUMN, unioned —
+``groupBy(col)`` collapses to the column's distinct values map-side
+(shuffle volume bounded by NDV, not row count), then a single-row agg
+over the group frame yields NDV/nulls/min/max/width together.  This
+deliberately replaces the earlier single-agg formulation with four
+``count(DISTINCT ...)``: Catalyst plans that as an EXPAND that
+replicates every input row x(columns+1) before the shuffle — measured
+6.4-7.3 s at sf0.1 against ~2 s for the union shape — while the union's
+four branches each scan ONE parquet column (columnar pruning makes the
+total bytes read identical to one wide scan) and never amplify rows.
+Each branch's final agg is driver-sized by construction.
 
 Cross-engine exactness: audited columns are integer / string / date
 only, min/max are rendered through CAST(... AS VARCHAR) (dates print
@@ -50,32 +54,32 @@ def _avg_width_micro(tot, n):
 def column_stats(df: DataFrame) -> DataFrame:
     """One row per audited column:
     (column, n_rows, n_null, ndv, min_v, max_v, avg_width_micro)."""
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    from functools import reduce
+
+    parts = []
     for c, _t in STAT_COLS:
-        s = F.col(c).cast("string")
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long").alias(f"{c}__null"),
-            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__ndv"),
-            # min/max over the NATIVE type (numeric/date order, what a
-            # CBO needs), rendered to varchar only afterwards
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-            F.sum(F.coalesce(F.length(s), F.lit(0)))
-            .cast("long").alias(f"{c}__len"),
-        ]
-    one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__null, {c}__ndv, {c}__min, {c}__max, {c}__len"
-        for c, _t in STAT_COLS
-    )
-    long_f = one.select(
-        "n_rows",
-        F.expr(
-            f"stack({len(STAT_COLS)}, {stack_args}) AS "
-            "(column, n_null, ndv, min_v, max_v, tot_len)"
-        ),
-    )
+        # phase 1: collapse to the column's distinct values with their
+        # multiplicities — map-side combinable, shuffle bounded by NDV;
+        # phase 2: every statistic from the NDV-sized group frame.
+        # min/max stay in the NATIVE type (numeric/date order, what a
+        # CBO needs), rendered to varchar only afterwards.
+        g = df.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
+        col, cnt = F.col(c), F.col("cnt")
+        one = g.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.when(col.isNull(), cnt).otherwise(0))
+            .cast("long").alias("n_null"),
+            # ndv = non-null distinct values = non-null groups
+            F.count(col).cast("long").alias("ndv"),
+            F.min(col).cast("string").alias("min_v"),
+            F.max(col).cast("string").alias("max_v"),
+            F.sum(
+                F.when(col.isNotNull(), F.length(col.cast("string")) * cnt)
+                .otherwise(0)
+            ).cast("long").alias("tot_len"),
+        ).select(F.lit(c).alias("column"), "*")
+        parts.append(one)
+    long_f = reduce(DataFrame.unionByName, parts)
     return long_f.select(
         "column",
         "n_rows",

@@ -582,19 +582,32 @@ def _cc_iterative(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataF
     return labels
 
 
-def canonicalize(mentions: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+def canonicalize(
+    mentions: DataFrame,
+    jaccard_threshold: float = 0.5,
+    min_band_hits: int | None = None,
+) -> DataFrame:
     """Full linking stage: mentions -> (text, canonical_text, component).
 
     Canonical election is a total order (mention count desc, surface asc) so
     the result is independent of partitioning and cluster size.
-    """
+
+    ``min_band_hits`` is the per-job dial on the MIN_BAND_HITS candidate
+    filter (default: the module constant, 2).  The filter trades ~3-5% of
+    border edges (Jaccard just above the threshold — measured 96.7% edge
+    recall on the synthetic sf0.01 corpus and ~95% on a deliberately
+    border-heavy adversarial corpus, see kg_band_filter_recall and
+    tests/test_linking.py) for an order-of-magnitude fewer candidates.
+    Pass 1 to disable it when a job values recall over throughput; the
+    kg_band_filter_recall audit measures exactly what the default costs
+    on any given corpus."""
     # sigs feeds four consumers (pairs, verify, components, labeling) and
     # edges feeds two — persist the small per-surface frames or the
     # mention-stream groupBy re-executes once per consumer
     from ..cache import tracked_persist
 
     sigs = tracked_persist(surface_signatures(mentions))
-    pairs = candidate_pairs(sigs)
+    pairs = candidate_pairs(sigs, min_hits=min_band_hits)
     edges = tracked_persist(verified_edges(sigs, pairs, jaccard_threshold))
     # CC over the EDGE ENDPOINTS only: the left join below coalesces
     # every unlinked surface to its own id, so isolated vertices never

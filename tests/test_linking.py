@@ -275,3 +275,78 @@ def test_skew_guard_stats_duplication_invariance(spark, mentions):
                 "n_components"):
         assert dup[col] == base[col], f"{col} not duplication-invariant"
     assert dup["k"] == 7
+
+
+def _hexstr(seed: str, n: int) -> str:
+    import hashlib
+
+    out, i = "", 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        i += 1
+    return out[:n]
+
+
+def test_band_filter_recall_border_adversarial(spark):
+    """MIN_BAND_HITS recall on a deliberately border-heavy corpus: every
+    engineered pair sits at Jaccard just above the 0.5 verify threshold —
+    exactly where the r=2 S-curve is weakest and the >=2-band frequency
+    filter loses the most (the sf0.01 measurement of 96.7% could in
+    principle have been propped up by easy high-J pairs; this corpus has
+    none).  Analytic expectation at J~0.51-0.57 with b=16/r=2:
+    P(>=2 band hits) ~ 0.94-0.98, so recall must still clear 0.85.
+
+    Pairs are built by prefix-sharing: partner = first k chars of base +
+    novel suffix, giving shared-shingle count s ~ k-2 and J = s/(2n-s);
+    md5-hex alphabet keeps cross-pair shingle collisions negligible.
+    Sub-threshold decoys (J ~ 0.49) are mixed in to keep the candidate
+    stage honest (they may band-collide but must never become edges)."""
+    from ehr_ner_spark.operators.linking import band_filter_recall
+
+    rows = []
+    did = 0
+
+    def add(text):
+        nonlocal did
+        rows.append((did, "r", "s", "DTN", 0, 0, text))
+        did += 1
+
+    for i in range(120):
+        # L=31 (n~29 shingles): prefix 22 -> s~20, J ~ 20/38 = 0.526
+        a = _hexstr(f"b31:{i}", 31)
+        add(a)
+        add(a[:22] + _hexstr(f"p31:{i}", 9))
+    for i in range(120):
+        # L=61 (n~59 shingles): prefix 42 -> s~40, J ~ 40/78 = 0.513
+        a = _hexstr(f"b61:{i}", 61)
+        add(a)
+        add(a[:42] + _hexstr(f"p61:{i}", 19))
+    for i in range(60):
+        # sub-threshold decoys: prefix 20 of 31 -> J ~ 18/40 = 0.45
+        a = _hexstr(f"d31:{i}", 31)
+        add(a)
+        add(a[:20] + _hexstr(f"q31:{i}", 11))
+
+    r = band_filter_recall(_mentions_df(spark, rows)).collect()[0].asDict()
+    # enough true border edges that the recall ratio is meaningful
+    assert r["n_edges_all"] >= 100, r
+    # the filter must actually be filtering (candidates strictly fewer)
+    assert r["n_cand_filtered"] < r["n_cand_all"], r
+    recall = r["n_edges_filtered"] / r["n_edges_all"]
+    assert recall >= 0.85, (
+        f"border-adversarial recall {recall:.3f} below floor; "
+        f"stats={r} — consider min_band_hits=1 (canonicalize dial)"
+    )
+
+
+def test_canonicalize_min_band_hits_dial(spark, mentions):
+    """min_band_hits=1 (filter off) must link at least as much as the
+    default: every default cluster edge survives, so component count can
+    only stay equal or shrink (more merges)."""
+    from ehr_ner_spark.operators.linking import canonicalize
+
+    base = canonicalize(mentions)
+    loose = canonicalize(mentions, min_band_hits=1)
+    n_base = base.select("component").distinct().count()
+    n_loose = loose.select("component").distinct().count()
+    assert n_loose <= n_base

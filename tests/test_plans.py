@@ -1190,17 +1190,24 @@ def test_pca_outliers_broadcast_axis_takeordered(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_column_stats_single_pass_expand(spark, sf_dir):
-    """ANALYZE stats: every statistic for every audited column comes from
-    ONE scan — the exact-NDV set expands via Catalyst's standard Expand +
-    two-phase aggregate — and there is no join at all."""
+def test_column_stats_per_column_two_phase_no_expand(spark, sf_dir):
+    """ANALYZE stats: per-column groupBy->agg branches, NOT the
+    single-agg multi-count-distinct shape — Catalyst plans that one as an
+    EXPAND replicating every row x(columns+1) pre-shuffle (measured 3x
+    slower at sf0.1).  Each branch shuffles at most its column's distinct
+    values (map-side partial aggregation), scans exactly one parquet
+    column, and there is no join at all."""
     df = entrypoints.QUERIES_REGISTRY["rel_column_stats"](spark, sf_dir)
     plan = _plan(df)
     assert "Python" not in plan
-    assert "Expand" in plan
+    assert "Expand" not in plan
     assert "Join" not in plan
     assert plan.count("FileScan") + plan.count("Scan parquet") >= 1
     assert "partial_sum" in plan or "partial_count" in plan
+    # NDV-bounded exchanges: one hash exchange per audited column branch
+    from ehr_ner_spark.operators.colstats import STAT_COLS
+
+    assert plan.count("Exchange hashpartitioning") <= len(STAT_COLS)
 
 
 def test_bootstrap_ci_one_scan_no_shuffle_keys(spark, sf_dir):
