@@ -49,7 +49,7 @@ BLURB = {
     "ds_pca_outliers": "PCA projections: Gram map-side + checkpointed D-row power rounds; the snapped axis broadcasts onto the exploded embeddings; exact BIGINT dot products; distributed TakeOrdered.",
     "rel_column_stats": "ANALYZE stats: per-column groupBy->agg branches (NOT multi-count-distinct — Catalyst plans that as an Expand replicating every row x5 pre-shuffle; measured 3x slower at sf0.1); each branch scans one parquet column and shuffles at most its NDV.",
     "ds_bootstrap_ci": "Bootstrap CI: 64 conditional sums fold map-side in one aggregate over one scan — zero hash-partitioned exchanges; the stack/window frames are 32 rows.",
-    "ds_prefix_pairs": "PPJoin prefix filtering: rarest-first global token order; only per-doc |s|-ceil(t|s|)+1 prefixes enter the candidate equi-join (length filter in the condition); exact Jaccard verify over candidates only.  Cost floor: the global-df order inherently costs two shingle-stream exchanges (by shingle to attach df, by doc to rank) before any pruning can happen — both NDV/stream-bounded, AQE-coalesced, and the expensive verify join stays candidate-restricted; the ~7 s headline time is ~80% these two exchanges at sf0.1's 1.3M-shingle stream and scales linearly with executors at 100 TB.",
+    "ds_prefix_pairs": "PPJoin prefix filtering: rarest-first global token order; only per-doc |s|-ceil(t|s|)+1 prefixes enter the candidate equi-join (length filter in the condition); exact Jaccard verify over candidates only.  Cost floor (profiled r5, min-of-3 6.4 s at sf0.1): the global-df order inherently costs two shingle-stream exchanges (by shingle to attach df, by doc-id to rank) before any pruning can exist, and the verify re-joins the shingle stream twice — all three exchanges are stream/NDV-bounded, AQE-coalesced, carry two skinny columns, and partition freely across executors at 100 TB; per-stage CPU ~= run time (no straggler tail), so the cost is work, not skew.",
     "ds_rrf_fusion": "Hybrid RRF: BM25 and integer-MIPS legs each end in WindowGroupLimit top-k heaps; fusion joins two rank-bounded lists — cost independent of corpus size.",
     "rel_zone_maps": "Zone-map skipping audit: two map-side-combined zone aggregates (write-order + date-clustered layouts) unioned; output bounded by zone counts.",
     "ds_cdc_chunks": "Content-defined chunking: doc-keyed lag + running-sum windows (no global sort); chunk copy counts partial+final on the cryptographic sha.",
