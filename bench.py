@@ -734,6 +734,13 @@ def main() -> None:
                     "efficiency_vs_hw": round(
                         pipe_best["eff"]
                         / pipe_best["hw"]["hw_efficiency"], 3),
+                    # the job occupies ~2N threads at local[N] (JVM task
+                    # threads + Python workers): 8->32 procs is the
+                    # faithful hardware ceiling for this pair
+                    "hw_calibration_threads_8_32": pipe_best["hw_threads"],
+                    "efficiency_vs_hw_threads": round(
+                        pipe_best["eff"]
+                        / pipe_best["hw_threads"]["hw_efficiency"], 3),
                 } if pipe_best is not None else {}),
                 "tries": pipe_all,
                 "windows_skipped_noisy": pipe_skipped,
@@ -758,6 +765,14 @@ def main() -> None:
                 break
             pipe_windows += 1
             pipe_hw = _hw_calibration(4, 16)
+            # second calibration at 8->32 PROCESSES: the Spark job at
+            # local[N] runs ~2N busy threads (N JVM task threads + N
+            # Python scorer workers), so the pipe pair's true thread
+            # occupancy is ~8 vs ~32 — the 4->16 probe OVERSTATES the
+            # hardware ceiling this pair actually faces on a 32-vCPU
+            # box.  Both calibrations are recorded; vs_hw_threads is the
+            # faithful normalization.
+            pipe_hw_threads = _hw_calibration(8, 32)
             pipe_exhausted = (
                 pipe_windows >= 4 * pipe_tries
                 or time.time() > pipe_deadline_t - pipe_try_cost(min_of))
@@ -784,10 +799,13 @@ def main() -> None:
                 "efficiency": round(peff, 3),
                 "min_of": min_of,
                 "hw_efficiency": pipe_hw["hw_efficiency"],
+                "hw_efficiency_threads_8_32":
+                    pipe_hw_threads["hw_efficiency"],
             })
             if pipe_best is None or peff > pipe_best["eff"]:
                 pipe_best = {"t4": p4, "t16": p16, "eff": peff,
-                             "n_docs": pipe_docs, "hw": pipe_hw}
+                             "n_docs": pipe_docs, "hw": pipe_hw,
+                             "hw_threads": pipe_hw_threads}
             pipe_summary()
             if peff >= 0.8 or len(pipe_all) >= pipe_tries:
                 break

@@ -61,6 +61,10 @@ def main() -> None:
         if not pipe_done:
             hw4 = bench._hw_calibration(4, 16, n_iter=900)
             if hw4["hw_efficiency"] >= QUIET_PIPE:
+                # thread-faithful ceiling: the job occupies ~2N threads
+                # at local[N] (JVM + Python workers), so 8->32 procs is
+                # the honest hardware normalization for this pair
+                hw_threads = bench._hw_calibration(8, 32, n_iter=900)
                 try:
                     p4, n_docs = bench._pipeline_child_run(4, PIPE_REP)
                     p16, _ = bench._pipeline_child_run(16, PIPE_REP)
@@ -75,7 +79,10 @@ def main() -> None:
                      "efficiency": round(eff, 3),
                      "hw_calibration": hw4,
                      "efficiency_vs_hw": round(
-                         eff / hw4["hw_efficiency"], 3)})
+                         eff / hw4["hw_efficiency"], 3),
+                     "hw_calibration_threads_8_32": hw_threads,
+                     "efficiency_vs_hw_threads": round(
+                         eff / hw_threads["hw_efficiency"], 3)})
                 if eff >= 0.8:
                     pipe_done = True
                     log({"event": "pipe_gate_recorded",
